@@ -1,0 +1,177 @@
+"""HTML parse + extract operators — the Spark mapping of the reference's
+four entry points (``lib/html5ever.ex:40-129``).
+
+Execution model: one ``mapInArrow`` call per Arrow batch of documents —
+zero per-row Python dispatch (the analog of the reference's one
+dirty-CPU NIF call per document, ``lib.rs:24,:43``; Arrow zero-copy
+replaces the BEAM term-copy avoidance of ``CHANGELOG.md:176-178``).
+Column pruning happens *before* the Python stage: only (url, html) cross
+the JVM→Python boundary, so the parquet scan reads exactly two columns.
+
+Row-level error semantics: invalid UTF-8 yields an ``error`` column
+value (the reference's only error path, ``lib.rs:10-22``) with null
+outputs; the job never fails on malformed input.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..parser.api import UTF8_ERROR, flat_rows, parse_document, tree_to_json
+from ..parser.extract import dom_metrics, extract_links, extract_text, extract_title
+
+PARSED_FIELDS = (
+    "url string, error string, text string, title string, "
+    "links array<string>, n_nodes bigint, n_elements bigint, "
+    "n_anchors bigint, n_text_chars bigint, max_depth bigint, "
+    "n_parse_errors bigint, tree_json string"
+)
+
+NODES_FIELDS = (
+    "url string, node_id bigint, parent_id bigint, children array<bigint>, "
+    "type string, name string, "
+    "attrs array<struct<name:string,value:string>>, "
+    "attrs_map map<string,string>, contents string"
+)
+
+
+def _to_text(v) -> str:
+    """UTF-8 gate for binary html (reference lib.rs:27-30)."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).decode("utf-8", errors="strict")
+    return v
+
+
+def parse_and_extract(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_tree_json: bool = False,
+) -> DataFrame:
+    """pages(url, html, ...) → parsed(url, error, text, title, links,
+    metrics..., tree_json?).
+
+    ``with_tree_json=False`` (default) skips the nested-tree JSON encode
+    on the hot path; the column is emitted as null."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            out = {
+                "url": urls,
+                "error": [],
+                "text": [],
+                "title": [],
+                "links": [],
+                "n_nodes": [],
+                "n_elements": [],
+                "n_anchors": [],
+                "n_text_chars": [],
+                "max_depth": [],
+                "n_parse_errors": [],
+                "tree_json": [],
+            }
+            for html in htmls:
+                try:
+                    text_in = _to_text(html) if html is not None else ""
+                except UnicodeDecodeError:
+                    out["error"].append(UTF8_ERROR)
+                    for k in ("text", "title", "links", "n_nodes", "n_elements",
+                              "n_anchors", "n_text_chars", "max_depth",
+                              "n_parse_errors", "tree_json"):
+                        out[k].append(None)
+                    continue
+                builder = parse_document(text_in)
+                doc = builder.doc
+                m = dom_metrics(doc)
+                out["error"].append(None)
+                out["text"].append(extract_text(doc))
+                out["title"].append(extract_title(doc))
+                out["links"].append(extract_links(doc))
+                out["n_nodes"].append(m["n_nodes"])
+                out["n_elements"].append(m["n_elements"])
+                out["n_anchors"].append(m["n_anchors"])
+                out["n_text_chars"].append(m["n_text_chars"])
+                out["max_depth"].append(m["max_depth"])
+                out["n_parse_errors"].append(
+                    builder.parse_errors + builder.tokenizer.parse_errors
+                )
+                out["tree_json"].append(tree_to_json(doc) if with_tree_json else None)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("error", pa.string()),
+                        ("text", pa.string()),
+                        ("title", pa.string()),
+                        ("links", pa.list_(pa.string())),
+                        ("n_nodes", pa.int64()),
+                        ("n_elements", pa.int64()),
+                        ("n_anchors", pa.int64()),
+                        ("n_text_chars", pa.int64()),
+                        ("max_depth", pa.int64()),
+                        ("n_parse_errors", pa.int64()),
+                        ("tree_json", pa.string()),
+                    ]
+                ),
+            )
+
+    pruned = df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
+    return pruned.mapInArrow(fn, PARSED_FIELDS)
+
+
+def flat_parse_nodes(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """pages → exploded per-node table (the reference's flat_parse map
+    ``%{root, nodes}`` as rows keyed (url, node_id); arena_sink.rs:458-607).
+
+    Invalid-UTF-8 documents contribute zero node rows (callers join back
+    against ``parse_and_extract`` for the error column)."""
+
+    arrow_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("node_id", pa.int64()),
+            ("parent_id", pa.int64()),
+            ("children", pa.list_(pa.int64())),
+            ("type", pa.string()),
+            ("name", pa.string()),
+            ("attrs", pa.list_(
+                pa.struct([("name", pa.string()), ("value", pa.string())])
+            )),
+            ("attrs_map", pa.map_(pa.string(), pa.string())),
+            ("contents", pa.string()),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            rows = []
+            for url, html in zip(urls, htmls):
+                try:
+                    text_in = _to_text(html) if html is not None else ""
+                except UnicodeDecodeError:
+                    continue
+                doc = parse_document(text_in).doc
+                for r in flat_rows(doc):
+                    r["url"] = url
+                    r["attrs_map"] = (
+                        list(r["attrs_map"].items())
+                        if r["attrs_map"] is not None
+                        else None
+                    )
+                    rows.append(r)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    pruned = df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
+    return pruned.mapInArrow(fn, NODES_FIELDS)
