@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline at sf0.001.
+``queries()`` / ``oracle_sql()`` cover the operator inventory from
+SURVEY.md §2: the HTML parse+extract engine (checked end-to-end via the
+shared Spark/DuckDB pages construction — DuckDB rebuilds the SAME html
+and predicts the extraction output in pure SQL), the training-data
+pipeline operators (dedup, similarity, text analysis), and the
+pipeline-mandated relational categories (agg/join/window/top-k/filter).
 """
 
 from __future__ import annotations
@@ -12,27 +14,278 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from html5ever_elixir_spark.operators import dedup, relational, similarity, textstats
+from html5ever_elixir_spark.operators.parse import flat_parse_nodes, parse_and_extract
+from html5ever_elixir_spark.sources.pages import pages_from_documents, pages_select_sql
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(spark, sf_dir)
+
+
+# DuckDB-side pages CTE (the driver pre-registers `documents`)
+_DUCK_PAGES = "pages AS (" + pages_select_sql("documents", "duckdb") + ")"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build pages from sf0.001 documents, parse every page
+    with the from-scratch HTML5 parser, extract main content + DOM
+    metrics. Driver checks rows>0 and stable schema."""
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return parse_and_extract(pages).select(
+        "url", "error", "text", "title", "n_nodes", "n_elements",
+        "n_anchors", "max_depth", "n_parse_errors",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_html_extract(spark, sf_dir):
+    return (
+        parse_and_extract(_pages(spark, sf_dir))
+        .select("url", "text")
+    )
+
+
+def _q_html_titles(spark, sf_dir):
+    return parse_and_extract(_pages(spark, sf_dir)).select("url", "title")
+
+
+def _q_html_links(spark, sf_dir):
+    return parse_and_extract(_pages(spark, sf_dir)).select(
+        "url", F.array_join("links", ",").alias("links_csv")
+    )
+
+
+def _q_html_node_histogram(spark, sf_dir):
+    nodes = flat_parse_nodes(_pages(spark, sf_dir))
+    return (
+        nodes.groupBy("type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("type")
+    )
+
+
+def _q_html_max_depth(spark, sf_dir):
+    return parse_and_extract(_pages(spark, sf_dir)).select("url", "max_depth")
+
+
+def _q_html_attrs_by_tag(spark, sf_dir):
+    nodes = flat_parse_nodes(_pages(spark, sf_dir))
+    return (
+        nodes.where(F.col("type") == "element")
+        .groupBy("name")
+        .agg(
+            F.sum(F.size("attrs")).cast("bigint").alias("n_attrs"),
+            F.count("*").alias("n_elements"),
+        )
+        .orderBy("name")
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_dedup_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_ann_topk(spark, sf_dir):
+    out = similarity.cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _q_ann_srp(spark, sf_dir):
+    out = similarity.srp_bucket_ann(_emb(spark, sf_dir), n_queries=10, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _q_emb_neardup(spark, sf_dir):
+    # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
+    # pair set (real corpora would use ~0.95)
+    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_token_count(spark, sf_dir):
+    out = textstats.token_count(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    out = textstats.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len", "stopword_ratio", "alpha_ratio",
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_pricing(spark, sf_dir):
+    return relational.pricing_summary(relational.load(spark, sf_dir, "lineitem"))
+
+
+def _q_revenue(spark, sf_dir):
+    return relational.revenue_by_nation(
+        relational.load(spark, sf_dir, "orders"),
+        relational.load(spark, sf_dir, "customer"),
+        relational.load(spark, sf_dir, "nation"),
+    )
+
+
+def _q_latest_event(spark, sf_dir):
+    return relational.latest_event_per_user(_events(spark, sf_dir))
+
+
+def _q_topk_docs(spark, sf_dir):
+    return relational.topk_largest_docs(_docs(spark, sf_dir), k=100)
+
+
+def _q_filter_project(spark, sf_dir):
+    return relational.filter_project_docs(_docs(spark, sf_dir))
+
+
+def _q_event_stats(spark, sf_dir):
+    return relational.event_type_stats(_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # HTML engine (parse + extract, end-to-end vs SQL-reconstructed oracle)
+        "html_extract_text": _q_html_extract,
+        "html_titles": _q_html_titles,
+        "html_links": _q_html_links,
+        "html_node_histogram": _q_html_node_histogram,
+        "html_max_depth": _q_html_max_depth,
+        "html_attrs_by_tag": _q_html_attrs_by_tag,
+        # training-data pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sig": _q_dedup_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_srp_bucket": _q_ann_srp,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "text_token_count": _q_token_count,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        # relational categories
+        "agg_pricing_summary": _q_pricing,
+        "join_revenue_nation": _q_revenue,
+        "window_latest_event": _q_latest_event,
+        "topk_largest_docs": _q_topk_docs,
+        "filter_project_docs": _q_filter_project,
+        "agg_event_type_stats": _q_event_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "html_extract_text": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        "html_titles": (
+            f"WITH {_DUCK_PAGES} SELECT url, 'Doc ' || cast(doc_id as string) "
+            "AS title FROM pages"
+        ),
+        "html_links": (
+            f"WITH {_DUCK_PAGES} SELECT url, "
+            "'/p/' || cast(doc_id + 1 as string) || ',/p/' || "
+            "cast(doc_id + 2 as string) AS links_csv FROM pages"
+        ),
+        # template node counts: 12 elements + 8 texts fixed, +1 comment if
+        # d%3=0, +1 element +1 text if d%5=0, 1 doc + 1 doctype per page
+        "html_node_histogram": """
+WITH t AS (SELECT count(*) AS n,
+                  sum(case when doc_id % 3 = 0 then 1 else 0 end) AS c3,
+                  sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
+           FROM documents)
+SELECT * FROM (
+  SELECT 'comment' AS type, c3 AS n FROM t
+  UNION ALL SELECT 'doctype', n FROM t
+  UNION ALL SELECT 'document', n FROM t
+  UNION ALL SELECT 'element', 12 * n + c5 FROM t
+  UNION ALL SELECT 'text', 8 * n + c5 FROM t
+) ORDER BY type
+""",
+        "html_max_depth": (
+            f"WITH {_DUCK_PAGES} SELECT url, 5::BIGINT AS max_depth FROM pages"
+        ),
+        # per template: class on 2 divs, href on 2 <a>; all else attr-free
+        "html_attrs_by_tag": """
+WITH t AS (SELECT count(*) AS n,
+                  sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
+           FROM documents)
+SELECT * FROM (
+  SELECT 'a' AS name, 2 * n AS n_attrs, 2 * n AS n_elements FROM t
+  UNION ALL SELECT 'body', 0, n FROM t
+  UNION ALL SELECT 'div', 2 * n, 2 * n FROM t
+  UNION ALL SELECT 'footer', 0, n FROM t
+  UNION ALL SELECT 'h1', 0, n FROM t
+  UNION ALL SELECT 'head', 0, n FROM t
+  UNION ALL SELECT 'html', 0, n FROM t
+  UNION ALL SELECT 'p', 0, n + c5 FROM t
+  UNION ALL SELECT 'style', 0, n FROM t
+  UNION ALL SELECT 'title', 0, n FROM t
+) ORDER BY name
+""",
+        "dedup_exact": dedup.oracle_exact_dedup_sql(),
+        "dedup_minhash_sig": dedup.oracle_minhash_sql(),
+        "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
+        "dedup_simhash": dedup.oracle_simhash_sql(),
+        "dedup_ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
+        "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),
+        # ann_srp_bucket: deterministic but plane SQL is huge — rows-only check
+        "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
+        "text_token_count": textstats.oracle_token_count_sql(),
+        "text_quality": textstats.oracle_quality_sql(),
+        "text_lang_id": textstats.oracle_lang_id_sql(),
+        "text_fingerprint": textstats.oracle_fingerprint_sql(),
+        "agg_pricing_summary": relational.ORACLE_PRICING_SQL,
+        "join_revenue_nation": relational.ORACLE_REVENUE_SQL,
+        "window_latest_event": relational.ORACLE_LATEST_EVENT_SQL,
+        "topk_largest_docs": relational.oracle_topk_docs_sql(k=100),
+        "filter_project_docs": relational.ORACLE_FILTER_SQL,
+        "agg_event_type_stats": relational.ORACLE_EVENT_STATS_SQL,
+    }

@@ -1,0 +1,272 @@
+"""Deduplication operators for the training-data pipeline.
+
+Not in the reference (a parse-only library) — mandated by the
+large-scale corpus pipeline the engine serves. Everything is built
+from JVM-side ``pyspark.sql.functions`` (whole-stage codegen, no
+Python in the hot path):
+
+* exact dedup        — md5 hash group-by (one shuffle on the hash)
+* MinHash signatures — row-local higher-order exprs (no shuffle, no
+  explode); k minimums over word-shingle md5 hashes
+* LSH candidate pairs— band → bucket-join (the one necessary shuffle;
+  at 100 TB this is the canonical distributed MinHash-LSH layout,
+  band key is uniformly distributed by construction so no skew)
+* SimHash            — row-local 32-bit fingerprint via per-bit
+  majority over word hashes (higher-order filter, no explode)
+* n-gram Jaccard     — exact pairwise similarity over candidate pairs
+
+Each operator has an ``oracle_*_sql`` companion producing the
+equivalent DuckDB SQL (the driver's correctness gate). Hashes are
+md5-hex based in BOTH engines so results are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per distinct text: keeper id (min), group size."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def oracle_exact_dedup_sql(table: str = "documents") -> str:
+    return (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+        f"count(*) AS group_size FROM {table} GROUP BY md5(text)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared definition: word k-grams, space-joined)
+
+
+def _spark_shingles(text_col: str, k: int) -> str:
+    """SQL expr: array of word k-gram shingles (empty if < k words)."""
+    words = f"split({text_col}, ' ')"
+    return (
+        f"case when size({words}) < {k} then array() "
+        f"else transform(sequence(0, size({words}) - {k}), "
+        f"i -> array_join(slice({words}, i + 1, {k}), ' ')) end"
+    )
+
+
+def _duck_shingles(text_col: str, k: int) -> str:
+    words = f"str_split({text_col}, ' ')"
+    return (
+        f"case when len({words}) < {k} then [] "
+        f"else list_transform(range(0, len({words}) - {k} + 1), "
+        f"i -> array_to_string({words}[i + 1 : i + {k}], ' ')) end"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle: int = 5,
+) -> DataFrame:
+    """(id, sig array<string>[k]) — sig_i = min over shingles of
+    md5('{i}:' || shingle). Row-local, no shuffle."""
+    sh = _spark_shingles(text_col, shingle)
+    sig = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(_sh, s -> md5('{i}:' || s)))" for i in range(k)
+        )
+        + ")"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(sh).alias("_sh"))
+        .select(F.col(id_col), F.expr(sig).alias("sig"))
+    )
+
+
+def oracle_minhash_sql(
+    table: str = "documents", k: int = 16, shingle: int = 5
+) -> str:
+    sh = _duck_shingles("text", shingle)
+    sig = ", ".join(
+        f"list_min(list_transform(_sh, s -> md5('{i}:' || s)))" for i in range(k)
+    )
+    return (
+        f"SELECT doc_id, [{sig}] AS sig FROM "
+        f"(SELECT doc_id, {sh} AS _sh FROM {table})"
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band of r=k/bands
+    consecutive signature entries. Output (id_a, id_b) with id_a < id_b,
+    distinct. The band bucket join is the single shuffle."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle)
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                  ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bh")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def oracle_lsh_pairs_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5
+) -> str:
+    r = k // bands
+    inner = oracle_minhash_sql(table, k, shingle)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ") AS bh "
+        f"FROM sigs"
+        for b in range(bands)
+    )
+    return (
+        f"WITH sigs AS ({inner}), banded AS ({band_rows}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM banded a JOIN banded b "
+        "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, word-level)
+
+_SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, simhash bigint) — bit i set iff >half of distinct word hashes
+    have bit i set. Word hash = first 8 md5 hex chars as int (32 bits),
+    identical in DuckDB. Row-local (no explode/shuffle)."""
+    wh = (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    )
+    bits = " + ".join(
+        f"(case when 2 * size(filter(_wh, h -> (shiftright(h, {i}) & 1) = 1)) "
+        f"> size(_wh) then cast({1 << i} as bigint) else 0 end)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(wh).alias("_wh"))
+        .select(F.col(id_col), F.expr(f"({bits})").alias("simhash"))
+    )
+
+
+def oracle_simhash_sql(table: str = "documents") -> str:
+    wh = (
+        "list_transform(list_distinct(str_split(text, ' ')), "
+        "w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    )
+    bits = " + ".join(
+        f"(case when 2 * len(list_filter(_wh, h -> ((h >> {i}) & 1) = 1)) "
+        f"> len(_wh) then {1 << i}::BIGINT else 0 end)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return (
+        f"SELECT doc_id, ({bits}) AS simhash FROM "
+        f"(SELECT doc_id, {wh} AS _wh FROM {table})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard over candidate pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (default: LSH
+    candidates). Output (id_a, id_b, jaccard) for jaccard >= threshold;
+    jaccard rounded to 6 places for cross-engine stability."""
+    if candidates is None:
+        candidates = lsh_candidate_pairs(docs, text_col, id_col)
+    sh = _spark_shingles(text_col, n)
+    shingled = docs.select(
+        F.col(id_col), F.array_distinct(F.expr(sh)).alias("sh")
+    )
+    a = shingled.alias("sa")
+    b = shingled.alias("sb")
+    return (
+        candidates.join(a, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(b, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa.sh", "sb.sh"))
+                / F.size(F.array_union("sa.sh", "sb.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def oracle_ngram_jaccard_sql(
+    table: str = "documents", n: int = 3, threshold: float = 0.5,
+    k: int = 16, bands: int = 4, shingle: int = 5,
+) -> str:
+    pairs = oracle_lsh_pairs_sql(table, k, bands, shingle)
+    sh = _duck_shingles("text", n)
+    return (
+        f"WITH pairs AS ({pairs}), "
+        f"shingled AS (SELECT doc_id, list_distinct({sh}) AS sh FROM {table}) "
+        "SELECT id_a, id_b, round("
+        "len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6"
+        ") AS jaccard "
+        "FROM pairs JOIN shingled sa ON pairs.id_a = sa.doc_id "
+        "JOIN shingled sb ON pairs.id_b = sb.doc_id "
+        f"WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) "
+        f">= {threshold}"
+    )

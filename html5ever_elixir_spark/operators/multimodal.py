@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is real and tested; the actual media decode
+is STUBBED behind a deterministic fake because the sandbox has no
+image/audio libraries — swap ``_decode_image_stub`` for a real decoder
+(PIL/ffmpeg) in production and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, mime:string>"
+)
+
+FEATURES_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, sha256 string, "
+    "feature array<float>, decode_error string"
+)
+
+
+def _decode_image_stub(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Deterministic fake 'embedding': byte-histogram folded to n_dims.
+    A real decoder (PIL → resize → model) drops in here; raising
+    NotImplementedError per modality is also acceptable upstream."""
+    if payload is None:
+        raise ValueError("null payload")
+    acc = [0] * n_dims
+    for i, b in enumerate(payload):
+        acc[i % n_dims] += b
+    total = max(sum(acc), 1)
+    return [round(a / total, 6) for a in acc]
+
+
+def extract_media_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
+    """media(media_id, kind, payload, meta) → per-item features.
+
+    mapInPandas with Arrow batches: payloads stay binary end-to-end
+    (no base64/utf8 round trip); one Python call per batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0
+                ),
+                "sha256": pdf["payload"].map(
+                    lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                ),
+            }
+            feats = []
+            errs = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(_decode_image_stub(p, n_dims))
+                    errs.append(None)
+                except Exception as e:  # decode failures are row-level
+                    feats.append(None)
+                    errs.append(str(e))
+            out["feature"] = feats
+            out["decode_error"] = errs
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, FEATURES_SCHEMA)

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design: the baseline is brute-force cosine top-k with the query
+side **broadcast** (queries ≪ corpus; the corpus side streams through
+without a shuffle). The scale path is random-hyperplane LSH bucketing
+(SRP): corpus and queries hash to sign-pattern buckets, the join is on
+bucket id, and only in-bucket pairs are scored — the 100 TB analog of
+an IVF coarse quantizer. All math runs JVM-side via higher-order
+functions (zip_with / aggregate); no Python UDFs.
+
+Cross-engine note: cosine is computed in float64 with sequential
+summation in both engines, but we still ``round(…, 6)`` before any
+compare/output so the DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_COS = (
+    "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(a, cast(0.0 as double), "
+    "(acc, v) -> acc + cast(v as double) * cast(v as double))) * "
+    "sqrt(aggregate(b, cast(0.0 as double), "
+    "(acc, v) -> acc + cast(v as double) * cast(v as double))))"
+)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k: for each of the first ``n_queries`` ids,
+    the k nearest corpus vectors by cosine (self excluded).
+    Output (query_id, neighbor_id, rank, sim)."""
+    queries = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("a")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("b"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def oracle_cosine_topk_sql(
+    table: str = "embeddings", n_queries: int = 10, k: int = 5
+) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS a
+           FROM {table} WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS b FROM {table}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(a, b), 6) AS sim
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def srp_bucket_ann(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via signed-random-projection buckets.
+
+    Hyperplanes are derived deterministically from md5 so the oracle
+    can reproduce them: plane p, dimension d gets weight ±1 by the
+    parity of a hex digit of md5('p:d'). Bucket = bitstring of
+    sign(dot(v, plane)). Join is bucket-equality only (the scale path:
+    candidate set ≪ corpus). Output (query_id, neighbor_id, rank, sim).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    # deterministic ±1 plane weights
+    import hashlib
+
+    def w(p, d):
+        return 1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+    def dot_expr(col, p):
+        terms = " + ".join(
+            f"({w(p, d)}) * cast({col}[{d}] as double)" for d in range(dim)
+        )
+        return f"({terms})"
+
+    bucket = (
+        "concat("
+        + ", ".join(
+            f"case when {dot_expr(vec_col, p)} >= 0 then '1' else '0' end"
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+    hashed = emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket).alias("bucket")
+    )
+    queries = hashed.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("a"),
+        F.col("bucket").alias("qb"),
+    )
+    corpus = hashed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("b"),
+        F.col("bucket"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("qb") == F.col("bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS), 6).alias("sim"))
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
+    (the skew-safe join key at scale). Output (id_a, id_b, sim)."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("b"),
+        F.col(block_col).alias("blk2"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(F.expr(_COS), 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def oracle_neardup_sql(table: str = "embeddings", threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim
+FROM {table} a JOIN {table} b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) >= {threshold}
+"""

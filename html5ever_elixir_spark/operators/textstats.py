@@ -1,0 +1,138 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All JVM-side built-ins (codegen'd,
+row-local, zero shuffle) with DuckDB oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small deterministic stopword marker lists (heuristic language-ID)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "es": ["el", "la", "de", "que", "los", "por", "con", "una"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "von", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+}
+
+_TOKEN_RE = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"  # BPE-ish: word chunks + punct marks
+
+
+def _arr(words):
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _lst(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Whitespace word count + BPE-ish regex token count."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), " +")).alias("n_words"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{_TOKEN_RE}', 0))").alias(
+            "n_tokens"
+        ),
+    )
+
+
+def oracle_token_count_sql(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS n_words, "
+        f"len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens FROM {table}"
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic quality features: length, mean word length, stopword
+    ratio, alpha ratio — rounded to 6 places for cross-engine hashing."""
+    words = f"split({text_col}, ' ')"
+    stop = _arr(LANG_MARKERS["en"])
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(
+            f"round(cast(aggregate({words}, 0, (a, w) -> a + length(w)) "
+            f"as double) / size({words}), 6)"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"round(cast(size(filter({words}, w -> array_contains({stop}, w))) "
+            f"as double) / size({words}), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"round(cast(length(regexp_replace({text_col}, '[^a-z]', '')) "
+            f"as double) / length({text_col}), 6)"
+        ).alias("alpha_ratio"),
+    )
+
+
+def oracle_quality_sql(table: str = "documents") -> str:
+    stop = _lst(LANG_MARKERS["en"])
+    w = "str_split(text, ' ')"
+    return (
+        "SELECT doc_id, length(text) AS n_chars, "
+        f"len({w}) AS n_words, "
+        f"round(list_sum(list_transform({w}, w -> length(w))) * 1.0 "
+        f"/ len({w}), 6) AS mean_word_len, "
+        f"round(len(list_filter({w}, w -> list_contains({stop}, w))) * 1.0 "
+        f"/ len({w}), 6) AS stopword_ratio, "
+        "round(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 "
+        f"/ length(text), 6) AS alpha_ratio FROM {table}"
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Heuristic n-gram/stopword language-ID: count marker-word hits per
+    language, argmax with fixed priority order (en > es > de > fr >
+    'und' for undetermined)."""
+    words = f"split({text_col}, ' ')"
+    hits = {
+        lang: f"size(filter({words}, w -> array_contains({_arr(ws)}, w)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    expr = (
+        f"case when {hits['en']} >= greatest({hits['es']}, {hits['de']}, "
+        f"{hits['fr']}) and {hits['en']} > 0 then 'en' "
+        f"when {hits['es']} >= greatest({hits['de']}, {hits['fr']}) "
+        f"and {hits['es']} > 0 then 'es' "
+        f"when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de' "
+        f"when {hits['fr']} > 0 then 'fr' else 'und' end"
+    )
+    return docs.select(F.col(id_col), F.expr(expr).alias("lang_pred"))
+
+
+def oracle_lang_id_sql(table: str = "documents") -> str:
+    w = "str_split(text, ' ')"
+    hits = {
+        lang: f"len(list_filter({w}, w -> list_contains({_lst(ws)}, w)))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    return (
+        f"SELECT doc_id, case when {hits['en']} >= greatest({hits['es']}, "
+        f"{hits['de']}, {hits['fr']}) and {hits['en']} > 0 then 'en' "
+        f"when {hits['es']} >= greatest({hits['de']}, {hits['fr']}) "
+        f"and {hits['es']} > 0 then 'es' "
+        f"when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de' "
+        f"when {hits['fr']} > 0 then 'fr' else 'und' end AS lang_pred "
+        f"FROM {table}"
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Stable 64-bit-ish document fingerprint: md5 of
+    whitespace-normalized text, first 16 hex chars."""
+    norm = f"trim(regexp_replace({text_col}, '[ \t\n\r\f]+', ' '))"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"substring(md5({norm}), 1, 16)").alias("fp"),
+    )
+
+
+def oracle_fingerprint_sql(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, substr(md5(trim(regexp_replace(text, "
+        f"'[ \t\n\r\f]+', ' ', 'g'))), 1, 16) AS fp FROM {table}"
+    )
