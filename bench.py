@@ -1,0 +1,117 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ..., ...}
+
+The headline is end-to-end HTML extraction throughput (docs/sec):
+pages are templated from the documents table with an 8× replication
+multiplier (≈40k docs at sf0.1) so the Python parse stage dominates,
+then parsed + extracted and written to a noop sink (no driver
+collect). Other entries time the flat-node explode, MinHash-LSH dedup,
+ANN top-k, and the relational agg/window paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from html5ever_elixir_spark.operators import dedup, relational, similarity  # noqa: E402
+from html5ever_elixir_spark.operators.parse import (  # noqa: E402
+    flat_parse_nodes,
+    parse_and_extract,
+)
+from html5ever_elixir_spark.session import get_spark  # noqa: E402
+from html5ever_elixir_spark.sources.pages import pages_from_documents  # noqa: E402
+
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+
+
+def replicated_pages(spark, sf_dir: str, factor: int):
+    """pages × factor with distinct urls/doc_ids (JVM-side explode)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+        .withColumn("url", F.concat_ws("#", "url", "rep"))
+        .drop("rep")
+    )
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_suite(spark, sf_dir: str):
+    pages = replicated_pages(spark, sf_dir, REPLICATE)
+    n_docs = pages.count()
+    # warmup: spin up python workers + codegen on a tiny slice
+    _noop(parse_and_extract(pages.limit(64)))
+
+    timings = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed("extract_pipeline", lambda: _noop(
+        parse_and_extract(
+            pages.repartition(spark.sparkContext.defaultParallelism * 2,
+                              F.xxhash64("url"))
+        )
+    ))
+    # single-file local parquet = one input split; real corpora arrive in
+    # thousands of splits, so spread row-local compute across cores here
+    par = spark.sparkContext.defaultParallelism * 2
+    timed("flat_nodes_histogram", lambda: _noop(
+        flat_parse_nodes(pages.limit(n_docs // 4).repartition(par))
+        .groupBy("type").agg(F.count("*").alias("n"))
+    ))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    timed("dedup_lsh_pairs", lambda: _noop(dedup.lsh_candidate_pairs(docs)))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
+    timed("ann_cosine_topk", lambda: _noop(
+        similarity.cosine_topk(emb, n_queries=20, k=10)
+    ))
+    timed("agg_pricing_summary", lambda: _noop(
+        relational.pricing_summary(relational.load(spark, sf_dir, "lineitem"))
+    ))
+    timed("window_latest_event", lambda: _noop(
+        relational.latest_event_per_user(relational.load(spark, sf_dir, "events"))
+    ))
+    return n_docs, timings
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_docs, timings = run_suite(spark, sf_dir)
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["extract_pipeline"], 1)
+    out = {
+        "metric": "headline suite wall time (extract+nodes+dedup+ann+agg+window)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_docs": n_docs,
+        "docs_per_sec_extract": docs_per_sec,
+        "cpus": cpus,
+        "replicate": REPLICATE,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
