@@ -1,0 +1,172 @@
+"""End-to-end extraction pipeline (the north-rule job):
+
+pages → html-not-null filter → latest-capture-per-url dedup (window on
+warc_ts) → url-hash bucketing → per-bucket-group parse+extract →
+extracted/nodes parquet + per-group lineage rows + per-host metrics —
+**resumable**: completed bucket groups are recorded in a lineage
+manifest and skipped on restart.
+
+Scale notes (how this behaves at 10^12 docs / 1000 executors):
+
+* Resume granularity is a *bucket group* (contiguous range of url-hash
+  buckets). Each group is one Spark job whose output commit is atomic
+  (parquet _SUCCESS); a killed run restarts at the first incomplete
+  group. On a real crawl the input is partition-pruned per group
+  (crawl-date / warc file), so a group re-scan touches only its slice.
+* The latest-capture window shuffles on url — the same key the buckets
+  use, so AQE can reuse/align exchanges. Parse itself is a narrow map.
+* Per-host metrics use **two-phase salted aggregation**: hot hosts (a
+  CDN owning 30% of the crawl) would otherwise funnel into one reducer;
+  the salt splits each host into SALT partial groups which are then
+  re-aggregated — bounded skew at any corpus shape.
+* Oversized documents are bounded by the Arrow batch cap
+  (maxRecordsPerBatch, session.py), not by salting: parse cost is
+  row-local so a 100×-median doc only lengthens its own batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_and_extract
+
+SALT = 16
+
+
+def dedup_latest_capture(pages: DataFrame) -> DataFrame:
+    """Keep the newest warc_ts capture per url."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    return pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def host_metrics(parsed_with_host: DataFrame) -> DataFrame:
+    """Per-host doc/byte/error counts via two-phase salted aggregation
+    (skew-safe: a host owning 30% of rows spreads over SALT reducers)."""
+    salted = parsed_with_host.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(SALT))
+    )
+    partial = salted.groupBy("host", "_salt").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+        F.sum(F.coalesce(F.col("n_text_chars"), F.lit(0))).alias("text_chars"),
+        F.sum(F.coalesce(F.col("n_nodes"), F.lit(0))).alias("nodes"),
+    )
+    return (
+        partial.groupBy("host")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_errors").alias("n_errors"),
+            F.sum("text_chars").alias("text_chars"),
+            F.sum("nodes").alias("nodes"),
+        )
+    )
+
+
+def _lineage_path(output_dir: str) -> str:
+    return os.path.join(output_dir, "_lineage")
+
+
+def completed_groups(output_dir: str) -> set[int]:
+    path = _lineage_path(output_dir)
+    done = set()
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("group-") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(path, name)) as f:
+                        rec = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    # unreadable record (crash mid-write, disk fault) —
+                    # treat the group as incomplete and re-run it
+                    continue
+                if rec.get("status") == "complete":
+                    done.add(rec["group"])
+    return done
+
+
+def run_extraction_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str,
+    n_buckets: int = 64,
+    n_groups: int = 4,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline. Returns a summary dict.
+
+    Output layout:
+      {output_dir}/extracted/group=G/   parquet (url, error, text, …)
+      {output_dir}/metrics/host_metrics parquet
+      {output_dir}/_lineage/group-G.json  per-group lineage record
+    """
+    os.makedirs(_lineage_path(output_dir), exist_ok=True)
+    assert n_buckets % n_groups == 0
+    per_group = n_buckets // n_groups
+
+    deduped = with_bucket(dedup_latest_capture(pages.where(F.col("html").isNotNull())), n_buckets)
+
+    done = completed_groups(output_dir) if resume else set()
+    ran = []
+    for g in range(n_groups):
+        if g in done:
+            continue
+        lo, hi = g * per_group, (g + 1) * per_group
+        t0 = time.time()
+        slice_df = deduped.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+        parsed = parse_and_extract(slice_df).withColumn(
+            "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+        )
+        out_path = os.path.join(output_dir, "extracted", f"group={g}")
+        parsed.write.mode("overwrite").parquet(out_path)
+        # lineage from the written output (exactly what was committed)
+        written = spark.read.parquet(out_path)
+        stats = written.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.sum(F.coalesce(F.col("n_nodes"), F.lit(0))).alias("n_nodes"),
+        ).collect()[0]
+        rec = {
+            "group": g,
+            "buckets": [lo, hi],
+            "status": "complete",
+            "n_docs": stats["n_docs"],
+            "n_errors": stats["n_errors"],
+            "n_nodes": stats["n_nodes"],
+            "wall_sec": round(time.time() - t0, 2),
+            "extract_version": "1",
+        }
+        tmp = os.path.join(_lineage_path(output_dir), f"group-{g}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, os.path.join(_lineage_path(output_dir), f"group-{g}.json"))
+        ran.append(g)
+
+    # per-host metrics over everything extracted so far (salted agg)
+    all_extracted = spark.read.parquet(os.path.join(output_dir, "extracted"))
+    host_metrics(all_extracted).write.mode("overwrite").parquet(
+        os.path.join(output_dir, "metrics", "host_metrics")
+    )
+    return {
+        "groups_run": ran,
+        "groups_skipped": sorted(done),
+        "total_docs": spark.read.parquet(
+            os.path.join(output_dir, "extracted")
+        ).count(),
+    }
