@@ -351,6 +351,17 @@ class Tokenizer:
         if "\x00" in name:
             name = name.replace("\x00", "�")
         p = q
+        # fast path: attribute-less tag (`<p>`, `</div>`, …) — the
+        # overwhelmingly common case on tag-dense pages
+        if q < n and s[q] == ">":
+            self.p = q + 1
+            self.state = DATA
+            if is_start:
+                self.last_start = name
+                self._emit(("start", name, [], False))
+            else:
+                self._emit(("end", name))
+            return
         attrs: list[list[str]] = []
         seen: set[str] = set()
         self_closing = False

@@ -455,24 +455,28 @@ class TreeBuilder:
     # -- active formatting elements ----------------------------------------------
 
     def _push_afe(self, el: Node, tok) -> None:
-        # Noah's Ark clause: max 3 identical entries since the last marker
-        count = 0
-        attrs_key = frozenset((n, v) for n, v in el.attrs)
-        earliest = None
+        # Noah's Ark clause: max 3 identical entries since the last marker.
+        # Cheap name-only pre-count first — attr frozensets are built only
+        # when 3+ same-name candidates exist (rare outside <font> soup).
+        candidates = []
         for i in range(len(self.afe) - 1, -1, -1):
             entry = self.afe[i]
             if entry is MARKER:
                 break
             cand = entry[0]
-            if (
-                cand.name == el.name
-                and cand.namespace == el.namespace
-                and frozenset((n, v) for n, v in cand.attrs) == attrs_key
-            ):
-                count += 1
-                earliest = i
-        if count >= 3:
-            del self.afe[earliest]
+            if cand.name == el.name and cand.namespace == el.namespace:
+                candidates.append(i)
+        if len(candidates) >= 3:
+            attrs_key = frozenset((n, v) for n, v in el.attrs)
+            count = 0
+            earliest = None
+            for i in candidates:  # descending index order
+                cand = self.afe[i][0]
+                if frozenset((n, v) for n, v in cand.attrs) == attrs_key:
+                    count += 1
+                    earliest = i
+            if count >= 3:
+                del self.afe[earliest]
         self.afe.append([el, tok])
 
     def _afe_index_of(self, node: Node):
@@ -934,8 +938,101 @@ class TreeBuilder:
             return self._in_body_start(tok)
         return self._in_body_end(tok)
 
+    # -- hot-tag fast handlers (dispatched via _HOT_START/_HOT_END; the
+    # tag sets are disjoint so pulling them ahead of the elif chain is
+    # semantics-preserving — it only skips dead membership tests) -------
+
+    def _sb_block(self, tok):
+        if self._has_in_scope("p", _SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(tok)
+        return None
+
+    def _sb_a(self, tok):
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is MARKER:
+                break
+            if e[0].name == "a":
+                self.parse_errors += 1
+                self._adoption_agency(("end", "a"))
+                j = self._afe_index_of(e[0])
+                if j is not None:
+                    del self.afe[j]
+                for k in range(len(self.open) - 1, -1, -1):
+                    if self.open[k] is e[0]:
+                        del self.open[k]
+                        break
+                break
+        self._reconstruct_afe()
+        el = self._insert_element(tok)
+        self._push_afe(el, tok)
+        return None
+
+    def _sb_formatting(self, tok):
+        self._reconstruct_afe()
+        el = self._insert_element(tok)
+        self._push_afe(el, tok)
+        return None
+
+    def _sb_void(self, tok):
+        self._reconstruct_afe()
+        self._insert_element(tok)
+        self.open.pop()
+        self.frameset_ok = False
+        return None
+
+    def _sb_li(self, tok):
+        self.frameset_ok = False
+        for node in reversed(self.open):
+            if node.namespace == HTML_NS and node.name == "li":
+                self._generate_implied(exclude="li")
+                if not (
+                    self.open[-1].namespace == HTML_NS
+                    and self.open[-1].name == "li"
+                ):
+                    self.parse_errors += 1
+                self._pop_until_popped("li")
+                break
+            if self._is_special(node) and not (
+                node.namespace == HTML_NS
+                and node.name in ("address", "div", "p")
+            ):
+                break
+        if self._has_in_scope("p", _SCOPE_BUTTON):
+            self._close_p()
+        self._insert_element(tok)
+        return None
+
+    def _eb_block(self, tok):
+        name = tok[1]
+        if not self._has_in_scope(name):
+            self.parse_errors += 1
+            return None
+        self._generate_implied()
+        if not (
+            self.open[-1].namespace == HTML_NS and self.open[-1].name == name
+        ):
+            self.parse_errors += 1
+        self._pop_until_popped(name)
+        return None
+
+    def _eb_p(self, tok):
+        if not self._has_in_scope("p", _SCOPE_BUTTON):
+            self.parse_errors += 1
+            self._insert_phantom("p")
+        self._close_p()
+        return None
+
+    def _eb_br(self, tok):
+        self.parse_errors += 1
+        return ("start", "br", [], False)
+
     def _in_body_start(self, tok):
         name = tok[1]
+        h = _HOT_START.get(name)
+        if h is not None:
+            return h(self, tok)
         if name == "html":
             self.parse_errors += 1
             if any(
@@ -1224,6 +1321,9 @@ class TreeBuilder:
 
     def _in_body_end(self, tok):
         name = tok[1]
+        h = _HOT_END.get(name)
+        if h is not None:
+            return h(self, tok)
         if name == "body":
             if not self._has_in_scope("body"):
                 self.parse_errors += 1
@@ -2222,6 +2322,37 @@ def _sniff_quirks(name, public, system, force_quirks) -> str:
         return "quirks"
     return "no-quirks"
 
+
+# hot-tag dispatch tables (built after the class so methods exist).
+# Values are plain functions taking (self, tok); sets are disjoint from
+# each other and semantics-identical to the elif chain they bypass.
+_HOT_START = {
+    "a": TreeBuilder._sb_a,
+    "li": TreeBuilder._sb_li,
+}
+for _t in ("div", "p", "center", "blockquote", "section", "article",
+           "aside", "nav", "footer", "header", "main", "ul", "ol", "dl",
+           "details", "figure", "figcaption", "menu", "summary",
+           "fieldset", "dir", "hgroup", "dialog"):
+    _HOT_START[_t] = TreeBuilder._sb_block
+for _t in ("b", "big", "code", "em", "font", "i", "s", "small", "strike",
+           "strong", "tt", "u"):
+    _HOT_START[_t] = TreeBuilder._sb_formatting
+for _t in ("br", "img", "area", "embed", "keygen", "wbr"):
+    _HOT_START[_t] = TreeBuilder._sb_void
+
+_HOT_END = {
+    "p": TreeBuilder._eb_p,
+    "br": TreeBuilder._eb_br,
+}
+for _t in ("a", "b", "big", "code", "em", "font", "i", "nobr", "s",
+           "small", "strike", "strong", "tt", "u"):
+    _HOT_END[_t] = TreeBuilder._adoption_agency
+for _t in ("div", "center", "blockquote", "section", "article", "aside",
+           "nav", "footer", "header", "main", "ul", "ol", "dl", "details",
+           "figure", "figcaption", "menu", "summary", "fieldset", "dir",
+           "hgroup", "dialog", "address"):
+    _HOT_END[_t] = TreeBuilder._eb_block
 
 _MODE_DISPATCH = {
     M_INITIAL: TreeBuilder._h_initial,

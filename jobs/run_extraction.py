@@ -1,0 +1,53 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+Cluster usage (north rule: multi-executor, --py-files deployment):
+
+    python tools/package.py   # builds dist/html5ever_elixir_spark.zip
+    spark-submit \
+      --master <cluster> \
+      --py-files dist/html5ever_elixir_spark.zip \
+      jobs/run_extraction.py \
+      --input  <pages parquet/iceberg path> \
+      --output <output dir> \
+      --buckets 4096 --groups 64
+
+Resumable: re-submitting with the same --output skips completed bucket
+groups (lineage manifest). Sandbox smoke: --master local[8].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--groups", type=int, default=4)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from html5ever_elixir_spark.plans.pipeline import run_extraction_pipeline
+
+    spark = SparkSession.builder.appName("h5s-extraction").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    pages = spark.read.parquet(args.input)
+    summary = run_extraction_pipeline(
+        spark,
+        pages,
+        args.output,
+        n_buckets=args.buckets,
+        n_groups=args.groups,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

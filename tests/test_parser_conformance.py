@@ -1,0 +1,202 @@
+"""Spec-conformance regression tests for adversarial constructs
+(adoption agency, foster parenting, entities, script escapes, table
+synthesis). Expected trees verified against WHATWG-spec/browser
+behavior at introduction time; these lock the behavior down."""
+
+from html5ever_elixir_spark.parser import parse
+
+
+def body(tree):
+    # tree = [("html", [], [head, body, ...])]
+    html = next(n for n in tree if isinstance(n, tuple) and n[0] == "html")
+    return next(n for n in html[2] if isinstance(n, tuple) and n[0] == "body")
+
+
+def test_adoption_agency_misnested_b_i():
+    ok, tree = parse("<p>1<b>2<i>3</b>4</i>5</p>")
+    assert body(tree)[2] == [
+        ("p", [], ["1", ("b", [], ["2", ("i", [], ["3"])]),
+                   ("i", [], ["4"]), "5"])
+    ]
+
+
+def test_adoption_agency_a_across_divs():
+    ok, tree = parse("<a href=x>1<div>2<div>3</a>4</div></div>")
+    assert body(tree)[2] == [
+        ("a", [("href", "x")], ["1"]),
+        ("div", [], [
+            ("a", [("href", "x")], ["2"]),
+            ("div", [], [("a", [("href", "x")], ["3"]), "4"]),
+        ]),
+    ]
+
+
+def test_formatting_reconstruction_across_p():
+    ok, tree = parse("<b><p>one</b>two")
+    assert body(tree)[2] == [
+        ("b", [], []),
+        ("p", [], [("b", [], ["one"]), "two"]),
+    ]
+
+
+def test_foster_parented_text_before_table():
+    ok, tree = parse("<table><tr><td>cell</td></tr>foster</table>")
+    assert body(tree)[2] == [
+        "foster",
+        ("table", [], [("tbody", [], [("tr", [], [("td", [], ["cell"])])])]),
+    ]
+
+
+def test_foster_parented_element():
+    ok, tree = parse("<table><div>oops</div><tr><td>x</td></tr></table>")
+    assert body(tree)[2] == [
+        ("div", [], ["oops"]),
+        ("table", [], [("tbody", [], [("tr", [], [("td", [], ["x"])])])]),
+    ]
+
+
+def test_implied_tbody_tr_td():
+    ok, tree = parse("<table><td>a<td>b")
+    assert body(tree)[2] == [
+        ("table", [], [("tbody", [], [
+            ("tr", [], [("td", [], ["a"]), ("td", [], ["b"])])
+        ])]),
+    ]
+
+
+def test_li_auto_close():
+    ok, tree = parse("<ul><li>a<li>b</ul>")
+    assert body(tree)[2] == [
+        ("ul", [], [("li", [], ["a"]), ("li", [], ["b"])]),
+    ]
+
+
+def test_entities_and_numeric_refs():
+    ok, tree = parse("<p>&amp; &lt;tag&gt; &copy; &notin; &#65; &#x42; &ampy</p>")
+    assert body(tree)[2] == [("p", [], ["& <tag> © ∉ A B &y"])]
+
+
+def test_legacy_entity_in_attr_not_expanded_before_equals():
+    ok, tree = parse("<p title='&amp=1'>x</p>")
+    assert body(tree)[2] == [("p", [("title", "&amp=1")], ["x"])]
+
+
+def test_script_double_escape():
+    ok, tree = parse(
+        "<script><!-- document.write('<script>x</scr'+'ipt>') --></script>"
+        "<p>after</p>"
+    )
+    html = tree[0]
+    head = html[2][0]
+    assert head == ("head", [], [
+        ("script", [], ["<!-- document.write('<script>x</scr'+'ipt>') -->"])
+    ])
+    assert body(tree)[2] == [("p", [], ["after"])]
+
+
+def test_rcdata_title_keeps_raw_markupish_text():
+    ok, tree = parse("<title>a < b & c</title>")
+    head = tree[0][2][0]
+    assert head == ("head", [], [("title", [], ["a < b & c"])])
+
+
+def test_textarea_leading_newline_skipped():
+    ok, tree = parse("<textarea>\nfirst</textarea>")
+    assert body(tree)[2] == [("textarea", [], ["first"])]
+
+
+def test_select_option_auto_close():
+    ok, tree = parse("<select><option>a<option>b</select>")
+    assert body(tree)[2] == [
+        ("select", [], [("option", [], ["a"]), ("option", [], ["b"])]),
+    ]
+
+
+def test_svg_with_foreign_object_html_island():
+    ok, tree = parse(
+        '<svg viewBox="0 0 1 1"><circle r=1 /><foreignObject><p>h</p>'
+        "</foreignObject></svg>"
+    )
+    assert body(tree)[2] == [
+        ("svg", [("viewBox", "0 0 1 1")], [
+            ("circle", [("r", "1")], []),
+            ("foreignObject", [], [("p", [], ["h"])]),
+        ]),
+    ]
+
+
+def test_mathml_annotation_xml_html_integration():
+    ok, tree = parse(
+        "<math><mi>x</mi><annotation-xml encoding='text/html'><p>h</p>"
+        "</annotation-xml></math>"
+    )
+    assert body(tree)[2] == [
+        ("math", [], [
+            ("mi", [], ["x"]),
+            ("annotation-xml", [("encoding", "text/html")],
+             [("p", [], ["h"])]),
+        ]),
+    ]
+
+
+def test_svg_breakout_to_html():
+    # <p> inside raw svg (not an integration point) breaks out
+    ok, tree = parse("<svg><rect/><p>broke out</p>")
+    assert body(tree)[2] == [
+        ("svg", [], [("rect", [], [])]),
+        ("p", [], ["broke out"]),
+    ]
+
+
+def test_eof_in_comment_emits_comment():
+    ok, tree = parse("<!-- unterminated")
+    assert tree[0] == ("comment", " unterminated")
+
+
+def test_abrupt_comment_close():
+    ok, tree = parse("<p>a<!--->b")
+    assert body(tree)[2] == [("p", [], ["a", ("comment", ""), "b"])]
+
+
+def test_p_closed_by_div():
+    ok, tree = parse("<div><p>para<div>sib")
+    assert body(tree)[2] == [
+        ("div", [], [("p", [], ["para"]), ("div", [], ["sib"])]),
+    ]
+
+
+def test_nul_ignored_in_body_replaced_in_foreign():
+    ok, tree = parse("<p>a\x00b</p>")
+    assert body(tree)[2] == [("p", [], ["ab"])]
+
+
+def test_duplicate_html_attrs_merged_first_wins():
+    ok, tree = parse('<html lang="a"><head></head><body></body></html><html lang="b" dir="x">')
+    html = tree[0]
+    assert html[1] == [("lang", "a"), ("dir", "x")]
+
+
+def test_frameset_document():
+    ok, tree = parse(
+        "<frameset cols='50%,50%'><frame src=a><frame src=b></frameset>"
+    )
+    html = tree[0]
+    fs = html[2][1]
+    assert fs[0] == "frameset"
+    assert [c[0] for c in fs[2]] == ["frame", "frame"]
+
+
+def test_noahs_ark_font_soup():
+    # 4 identical <font> opens: only 3 reconstructed after the text
+    ok, tree = parse("<p><font>a<font>b<font>c<font>d</p><p>tail")
+    p2 = body(tree)[2][1]
+    depth = 0
+    node = p2
+    while node[0] == "p" or node[0] == "font":
+        kids = [c for c in node[2] if isinstance(c, tuple)]
+        if not kids:
+            break
+        node = kids[0]
+        if node[0] == "font":
+            depth += 1
+    assert depth == 3

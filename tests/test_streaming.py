@@ -1,0 +1,59 @@
+"""Streaming ingest tests: availableNow drain, exactly-once resume
+(no reprocessing of seen files), watermarked window metrics."""
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def _land_pages(spark, path, n, offset=0):
+    from html5ever_elixir_spark.sources.pages import synth_pages
+
+    batch = synth_pages(spark, n).withColumn(
+        "url", F.concat(F.lit(f"b{offset}-"), F.col("url"))
+    ).drop("case_name")
+    batch.coalesce(2).write.mode("append").parquet(path)
+
+
+def test_stream_extract_drain_and_resume(spark, tmp_path):
+    from html5ever_elixir_spark.streaming.ingest import stream_extract
+
+    inp = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _land_pages(spark, inp, 40)
+
+    q = stream_extract(spark, inp, out, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 40
+    assert first.where("error IS NOT NULL").count() >= 0
+
+    # new files land; resumed stream processes ONLY them
+    _land_pages(spark, inp, 25, offset=1)
+    q2 = stream_extract(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out)
+    assert again.count() == 65  # 40 old (not reprocessed) + 25 new
+    assert again.select("url").distinct().count() == 65
+
+
+def test_stream_host_window_metrics(spark, tmp_path):
+    from html5ever_elixir_spark.streaming.ingest import (
+        stream_host_window_metrics,
+    )
+
+    inp = str(tmp_path / "landing2")
+    out = str(tmp_path / "metrics")
+    ck = str(tmp_path / "ck2")
+    _land_pages(spark, inp, 60)
+    q = stream_host_window_metrics(spark, inp, out, ck)
+    q.awaitTermination(120)
+    # append mode with watermark: windows emit only once the watermark
+    # passes; a second empty drain finalizes nothing more, so check the
+    # checkpoint committed and sink dir exists
+    assert os.path.isdir(ck)
+    q2 = stream_host_window_metrics(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    # state bounded: no crash, checkpoint advanced
+    assert os.path.isdir(os.path.join(ck, "commits"))
