@@ -99,6 +99,31 @@ def _q_html_attrs_by_tag(spark, sf_dir):
     )
 
 
+def _q_html_tree_json(spark, sf_dir):
+    # the nested tuple-tree encoding (reference parse/1) as the canonical
+    # JSON column, byte-compared against a SQL-reconstructed expected
+    pages = _pages(spark, sf_dir)
+    from html5ever_elixir_spark.operators.parse import parse_and_extract
+
+    return parse_and_extract(pages, with_tree_json=True).select(
+        "url", "tree_json"
+    )
+
+
+def _q_html_text_nodes(spark, sf_dir):
+    # per-url text-node count + decoded character count (validates
+    # entity decoding and text-node collapse inside contents)
+    nodes = flat_parse_nodes(_pages(spark, sf_dir))
+    return (
+        nodes.where(F.col("type") == "text")
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_text_nodes"),
+            F.sum(F.length("contents")).alias("text_chars"),
+        )
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -193,6 +218,8 @@ def _q_event_stats(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HTML engine (parse + extract, end-to-end vs SQL-reconstructed oracle)
+        "html_tree_json": _q_html_tree_json,
+        "html_text_nodes": _q_html_text_nodes,
         "html_extract_text": _q_html_extract,
         "html_titles": _q_html_titles,
         "html_links": _q_html_links,
@@ -224,6 +251,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # byte-exact nested-tree JSON, reconstructed in SQL from the
+        # template structure (validates the full canonical encoder)
+        "html_tree_json": """
+WITH base AS (SELECT doc_id AS d, cast(doc_id AS string) AS ds, text AS t
+              FROM documents)
+SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
+         AS url,
+  '["#doc",[["d","html","",""],["e","html",[],[["e","head",[],'
+  || '[["e","title",[],["Doc ' || ds || '"]],["e","style",[],'
+  || '["p{color:red}"]]]],["e","body",[],[["e","h1",[],["Title ' || ds
+  || '"]]'
+  || case when d % 3 = 0 then ',["c"," c' || ds || ' "]' else '' end
+  || ',["e","div",[["class","content"]],[["e","p",[],["' || t || '"]]'
+  || case when d % 5 = 0
+       then ',["e","p",[],["extra & ' || ds || '"]]' else '' end
+  || ']],["e","div",[["class","nav"]],[["e","a",[["href","/p/'
+  || cast(d + 1 as string) || '"]],["next"]]," ",["e","a",[["href","/p/'
+  || cast(d + 2 as string) || '"]],["more"]]]],["e","footer",[],'
+  || '["copyright host"]]]]]]]]' AS tree_json
+FROM base
+""",
+        # text-node count + decoded char count per url (entity decode +
+        # collapse validated through the flat nodes table)
+        "html_text_nodes": """
+WITH base AS (SELECT doc_id AS d, cast(doc_id AS string) AS ds, text AS t
+              FROM documents)
+SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
+         AS url,
+       (8 + case when d % 5 = 0 then 1 else 0 end)::BIGINT AS n_text_nodes,
+       (45 + 2 * length(ds) + length(t)
+        + case when d % 5 = 0 then 8 + length(ds) else 0 end)::BIGINT
+         AS text_chars
+FROM base
+""",
         "html_extract_text": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
         "html_titles": (
             f"WITH {_DUCK_PAGES} SELECT url, 'Doc ' || cast(doc_id as string) "
