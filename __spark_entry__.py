@@ -337,7 +337,9 @@ SELECT * FROM (
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
         "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),
-        # ann_srp_bucket: deterministic but plane SQL is huge — rows-only check
+        # same md5-derived hyperplanes inlined as constants (dim=64 fixed
+        # by the embeddings table)
+        "ann_srp_bucket": similarity.oracle_srp_sql(),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_quality": textstats.oracle_quality_sql(),

@@ -144,6 +144,55 @@ def srp_bucket_ann(
     )
 
 
+def _srp_weight(p: int, d: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+def oracle_srp_sql(
+    table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of srp_bucket_ann: identical md5-derived ±1 plane
+    weights inlined as constants (1-based list indexing)."""
+
+    def dot(p):
+        return " + ".join(
+            f"({_srp_weight(p, d)}) * embedding[{d + 1}]::DOUBLE"
+            for d in range(dim)
+        )
+
+    bucket = " || ".join(
+        f"case when ({dot(p)}) >= 0 then '1' else '0' end"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket FROM {table}
+),
+q AS (SELECT vec_id AS query_id, v AS a, bucket AS qb FROM hashed
+      WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS neighbor_id, v AS b, bucket FROM hashed),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(a, b), 6) AS sim
+  FROM q JOIN c ON qb = bucket AND query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {k}
+"""
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
