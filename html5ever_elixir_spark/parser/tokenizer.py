@@ -33,7 +33,15 @@ them); we count them into ``self.parse_errors``.
 
 from __future__ import annotations
 
+import re
+
 from html.entities import html5 as _ENTITIES
+
+# C-speed scans for the hot per-tag loops (semantics identical to the
+# character loops they replace)
+_TAG_NAME_RE = re.compile(r"[^\t\n\x0c />]+")
+_ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
+_WS_RE = re.compile(r"[\t\n\x0c ]+")
 
 # ---------------------------------------------------------------------------
 # constants
@@ -344,9 +352,8 @@ class Tokenizer:
         s, n = self.s, self.n
         p = self.p
         # tag name
-        q = p
-        while q < n and s[q] not in _TAG_NAME_END:
-            q += 1
+        m = _TAG_NAME_RE.match(s, p)
+        q = m.end() if m else p
         name = s[p:q].lower()
         if "\x00" in name:
             name = name.replace("\x00", "�")
@@ -367,8 +374,9 @@ class Tokenizer:
         self_closing = False
         while True:
             # before attribute name
-            while p < n and s[p] in _WS_SET:
-                p += 1
+            mw = _WS_RE.match(s, p)
+            if mw:
+                p = mw.end()
             if p >= n:
                 self.p = n
                 return  # eof-in-tag: token dropped
@@ -389,15 +397,17 @@ class Tokenizer:
             if s[q] == "=":  # unexpected-equals-sign-before-attribute-name
                 self.parse_errors += 1
                 q += 1
-            while q < n and s[q] not in _ATTR_NAME_END:
-                q += 1
+            ma = _ATTR_NAME_RE.match(s, q)
+            if ma:
+                q = ma.end()
             aname = s[p:q].lower()
             if "\x00" in aname:
                 aname = aname.replace("\x00", "�")
             p = q
             # after attribute name
-            while p < n and s[p] in _WS_SET:
-                p += 1
+            mw = _WS_RE.match(s, p)
+            if mw:
+                p = mw.end()
             value = ""
             if p < n and s[p] == "=":
                 p += 1

@@ -145,6 +145,21 @@ def main():
         "all_times_local32": [round(t, 3) for t in t32],
     }
     print(json.dumps(result))
+    if os.environ.get("SCALING_APPEND", "1") == "1" and os.path.exists("BENCH.md"):
+        # BENCH.md is a curated multi-run record: append this run's row
+        # under the protocol-runs table instead of rewriting the file
+        stamp = (
+            f"| run ({rounds} pairs) | see JSON | {thr8:,.0f} | {thr32:,.0f} "
+            f"| {eff:.3f} | {', '.join(f'{e:.2f}' for e in effs)} |\n"
+        )
+        with open("BENCH.md") as f:
+            content = f.read()
+        marker = "## Measurement context"
+        if marker in content:
+            head, tail = content.split(marker, 1)
+            with open("BENCH.md", "w") as f:
+                f.write(head.rstrip("\n") + "\n" + stamp + "\n" + marker + tail)
+            return
     md = f"""# BENCH — measured throughput & scaling efficiency
 
 End-to-end extraction job (UTF-8 gate → from-scratch WHATWG HTML5
