@@ -199,6 +199,16 @@ def _q_revenue(spark, sf_dir):
     )
 
 
+def _q_supplier_volume(spark, sf_dir):
+    return relational.supplier_volume_by_nation(
+        relational.load(spark, sf_dir, "lineitem"),
+        relational.load(spark, sf_dir, "supplier"),
+        relational.load(spark, sf_dir, "nation"),
+        relational.load(spark, sf_dir, "region"),
+        relational.load(spark, sf_dir, "part"),
+    )
+
+
 def _q_latest_event(spark, sf_dir):
     return relational.latest_event_per_user(_events(spark, sf_dir))
 
@@ -242,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational categories
         "agg_pricing_summary": _q_pricing,
         "join_revenue_nation": _q_revenue,
+        "join_supplier_volume": _q_supplier_volume,
         "window_latest_event": _q_latest_event,
         "topk_largest_docs": _q_topk_docs,
         "filter_project_docs": _q_filter_project,
@@ -347,6 +358,7 @@ SELECT * FROM (
         "text_fingerprint": textstats.oracle_fingerprint_sql(),
         "agg_pricing_summary": relational.ORACLE_PRICING_SQL,
         "join_revenue_nation": relational.ORACLE_REVENUE_SQL,
+        "join_supplier_volume": relational.ORACLE_SUPPLIER_VOLUME_SQL,
         "window_latest_event": relational.ORACLE_LATEST_EVENT_SQL,
         "topk_largest_docs": relational.oracle_topk_docs_sql(k=100),
         "filter_project_docs": relational.ORACLE_FILTER_SQL,

@@ -115,6 +115,43 @@ def oracle_topk_docs_sql(k: int = 100) -> str:
     )
 
 
+# -- multi-way star join (lineitem ⋈ supplier ⋈ nation ⋈ region ⋈ part) -------------
+
+def supplier_volume_by_nation(li, supplier, nation, region, part):
+    """5-table star: revenue by supplier nation within one region for a
+    part-name family. All dims broadcast; the fact table shuffles only
+    for the final aggregation (Catalyst reorders the dim joins)."""
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where((F.col("r_name") == "ASIA") & F.col("p_name").contains("a"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_name LIKE '%a%'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
 # -- filter/project with pushdown ---------------------------------------------------
 
 def filter_project_docs(docs: DataFrame) -> DataFrame:
