@@ -200,3 +200,40 @@ def test_noahs_ark_font_soup():
         if node[0] == "font":
             depth += 1
     assert depth == 3
+
+
+def test_quirks_mode_table_stays_in_p():
+    # no doctype → quirks → <table> does NOT close an open <p>
+    ok, tree = parse("<p>x<table><td>y")
+    assert body(tree)[2] == [
+        ("p", [], ["x", ("table", [], [("tbody", [], [
+            ("tr", [], [("td", [], ["y"])])
+        ])])]),
+    ]
+
+
+def test_standards_mode_table_closes_p():
+    ok, tree = parse("<!doctype html><p>x<table><td>y")
+    assert body(tree)[2] == [
+        ("p", [], ["x"]),
+        ("table", [], [("tbody", [], [("tr", [], [("td", [], ["y"])])])]),
+    ]
+
+
+def test_doctype_public_and_system_ids():
+    ok, tree = parse(
+        "<!DOCTYPE HTML PUBLIC '-//W3C//DTD HTML 4.01//EN' "
+        "'http://www.w3.org/TR/html4/strict.dtd'><p>a"
+    )
+    assert tree[0] == ("doctype", "html", "-//W3C//DTD HTML 4.01//EN",
+                       "http://www.w3.org/TR/html4/strict.dtd")
+
+
+def test_doctype_system_only():
+    ok, tree = parse("<!doctype html system 'about:legacy-compat'><p>a")
+    assert tree[0] == ("doctype", "html", "", "about:legacy-compat")
+
+
+def test_doctype_empty():
+    ok, tree = parse("<!doctype>")
+    assert tree[0] == ("doctype", "", "", "")
