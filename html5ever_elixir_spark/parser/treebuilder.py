@@ -421,6 +421,21 @@ class TreeBuilder:
         (reference append_common, arena_sink.rs:172-196 — invariant #1)."""
         if not data:
             return
+        if override is None and not self.foster_parenting:
+            # fast path: append into current node (template-aware)
+            target = self.open[-1]
+            if target.name == "template" and target.namespace == HTML_NS:
+                target = target.template_contents
+            children = target.children
+            if children:
+                prev = children[-1]
+                if prev.type == TEXT:
+                    prev.contents += data
+                    return
+            tnode = self._new_node(TEXT)
+            tnode.contents = data
+            target.append_child(tnode)
+            return
         parent, index = self._appropriate_place(override)
         prev = None
         if index is None:
@@ -445,7 +460,14 @@ class TreeBuilder:
 
     def _insert_element(self, tok, namespace: str = HTML_NS) -> Node:
         el = self._create_element(tok[1], [list(a) for a in tok[2]], namespace)
-        self._insert_at(self._appropriate_place(), el)
+        if not self.foster_parenting:
+            # fast path mirroring _appropriate_place's non-foster branch
+            target = self.open[-1]
+            if target.name == "template" and target.namespace == HTML_NS:
+                target = target.template_contents
+            target.append_child(el)
+        else:
+            self._insert_at(self._appropriate_place(), el)
         self.open.append(el)
         return el
 
