@@ -237,3 +237,100 @@ def test_doctype_system_only():
 def test_doctype_empty():
     ok, tree = parse("<!doctype>")
     assert tree[0] == ("doctype", "", "", "")
+
+
+def test_aaa_blocked_by_cell_scope():
+    # </b> inside <td>: b is outside the cell scope boundary → ignored;
+    # X lands back inside the still-open <b>
+    ok, tree = parse("<b><table><td></b><i></table>X")
+    assert body(tree)[2] == [
+        ("b", [], [
+            ("table", [], [("tbody", [], [("tr", [], [
+                ("td", [], [("i", [], [])])
+            ])])]),
+            "X",
+        ]),
+    ]
+
+
+def test_a_around_p_reconstruction():
+    ok, tree = parse("<a>1<p>2</a>3</p>")
+    assert body(tree)[2] == [
+        ("a", [], ["1"]),
+        ("p", [], [("a", [], ["2"]), "3"]),
+    ]
+
+
+def test_button_closes_button():
+    ok, tree = parse("<button>a<p>b<button>c")
+    assert body(tree)[2] == [
+        ("button", [], ["a", ("p", [], ["b"])]),
+        ("button", [], ["c"]),
+    ]
+
+
+def test_second_form_in_table_ignored():
+    ok, tree = parse("<form><table><form><td>x")
+    assert body(tree)[2] == [
+        ("form", [], [("table", [], [("tbody", [], [("tr", [], [
+            ("td", [], ["x"])
+        ])])])]),
+    ]
+
+
+def test_table_start_ignored_in_select():
+    ok, tree = parse("<select><table><option>o")
+    assert body(tree)[2] == [("select", [], [("option", [], ["o"])])]
+
+
+def test_charref_longest_match_and_numeric_bounds():
+    ok, tree = parse("<p>&not;in &notit; &#0; &#x110000;</p>")
+    assert body(tree)[2] == [("p", [], ["¬in ¬it; � �"])]
+
+
+def test_attr_edge_cases():
+    ok, tree = parse("<div a=b c>t</div>")
+    assert body(tree)[2] == [("div", [("a", "b"), ("c", "")], ["t"])]
+    ok, tree = parse("<div =x>t</div>")
+    assert body(tree)[2] == [("div", [("=x", "")], ["t"])]
+    ok, tree = parse("<div a\"b='c'>t</div>")
+    assert body(tree)[2] == [("div", [('a"b', "c")], ["t"])]
+
+
+def test_eof_in_tag_drops_token():
+    ok, tree = parse("<div a='x'")
+    assert body(tree)[2] == []
+
+
+def test_plaintext_consumes_rest_raw():
+    ok, tree = parse("<plaintext><div>raw</div>")
+    assert body(tree)[2] == [("plaintext", [], ["<div>raw</div>"])]
+
+
+def test_rcdata_end_tag_attrs_dropped():
+    ok, tree = parse("<title x=1>t</title x=2>after")
+    head = tree[0][2][0]
+    assert head == ("head", [], [("title", [("x", "1")], ["t"])])
+    assert body(tree)[2] == ["after"]
+
+
+def test_caption_closed_by_cell():
+    ok, tree = parse("<table><caption>cap<td>cell")
+    assert body(tree)[2] == [
+        ("table", [], [
+            ("caption", [], ["cap"]),
+            ("tbody", [], [("tr", [], [("td", [], ["cell"])])]),
+        ]),
+    ]
+
+
+def test_heading_closes_heading():
+    ok, tree = parse("<h1>a<h2>b")
+    assert body(tree)[2] == [("h1", [], ["a"]), ("h2", [], ["b"])]
+
+
+def test_li_behind_div_still_closes():
+    ok, tree = parse("<ul><li>a<div><li>b")
+    assert body(tree)[2] == [
+        ("ul", [], [("li", [], ["a", ("div", [], [])]), ("li", [], ["b"])]),
+    ]
