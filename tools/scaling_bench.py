@@ -30,6 +30,8 @@ from html5ever_elixir_spark.session import get_spark  # noqa: E402
 from html5ever_elixir_spark.sources.pages import pages_select_sql  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_SMALL = int(os.environ.get("SCALING_N", "8"))      # N cores
+N_BIG = 4 * N_SMALL                                   # 4N cores
 RUNS = int(os.environ.get("SCALING_RUNS", "5"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
 # sf0.1 template docs are ~800 B; real web pages average tens of KB
@@ -119,8 +121,8 @@ def main():
     effs: list[float] = []
     n_docs = 0
     for _ in range(rounds):
-        n_docs, a = _spawn_level(8)
-        _, b = _spawn_level(32)
+        n_docs, a = _spawn_level(N_SMALL)
+        _, b = _spawn_level(N_BIG)
         m8_r = statistics.median(a)
         m32_r = statistics.median(b)
         t8.extend(a)
