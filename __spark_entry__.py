@@ -124,6 +124,17 @@ def _q_html_text_nodes(spark, sf_dir):
     )
 
 
+def _q_url_host_counts(spark, sf_dir):
+    from html5ever_elixir_spark.functions import host_of
+
+    return (
+        _pages(spark, sf_dir)
+        .groupBy(host_of("url").alias("host"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("host")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -231,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tree_json": _q_html_tree_json,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text": _q_html_extract,
+        "url_host_counts": _q_url_host_counts,
         "html_titles": _q_html_titles,
         "html_links": _q_html_links,
         "html_node_histogram": _q_html_node_histogram,
@@ -297,6 +309,10 @@ SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
 FROM base
 """,
         "html_extract_text": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        "url_host_counts": (
+            "SELECT 'host' || cast(doc_id % 50 as string) || '.example' AS "
+            "host, count(*) AS n FROM documents GROUP BY host ORDER BY host"
+        ),
         "html_titles": (
             f"WITH {_DUCK_PAGES} SELECT url, 'Doc ' || cast(doc_id as string) "
             "AS title FROM pages"
