@@ -22,6 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..parser.api import UTF8_ERROR, flat_rows, parse_document, tree_to_json
+from ..parser.treebuilder import ParseBudgetExceeded
+
+# per-document DOM node cap: ~3 orders of magnitude above the web
+# average (~600 nodes/page, reference lib.rs:32-35) — bounds executor
+# memory against adversarial/pathological documents at corpus scale
+DEFAULT_MAX_NODES = 1_000_000
 from ..parser.extract import dom_metrics, extract_links, extract_text, extract_title
 
 PARSED_FIELDS = (
@@ -51,6 +57,7 @@ def parse_and_extract(
     url_col: str = "url",
     html_col: str = "html",
     with_tree_json: bool = False,
+    max_nodes: int = DEFAULT_MAX_NODES,
 ) -> DataFrame:
     """pages(url, html, ...) → parsed(url, error, text, title, links,
     metrics..., tree_json?).
@@ -79,14 +86,18 @@ def parse_and_extract(
             for html in htmls:
                 try:
                     text_in = _to_text(html) if html is not None else ""
-                except UnicodeDecodeError:
-                    out["error"].append(UTF8_ERROR)
+                    builder = parse_document(text_in, max_nodes=max_nodes)
+                except (UnicodeDecodeError, ParseBudgetExceeded) as exc:
+                    out["error"].append(
+                        UTF8_ERROR
+                        if isinstance(exc, UnicodeDecodeError)
+                        else f"parse budget exceeded: {exc}"
+                    )
                     for k in ("text", "title", "links", "n_nodes", "n_elements",
                               "n_anchors", "n_text_chars", "max_depth",
                               "n_parse_errors", "tree_json"):
                         out[k].append(None)
                     continue
-                builder = parse_document(text_in)
                 doc = builder.doc
                 m = dom_metrics(doc)
                 out["error"].append(None)

@@ -20,10 +20,11 @@ from .treebuilder import TreeBuilder
 UTF8_ERROR = "cannot transform bytes from binary to a valid UTF8 string"
 
 
-def parse_document(html: str) -> TreeBuilder:
+def parse_document(html: str, max_nodes: int | None = None) -> TreeBuilder:
     """Parse an HTML string into a DOM; never raises on malformed HTML
-    (spec error recovery; reference arena_sink.rs:216)."""
-    builder = TreeBuilder()
+    (spec error recovery; reference arena_sink.rs:216). ``max_nodes``
+    bounds adversarial documents (raises ParseBudgetExceeded)."""
+    builder = TreeBuilder(max_nodes=max_nodes)
     tokenizer = Tokenizer(html, builder)
     builder.tokenizer = tokenizer
     tokenizer.run()

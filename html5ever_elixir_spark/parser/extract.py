@@ -47,6 +47,27 @@ BLOCK_TAGS = frozenset(
     table tbody td tfoot th thead tr ul""".split()
 )
 
+# tag-class boilerplate signal (north_star: "tag-class boilerplate
+# scoring"): an element whose class/id token matches is skipped whole.
+# Part of pinned v1 — matching is exact-token, lowercase.
+BOILERPLATE_CLASS_TOKENS = frozenset(
+    """nav navbar navigation menu footer header sidebar side-bar comment
+    comments ad ads advert advertisement banner breadcrumb breadcrumbs
+    pagination pager share social sponsored cookie-banner newsletter
+    related-posts widget""".split()
+)
+
+
+def _has_boilerplate_class(node: Node) -> bool:
+    if not node.attrs:
+        return False
+    for name, value in node.attrs:
+        if name == "class" or name == "id":
+            for token in value.lower().split():
+                if token in BOILERPLATE_CLASS_TOKENS:
+                    return True
+    return False
+
 _WS_RUN = re.compile(r"[ \t\n\r\f]+")
 
 
@@ -88,7 +109,9 @@ def extract_blocks(doc: Node):
         if t in (COMMENT, DOCTYPE, PI):
             continue
         if t == ELEMENT:
-            if node.namespace == HTML_NS and node.name in SKIP_TAGS:
+            if node.namespace == HTML_NS and (
+                node.name in SKIP_TAGS or _has_boilerplate_class(node)
+            ):
                 continue
             if node.name == "a":
                 anchor_depth += 1

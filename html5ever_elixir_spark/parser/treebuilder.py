@@ -209,10 +209,16 @@ _QUIRKY_PUBLIC_PREFIXES = tuple(
 )
 
 
+class ParseBudgetExceeded(Exception):
+    """Raised when a document exceeds the node budget (adversarial or
+    pathological input at corpus scale); surfaced as a row-level error."""
+
+
 class TreeBuilder:
     """Builds the per-document arena DOM from tokenizer events."""
 
-    def __init__(self):
+    def __init__(self, max_nodes: int | None = None):
+        self.max_nodes = max_nodes
         self.next_id = 0
         self.doc = self._new_node(DOCUMENT)
         self.open: list[Node] = []
@@ -234,6 +240,10 @@ class TreeBuilder:
     # -- node factory (ids in creation order, reference arena_sink.rs:165-170)
 
     def _new_node(self, node_type: str) -> Node:
+        if self.max_nodes is not None and self.next_id >= self.max_nodes:
+            raise ParseBudgetExceeded(
+                f"document exceeds {self.max_nodes} DOM nodes"
+            )
         n = Node(self.next_id, node_type)
         self.next_id += 1
         return n

@@ -334,3 +334,46 @@ def test_li_behind_div_still_closes():
     assert body(tree)[2] == [
         ("ul", [], [("li", [], ["a", ("div", [], [])]), ("li", [], ["b"])]),
     ]
+
+
+def test_parse_budget_exceeded():
+    import pytest as _pytest
+
+    from html5ever_elixir_spark.parser.api import parse_document
+    from html5ever_elixir_spark.parser.treebuilder import ParseBudgetExceeded
+
+    with _pytest.raises(ParseBudgetExceeded):
+        parse_document("<div>" * 100, max_nodes=50)
+    # no budget → parses fine
+    assert parse_document("<div>" * 100).next_id == 104
+
+
+def test_template_hidden_document_id_order():
+    # reference arena_sink.rs:270-273: template element id n, its hidden
+    # contents document id n+1
+    from html5ever_elixir_spark.parser.api import parse_document
+    from html5ever_elixir_spark.parser.dom import ELEMENT
+
+    doc = parse_document("<body><template><p>x</p></template>").doc
+    stack = [doc]
+    while stack:
+        node = stack.pop()
+        if node.type == ELEMENT and node.name == "template":
+            assert node.template_contents.id == node.id + 1
+            assert node.children == []  # contents detached
+            assert node.template_contents.children[0].name == "p"
+            return
+        stack.extend(node.children)
+    raise AssertionError("template not found")
+
+
+def test_class_based_boilerplate_skipped():
+    from html5ever_elixir_spark.parser.api import parse_document
+    from html5ever_elixir_spark.parser.extract import extract_text
+
+    doc = parse_document(
+        "<body><div class='sidebar'>junk links</div>"
+        "<p>real content here</p>"
+        "<div id='comments'><p>spam</p></div></body>"
+    ).doc
+    assert extract_text(doc) == "real content here"
