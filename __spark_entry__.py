@@ -124,6 +124,19 @@ def _q_html_text_nodes(spark, sf_dir):
     )
 
 
+def _q_html_error_rows(spark, sf_dir):
+    # rebuild pages with BINARY html, deliberately invalid UTF-8 for
+    # doc_id % 97 == 0 — the reference's single error path (lib.rs:10-22)
+    pages = _pages(spark, sf_dir).select(
+        "url",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.unhex(F.lit("3C68746DFF"))
+        ).otherwise(F.col("html").cast("binary")).alias("html"),
+    )
+    return parse_and_extract(pages).select("url", "error")
+
+
 def _q_url_host_counts(spark, sf_dir):
     from html5ever_elixir_spark.functions import host_of
 
@@ -242,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tree_json": _q_html_tree_json,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text": _q_html_extract,
+        "html_error_rows": _q_html_error_rows,
         "url_host_counts": _q_url_host_counts,
         "html_titles": _q_html_titles,
         "html_links": _q_html_links,
@@ -309,6 +323,13 @@ SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
 FROM base
 """,
         "html_extract_text": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        "html_error_rows": f"""
+WITH {_DUCK_PAGES}
+SELECT url, case when doc_id % 97 = 0
+  then 'cannot transform bytes from binary to a valid UTF8 string'
+  else NULL end AS error
+FROM pages
+""",
         "url_host_counts": (
             "SELECT 'host' || cast(doc_id % 50 as string) || '.example' AS "
             "host, count(*) AS n FROM documents GROUP BY host ORDER BY host"
