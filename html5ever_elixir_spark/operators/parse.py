@@ -28,7 +28,7 @@ from ..parser.treebuilder import ParseBudgetExceeded
 # average (~600 nodes/page, reference lib.rs:32-35) — bounds executor
 # memory against adversarial/pathological documents at corpus scale
 DEFAULT_MAX_NODES = 1_000_000
-from ..parser.extract import dom_metrics, extract_links, extract_text, extract_title
+from ..parser.extract import extract_all
 
 PARSED_FIELDS = (
     "url string, error string, text string, title string, "
@@ -99,11 +99,11 @@ def parse_and_extract(
                         out[k].append(None)
                     continue
                 doc = builder.doc
-                m = dom_metrics(doc)
+                m = extract_all(doc)  # fused single traversal
                 out["error"].append(None)
-                out["text"].append(extract_text(doc))
-                out["title"].append(extract_title(doc))
-                out["links"].append(extract_links(doc))
+                out["text"].append(m["text"])
+                out["title"].append(m["title"])
+                out["links"].append(m["links"])
                 out["n_nodes"].append(m["n_nodes"])
                 out["n_elements"].append(m["n_elements"])
                 out["n_anchors"].append(m["n_anchors"])

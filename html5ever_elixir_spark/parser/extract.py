@@ -167,6 +167,115 @@ def extract_links(doc: Node) -> list[str]:
     return out
 
 
+def extract_all(doc: Node) -> dict:
+    """Single-pass fused traversal producing exactly what the four
+    separate helpers produce (text / title / links / metrics) — the
+    per-document hot path of the Spark operator. Equality with the
+    separate functions is asserted in tests; any change here must keep
+    them byte-identical (the DuckDB oracles depend on these outputs)."""
+    blocks = []
+    buf: list[str] = []
+    total = 0
+    anchor = 0
+    anchor_depth = 0
+
+    title_parts = None  # becomes a list when the first <title> is found
+    links: list[str] = []
+
+    n_nodes = 0
+    n_elements = 0
+    n_text_chars = 0
+    n_anchors = 0
+    max_depth = 0
+
+    def flush():
+        nonlocal buf, total, anchor
+        if buf:
+            text = _WS_RUN.sub(" ", "".join(buf)).strip()
+            if text:
+                blocks.append((text, total, anchor))
+        buf = []
+        total = 0
+        anchor = 0
+
+    # stack entries: (node, depth, leaving, skipped, in_title)
+    stack = [(doc, 0, False, False, False)]
+    while stack:
+        node, depth, leaving, skipped, in_title = stack.pop()
+        if leaving:
+            if node.name == "a":
+                anchor_depth -= 1
+            elif node.name in BLOCK_TAGS:
+                flush()
+            continue
+        t = node.type
+        n_nodes += 1
+        if depth > max_depth:
+            max_depth = depth
+        if t == TEXT:
+            n_text_chars += len(node.contents)
+            if in_title and title_parts is not None:
+                title_parts.append(node.contents)
+            if not skipped:
+                buf.append(node.contents)
+                total += len(node.contents)
+                if anchor_depth > 0:
+                    anchor += len(node.contents)
+            continue
+        if t in (COMMENT, DOCTYPE, PI):
+            continue
+        child_skipped = skipped
+        child_in_title = in_title
+        if t == ELEMENT:
+            n_elements += 1
+            if node.name == "a":
+                if node.attrs:
+                    href = node.get_attr("href")
+                    if href is not None:
+                        links.append(href)
+                n_anchors += 1
+            if (
+                node.namespace == HTML_NS
+                and node.name == "title"
+                and title_parts is None
+            ):
+                title_parts = []
+                child_in_title = True
+            if not skipped:
+                if node.namespace == HTML_NS and (
+                    node.name in SKIP_TAGS or _has_boilerplate_class(node)
+                ):
+                    child_skipped = True
+                elif node.name == "a":
+                    anchor_depth += 1
+                    stack.append((node, depth, True, skipped, in_title))
+                elif node.name in BLOCK_TAGS:
+                    flush()
+                    stack.append((node, depth, True, skipped, in_title))
+        for child in reversed(node.children):
+            stack.append((child, depth + 1, False, child_skipped, child_in_title))
+    flush()
+
+    text = "\n".join(
+        b for b, tot, anc in blocks if 2 * anc <= tot
+    )
+    title = (
+        _WS_RUN.sub(" ", "".join(title_parts)).strip()
+        if title_parts is not None
+        else None
+    )
+    return {
+        "text": text,
+        "title": title,
+        "links": links,
+        "n_nodes": n_nodes,
+        "n_elements": n_elements,
+        "n_text_chars": n_text_chars,
+        "n_anchors": n_anchors,
+        "max_depth": max_depth,
+    }
+
+
 def dom_metrics(doc: Node) -> dict:
     """Cheap per-document structural metrics (for the metrics table)."""
     n_nodes = 0
