@@ -28,6 +28,9 @@ from ..parser.treebuilder import ParseBudgetExceeded
 # average (~600 nodes/page, reference lib.rs:32-35) — bounds executor
 # memory against adversarial/pathological documents at corpus scale
 DEFAULT_MAX_NODES = 1_000_000
+# open-element-stack cap (browser parity: Blink caps at 512); bounds the
+# O(depth²) scope scans on never-closed-tag bombs
+DEFAULT_MAX_DEPTH = 512
 from ..parser.extract import extract_all
 
 PARSED_FIELDS = (
@@ -58,6 +61,7 @@ def parse_and_extract(
     html_col: str = "html",
     with_tree_json: bool = False,
     max_nodes: int = DEFAULT_MAX_NODES,
+    max_depth: int = DEFAULT_MAX_DEPTH,
 ) -> DataFrame:
     """pages(url, html, ...) → parsed(url, error, text, title, links,
     metrics..., tree_json?).
@@ -86,7 +90,9 @@ def parse_and_extract(
             for html in htmls:
                 try:
                     text_in = _to_text(html) if html is not None else ""
-                    builder = parse_document(text_in, max_nodes=max_nodes)
+                    builder = parse_document(
+                        text_in, max_nodes=max_nodes, max_depth=max_depth
+                    )
                 except (UnicodeDecodeError, ParseBudgetExceeded) as exc:
                     out["error"].append(
                         UTF8_ERROR

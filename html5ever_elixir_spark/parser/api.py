@@ -20,11 +20,15 @@ from .treebuilder import TreeBuilder
 UTF8_ERROR = "cannot transform bytes from binary to a valid UTF8 string"
 
 
-def parse_document(html: str, max_nodes: int | None = None) -> TreeBuilder:
+def parse_document(
+    html: str,
+    max_nodes: int | None = None,
+    max_depth: int | None = None,
+) -> TreeBuilder:
     """Parse an HTML string into a DOM; never raises on malformed HTML
-    (spec error recovery; reference arena_sink.rs:216). ``max_nodes``
-    bounds adversarial documents (raises ParseBudgetExceeded)."""
-    builder = TreeBuilder(max_nodes=max_nodes)
+    (spec error recovery; reference arena_sink.rs:216). ``max_nodes`` /
+    ``max_depth`` bound adversarial documents (ParseBudgetExceeded)."""
+    builder = TreeBuilder(max_nodes=max_nodes, max_depth=max_depth)
     tokenizer = Tokenizer(html, builder)
     builder.tokenizer = tokenizer
     tokenizer.run()

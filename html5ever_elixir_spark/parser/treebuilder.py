@@ -217,8 +217,14 @@ class ParseBudgetExceeded(Exception):
 class TreeBuilder:
     """Builds the per-document arena DOM from tokenizer events."""
 
-    def __init__(self, max_nodes: int | None = None):
+    def __init__(self, max_nodes: int | None = None,
+                 max_depth: int | None = None):
         self.max_nodes = max_nodes
+        # open-element-stack cap: scope checks and formatting
+        # reconstruction scan the stack, so adversarial never-closed-tag
+        # documents are O(depth²). Browsers cap tree depth (Blink: 512);
+        # we surface a row-level error instead of altering tree shape.
+        self.max_depth = max_depth
         self.next_id = 0
         self.doc = self._new_node(DOCUMENT)
         self.open: list[Node] = []
@@ -469,6 +475,10 @@ class TreeBuilder:
             self._insert_at(self._appropriate_place(), cnode)
 
     def _insert_element(self, tok, namespace: str = HTML_NS) -> Node:
+        if self.max_depth is not None and len(self.open) >= self.max_depth:
+            raise ParseBudgetExceeded(
+                f"document exceeds max tree depth {self.max_depth}"
+            )
         el = self._create_element(tok[1], [list(a) for a in tok[2]], namespace)
         if not self.foster_parenting:
             # fast path mirroring _appropriate_place's non-foster branch

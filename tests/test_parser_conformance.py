@@ -377,3 +377,15 @@ def test_class_based_boilerplate_skipped():
         "<div id='comments'><p>spam</p></div></body>"
     ).doc
     assert extract_text(doc) == "real content here"
+
+
+def test_max_depth_budget():
+    import pytest as _pytest
+
+    from html5ever_elixir_spark.parser.api import parse_document
+    from html5ever_elixir_spark.parser.treebuilder import ParseBudgetExceeded
+
+    with _pytest.raises(ParseBudgetExceeded):
+        parse_document("<div>" * 600, max_depth=512)
+    # real-world depth passes
+    assert parse_document("<div>" * 400, max_depth=512).next_id == 404
