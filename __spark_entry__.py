@@ -124,6 +124,35 @@ def _q_html_text_nodes(spark, sf_dir):
     )
 
 
+def _q_html_extract_v2(spark, sf_dir):
+    # text-density profile: on the template corpus only the long prose
+    # block survives ("Title {d}" and "extra & {d}" stubs are < 15 chars
+    # for every doc_id in these SFs)
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.parser.api import parse_document
+    from html5ever_elixir_spark.parser.extract import extract_text_v2
+
+    def fn(batches):
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "url": urls,
+                    "text_v2": [
+                        extract_text_v2(parse_document(h).doc) for h in htmls
+                    ],
+                }
+            )
+
+    return (
+        _pages(spark, sf_dir)
+        .select("url", "html")
+        .mapInArrow(fn, "url string, text_v2 string")
+    )
+
+
 def _q_html_error_rows(spark, sf_dir):
     # rebuild pages with BINARY html, deliberately invalid UTF-8 for
     # doc_id % 97 == 0 — the reference's single error path (lib.rs:10-22)
@@ -255,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tree_json": _q_html_tree_json,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text": _q_html_extract,
+        "html_extract_text_v2": _q_html_extract_v2,
         "html_error_rows": _q_html_error_rows,
         "url_host_counts": _q_url_host_counts,
         "html_titles": _q_html_titles,
@@ -323,6 +353,14 @@ SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
 FROM base
 """,
         "html_extract_text": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        # v2 (text-density thresholds): title/extra stubs are < 15 chars
+        # for every doc_id here, so only the prose block survives
+        "html_extract_text_v2": (
+            "SELECT 'https://host' || cast(doc_id % 50 as string) || "
+            "'.example/page' || cast(doc_id as string) AS url, "
+            "trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS text_v2 "
+            "FROM documents"
+        ),
         "html_error_rows": f"""
 WITH {_DUCK_PAGES}
 SELECT url, case when doc_id % 97 = 0

@@ -135,6 +135,25 @@ def extract_text(doc: Node) -> str:
     return "\n".join(keep)
 
 
+EXTRACT_V2_MIN_CHARS = 15
+EXTRACT_V2_MAX_LINK_DENSITY = 1 / 3
+
+
+def extract_text_v2(doc: Node) -> str:
+    """Pinned v2 profile: v1 block segmentation + **text-density
+    thresholds** — a block survives only if its normalized length is
+    ≥ 15 chars AND anchor chars are ≤ 1/3 of raw chars. Drops headline
+    stubs and link-dominated fragments; keeps body prose. Deterministic
+    and SQL-reconstructable like v1."""
+    keep = [
+        text
+        for text, total, anchor in extract_blocks(doc)
+        if len(text) >= EXTRACT_V2_MIN_CHARS
+        and 3 * anchor <= total
+    ]
+    return "\n".join(keep)
+
+
 def extract_title(doc: Node) -> str | None:
     """Text of the first <title> element (document order), normalized."""
     stack = [doc]

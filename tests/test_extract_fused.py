@@ -39,3 +39,17 @@ def test_fused_equals_separate_everywhere():
         for k in ("n_nodes", "n_elements", "n_text_chars", "n_anchors",
                   "max_depth"):
             assert fused[k] == m[k], (k, html[:60])
+
+
+def test_extract_v2_density_thresholds():
+    from html5ever_elixir_spark.parser.extract import extract_text_v2
+
+    doc = parse_document(
+        "<body><h1>Stub</h1>"
+        "<p>a long enough paragraph of real body prose content</p>"
+        "<div><a href='/x'>linky link link</a> y</div></body>"
+    ).doc
+    # stub (<15 chars) dropped; link-dominated block dropped; prose kept
+    assert extract_text_v2(doc) == (
+        "a long enough paragraph of real body prose content"
+    )
