@@ -118,9 +118,20 @@ def run_extraction_pipeline(
     assert n_buckets % n_groups == 0
     per_group = n_buckets // n_groups
 
-    deduped = with_bucket(dedup_latest_capture(pages.where(F.col("html").isNotNull())), n_buckets)
-
+    deduped = with_bucket(
+        dedup_latest_capture(pages.where(F.col("html").isNotNull())), n_buckets
+    )
     done = completed_groups(output_dir) if resume else set()
+    remaining = n_groups - len(done)
+    cached = False
+    if remaining > 1:
+        # each group job would otherwise re-scan + re-dedup the full
+        # input (one window shuffle per group). Locally we persist the
+        # deduped/bucketed frame once; at warehouse scale the equivalent
+        # is a bucketed staging write (or input partitioning that lets
+        # each group's scan prune to its own slice).
+        deduped = deduped.persist()
+        cached = True
     ran = []
     for g in range(n_groups):
         if g in done:
@@ -158,6 +169,8 @@ def run_extraction_pipeline(
         os.replace(tmp, os.path.join(_lineage_path(output_dir), f"group-{g}.json"))
         ran.append(g)
 
+    if cached:
+        deduped.unpersist()
     # per-host metrics over everything extracted so far (salted agg)
     all_extracted = spark.read.parquet(os.path.join(output_dir, "extracted"))
     host_metrics(all_extracted).write.mode("overwrite").parquet(
