@@ -1,0 +1,94 @@
+"""SQL-callable scalar functions over html strings — the ergonomic
+Spark-SQL equivalent of the reference's per-string API
+(``Html5ever.parse/1`` etc., lib/html5ever.ex:40-129): after
+``register_all(spark)`` a user can write
+
+    SELECT h5_title(html), h5_extract_text(html) FROM pages
+
+These are Arrow-batched pandas UDFs (one Python call per batch). The
+column-shaped operators in ``operators/parse.py`` remain the
+recommended path for full-table jobs (one traversal produces every
+output at once); these scalar functions each parse independently.
+
+UDF objects are created lazily inside :func:`register_all` — wrapping
+with ``pandas_udf`` at module-import time requires an active session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..parser.api import UTF8_ERROR, parse_document, tree_to_json
+from ..parser.extract import extract_all, extract_text_v2
+
+
+def _doc_or_none(html):
+    if html is None:
+        return None
+    try:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="strict")
+        return parse_document(html, max_nodes=1_000_000, max_depth=512).doc
+    except Exception:
+        return None
+
+
+def _udf_extract_text(html):
+    return html.map(
+        lambda h: extract_all(d)["text"] if (d := _doc_or_none(h)) else None
+    )
+
+
+def _udf_extract_text_v2(html):
+    return html.map(
+        lambda h: extract_text_v2(d) if (d := _doc_or_none(h)) else None
+    )
+
+
+def _udf_title(html):
+    return html.map(
+        lambda h: extract_all(d)["title"] if (d := _doc_or_none(h)) else None
+    )
+
+
+def _udf_tree_json(html):
+    return html.map(
+        lambda h: tree_to_json(d) if (d := _doc_or_none(h)) else None
+    )
+
+
+def _udf_n_nodes(html):
+    return html.map(
+        lambda h: extract_all(d)["n_nodes"] if (d := _doc_or_none(h)) else None
+    )
+
+
+def _udf_parse_error(html):
+    def err(h):
+        if h is None:
+            return None
+        try:
+            if isinstance(h, (bytes, bytearray, memoryview)):
+                bytes(h).decode("utf-8", errors="strict")
+            return None
+        except UnicodeDecodeError:
+            return UTF8_ERROR
+
+    return html.map(err)
+
+
+_REGISTRY = [
+    ("h5_extract_text", _udf_extract_text, "string"),
+    ("h5_extract_text_v2", _udf_extract_text_v2, "string"),
+    ("h5_title", _udf_title, "string"),
+    ("h5_tree_json", _udf_tree_json, "string"),
+    ("h5_n_nodes", _udf_n_nodes, "bigint"),
+    ("h5_parse_error", _udf_parse_error, "string"),
+]
+
+
+def register_all(spark: SparkSession) -> None:
+    from pyspark.sql.functions import pandas_udf
+
+    for name, fn, rtype in _REGISTRY:
+        spark.udf.register(name, pandas_udf(fn, rtype))
