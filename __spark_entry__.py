@@ -40,6 +40,27 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB-side pages CTE (the driver pre-registers `documents`)
 _DUCK_PAGES = "pages AS (" + pages_select_sql("documents", "duckdb") + ")"
 
+# byte-exact nested-tree JSON reconstructed from the template structure
+_TREE_JSON_ORACLE = """
+WITH base AS (SELECT doc_id AS d, cast(doc_id AS string) AS ds, text AS t
+              FROM documents)
+SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
+         AS url,
+  '["#doc",[["d","html","",""],["e","html",[],[["e","head",[],'
+  || '[["e","title",[],["Doc ' || ds || '"]],["e","style",[],'
+  || '["p{color:red}"]]]],["e","body",[],[["e","h1",[],["Title ' || ds
+  || '"]]'
+  || case when d % 3 = 0 then ',["c"," c' || ds || ' "]' else '' end
+  || ',["e","div",[["class","content"]],[["e","p",[],["' || t || '"]]'
+  || case when d % 5 = 0
+       then ',["e","p",[],["extra & ' || ds || '"]]' else '' end
+  || ']],["e","div",[["class","nav"]],[["e","a",[["href","/p/'
+  || cast(d + 1 as string) || '"]],["next"]]," ",["e","a",[["href","/p/'
+  || cast(d + 2 as string) || '"]],["more"]]]],["e","footer",[],'
+  || '["copyright host"]]]]]]]]' AS tree_json
+FROM base
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build pages from sf0.001 documents, parse every page
@@ -181,6 +202,11 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_dedup_dom(spark, sf_dir):
+    parsed = parse_and_extract(_pages(spark, sf_dir), with_tree_json=True)
+    return dedup.dom_normalized_dedup(parsed)
+
+
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_signatures(_docs(spark, sf_dir))
 
@@ -294,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_by_tag": _q_html_attrs_by_tag,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
+        "dedup_dom_normalized": _q_dedup_dom,
         "dedup_minhash_sig": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -320,25 +347,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # byte-exact nested-tree JSON, reconstructed in SQL from the
         # template structure (validates the full canonical encoder)
-        "html_tree_json": """
-WITH base AS (SELECT doc_id AS d, cast(doc_id AS string) AS ds, text AS t
-              FROM documents)
-SELECT 'https://host' || cast(d % 50 as string) || '.example/page' || ds
-         AS url,
-  '["#doc",[["d","html","",""],["e","html",[],[["e","head",[],'
-  || '[["e","title",[],["Doc ' || ds || '"]],["e","style",[],'
-  || '["p{color:red}"]]]],["e","body",[],[["e","h1",[],["Title ' || ds
-  || '"]]'
-  || case when d % 3 = 0 then ',["c"," c' || ds || ' "]' else '' end
-  || ',["e","div",[["class","content"]],[["e","p",[],["' || t || '"]]'
-  || case when d % 5 = 0
-       then ',["e","p",[],["extra & ' || ds || '"]]' else '' end
-  || ']],["e","div",[["class","nav"]],[["e","a",[["href","/p/'
-  || cast(d + 1 as string) || '"]],["next"]]," ",["e","a",[["href","/p/'
-  || cast(d + 2 as string) || '"]],["more"]]]],["e","footer",[],'
-  || '["copyright host"]]]]]]]]' AS tree_json
-FROM base
-""",
+        "html_tree_json": _TREE_JSON_ORACLE,
         # text-node count + decoded char count per url (entity decode +
         # collapse validated through the flat nodes table)
         "html_text_nodes": """
@@ -418,6 +427,11 @@ SELECT * FROM (
 ) ORDER BY name
 """,
         "dedup_exact": dedup.oracle_exact_dedup_sql(),
+        "dedup_dom_normalized": (
+            f"WITH tj AS ({_TREE_JSON_ORACLE}) "
+            "SELECT md5(tree_json) AS dom_hash, min(url) AS keep_url, "
+            "count(*) AS group_size FROM tj GROUP BY md5(tree_json)"
+        ),
         "dedup_minhash_sig": dedup.oracle_minhash_sql(),
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),

@@ -48,6 +48,21 @@ def oracle_exact_dedup_sql(table: str = "documents") -> str:
     )
 
 
+def dom_normalized_dedup(parsed_with_tree_json: DataFrame, url_col: str = "url"):
+    """DOM-normalized exact dedup: hash of the canonical nested-tree
+    encoding (``tree_json``). Catches pages identical after parsing —
+    differing raw bytes (attribute quoting, self-closing style, entity
+    spelling, tag case) but the same DOM. Input: a frame bearing
+    ``tree_json`` (``parse_and_extract(..., with_tree_json=True)``)."""
+    return (
+        parsed_with_tree_json.select(
+            F.md5(F.col("tree_json")).alias("dom_hash"), F.col(url_col)
+        )
+        .groupBy("dom_hash")
+        .agg(F.min(url_col).alias("keep_url"), F.count("*").alias("group_size"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared definition: word k-grams, space-joined)
 
