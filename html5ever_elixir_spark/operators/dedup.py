@@ -289,7 +289,7 @@ def oracle_ngram_jaccard_sql(
         ") AS jaccard "
         "FROM pairs JOIN shingled sa ON pairs.id_a = sa.doc_id "
         "JOIN shingled sb ON pairs.id_b = sb.doc_id "
-        f"WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
-        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) "
-        f">= {threshold}"
+        f"WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) "
+        f">= {threshold}"  # round BEFORE comparing, same as the Spark side
     )
