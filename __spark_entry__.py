@@ -208,7 +208,13 @@ def _q_dedup_dom(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir))
+    # serialize the array<string> signature for the driver's pandas
+    # canonicalizer (contract: no array-typed columns in query output);
+    # the array-valued form stays internal for lsh_candidate_pairs
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id", F.array_join("sig", ",", "").alias("sig")
+    )
 
 
 def _q_dedup_lsh_pairs(spark, sf_dir):
@@ -398,11 +404,11 @@ WITH t AS (SELECT count(*) AS n,
                   sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
            FROM documents)
 SELECT * FROM (
-  SELECT 'comment' AS type, c3 AS n FROM t
-  UNION ALL SELECT 'doctype', n FROM t
-  UNION ALL SELECT 'document', n FROM t
-  UNION ALL SELECT 'element', 12 * n + c5 FROM t
-  UNION ALL SELECT 'text', 8 * n + c5 FROM t
+  SELECT 'comment' AS type, c3::BIGINT AS n FROM t
+  UNION ALL SELECT 'doctype', n::BIGINT FROM t
+  UNION ALL SELECT 'document', n::BIGINT FROM t
+  UNION ALL SELECT 'element', (12 * n + c5)::BIGINT FROM t
+  UNION ALL SELECT 'text', (8 * n + c5)::BIGINT FROM t
 ) ORDER BY type
 """,
         "html_max_depth": (
@@ -414,16 +420,16 @@ WITH t AS (SELECT count(*) AS n,
                   sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
            FROM documents)
 SELECT * FROM (
-  SELECT 'a' AS name, 2 * n AS n_attrs, 2 * n AS n_elements FROM t
-  UNION ALL SELECT 'body', 0, n FROM t
-  UNION ALL SELECT 'div', 2 * n, 2 * n FROM t
-  UNION ALL SELECT 'footer', 0, n FROM t
-  UNION ALL SELECT 'h1', 0, n FROM t
-  UNION ALL SELECT 'head', 0, n FROM t
-  UNION ALL SELECT 'html', 0, n FROM t
-  UNION ALL SELECT 'p', 0, n + c5 FROM t
-  UNION ALL SELECT 'style', 0, n FROM t
-  UNION ALL SELECT 'title', 0, n FROM t
+  SELECT 'a' AS name, (2 * n)::BIGINT AS n_attrs, (2 * n)::BIGINT AS n_elements FROM t
+  UNION ALL SELECT 'body', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'div', (2 * n)::BIGINT, (2 * n)::BIGINT FROM t
+  UNION ALL SELECT 'footer', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'h1', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'head', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'html', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'p', 0::BIGINT, (n + c5)::BIGINT FROM t
+  UNION ALL SELECT 'style', 0::BIGINT, n::BIGINT FROM t
+  UNION ALL SELECT 'title', 0::BIGINT, n::BIGINT FROM t
 ) ORDER BY name
 """,
         "dedup_exact": dedup.oracle_exact_dedup_sql(),
@@ -432,7 +438,11 @@ SELECT * FROM (
             "SELECT md5(tree_json) AS dom_hash, min(url) AS keep_url, "
             "count(*) AS group_size FROM tj GROUP BY md5(tree_json)"
         ),
-        "dedup_minhash_sig": dedup.oracle_minhash_sql(),
+        "dedup_minhash_sig": (
+            "SELECT doc_id, array_to_string("
+            "list_transform(sig, s -> coalesce(s, '')), ',') AS sig "
+            f"FROM ({dedup.oracle_minhash_sql()})"
+        ),
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),

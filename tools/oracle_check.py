@@ -1,7 +1,9 @@
 """Local mirror of the driver's correctness gate: run every
 ``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()``
-on DuckDB over the same sf dir; compare row count, column names, and
-order-insensitive values.
+on DuckDB over the same sf dir, then compare the way the DRIVER does:
+both sides to pandas, columns sorted by name, ``sort_values`` over all
+columns, dtype-kind strict (int64 vs float64 is a FAIL — DuckDB
+HUGEINT sums come back float64), exact values (floats not rounded).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -11,6 +13,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,21 +26,45 @@ TABLES = (
 ).split()
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
-    return v
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization: columns sorted by name, rows
+    sorted by every column (raises TypeError on array columns, exactly
+    like the driver's pandas hasher)."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return [cols[i] for i in order], out
+def compare(name: str, sdf_pd: pd.DataFrame, ddf_pd: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    try:
+        s = canon(sdf_pd)
+        d = canon(ddf_pd)
+    except TypeError as e:  # unhashable column type → driver err
+        return [f"canonicalize error (driver would err): {e}"]
+    if list(s.columns) != list(d.columns):
+        return [f"cols {list(s.columns)} vs {list(d.columns)}"]
+    if len(s) != len(d):
+        problems.append(f"rows {len(s)} vs {len(d)}")
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        # object-vs-object is fine; int-vs-float is the driver killer
+        if sk != dk and {sk, dk} != {"O"}:
+            problems.append(f"dtype[{c}] {s[c].dtype} vs {d[c].dtype}")
+    if problems:
+        return problems
+    if len(s) and not s.equals(d):
+        for c in s.columns:
+            if not s[c].equals(d[c]):
+                neq = s[c] != d[c]
+                i = int(neq.idxmax())
+                problems.append(
+                    f"values[{c}] differ, e.g. row {i}: "
+                    f"{s[c].iloc[i]!r} vs {d[c].iloc[i]!r}"
+                )
+                break
+    return problems
 
 
 def main():
@@ -55,33 +82,28 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
-        if name not in oracles:
-            print(f"{name:24s} rows-only: {len(srows)} rows")
-            continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-        sc, sr = norm_rows(scols, srows)
-        dc, dr = norm_rows(dcols, drows)
-        ok_cols = sc == dc
-        ok_count = len(sr) == len(dr)
-        ok_vals = sr == dr
-        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
-        if status == "FAIL":
+        try:
+            sdf = fn(spark, sf_dir)
+            sdf_pd = sdf.toPandas()
+        except Exception as e:
+            print(f"{name:24s} SPARK-ERR {type(e).__name__}: {e}")
             failures += 1
-        print(
-            f"{name:24s} {status}  rows {len(sr)}/{len(dr)} "
-            f"cols={'=' if ok_cols else f'{sc} vs {dc}'} vals={'=' if ok_vals else 'DIFF'}"
-        )
-        if not ok_vals and ok_cols and ok_count:
-            for a, b in zip(sr, dr):
-                if a != b:
-                    print("   spark:", a)
-                    print("   duck :", b)
-                    break
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(sdf_pd)} rows")
+            continue
+        try:
+            ddf_pd = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:24s} DUCK-ERR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        problems = compare(name, sdf_pd, ddf_pd)
+        if problems:
+            failures += 1
+            print(f"{name:24s} FAIL  " + "; ".join(problems))
+        else:
+            print(f"{name:24s} OK    rows {len(sdf_pd)}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
