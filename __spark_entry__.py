@@ -62,6 +62,21 @@ FROM base
 """
 
 
+_NODE_HISTOGRAM_ORACLE = """
+WITH t AS (SELECT count(*) AS n,
+                  sum(case when doc_id % 3 = 0 then 1 else 0 end) AS c3,
+                  sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
+           FROM documents)
+SELECT * FROM (
+  SELECT 'comment' AS type, c3::BIGINT AS n FROM t
+  UNION ALL SELECT 'doctype', n::BIGINT FROM t
+  UNION ALL SELECT 'document', n::BIGINT FROM t
+  UNION ALL SELECT 'element', (12 * n + c5)::BIGINT FROM t
+  UNION ALL SELECT 'text', (8 * n + c5)::BIGINT FROM t
+) ORDER BY type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build pages from sf0.001 documents, parse every page
     with the from-scratch HTML5 parser, extract main content + DOM
@@ -101,6 +116,25 @@ def _q_html_node_histogram(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("type")
     )
+
+
+def _q_html_node_histogram_fast(spark, sf_dir):
+    # same answer as html_node_histogram but from the per-doc metric
+    # columns the parse UDF already emits — no per-node explosion across
+    # the JVM boundary (the 100 TB-shaped plan for count-style queries)
+    parsed = parse_and_extract(_pages(spark, sf_dir))
+    agg = parsed.agg(
+        F.sum("n_comments").alias("comment"),
+        F.sum("n_doctypes").alias("doctype"),
+        F.sum("n_documents").alias("document"),
+        F.sum("n_elements").alias("element"),
+        F.sum("n_texts").alias("text"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'comment', comment, 'doctype', doctype, "
+        "'document', document, 'element', element, 'text', text) "
+        "AS (type, n)"
+    ).orderBy("type")
 
 
 def _q_html_max_depth(spark, sf_dir):
@@ -187,6 +221,23 @@ def _q_html_error_rows(spark, sf_dir):
     return parse_and_extract(pages).select("url", "error")
 
 
+def _q_html_flat_error_rows(spark, sf_dir):
+    # the flat-nodes path's row-level error surface (reference
+    # lib/html5ever.ex:117-119 {:error, reason}): one sentinel row with
+    # type='error' per undecodable document
+    pages = _pages(spark, sf_dir).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.unhex(F.lit("3C68746DFF"))
+        ).otherwise(F.col("html").cast("binary")).alias("html"),
+    )
+    nodes = flat_parse_nodes(pages)
+    return (
+        nodes.where(F.col("type") == "error")
+        .select("url", F.col("contents").alias("error"))
+    )
+
+
 def _q_url_host_counts(spark, sf_dir):
     from html5ever_elixir_spark.functions import host_of
 
@@ -235,7 +286,9 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ann_srp(spark, sf_dir):
-    out = similarity.srp_bucket_ann(_emb(spark, sf_dir), n_queries=10, k=5)
+    out = similarity.srp_bucket_ann(
+        _emb(spark, sf_dir), n_queries=10, k=5, dim=64
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -318,10 +371,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_text": _q_html_extract,
         "html_extract_text_v2": _q_html_extract_v2,
         "html_error_rows": _q_html_error_rows,
+        "html_flat_error_rows": _q_html_flat_error_rows,
         "url_host_counts": _q_url_host_counts,
         "html_titles": _q_html_titles,
         "html_links": _q_html_links,
         "html_node_histogram": _q_html_node_histogram,
+        "html_node_histogram_fast": _q_html_node_histogram_fast,
         "html_max_depth": _q_html_max_depth,
         "html_attrs_by_tag": _q_html_attrs_by_tag,
         # training-data pipeline ops
@@ -383,6 +438,12 @@ SELECT url, case when doc_id % 97 = 0
   else NULL end AS error
 FROM pages
 """,
+        "html_flat_error_rows": f"""
+WITH {_DUCK_PAGES}
+SELECT url,
+  'cannot transform bytes from binary to a valid UTF8 string' AS error
+FROM pages WHERE doc_id % 97 = 0
+""",
         "url_host_counts": (
             "SELECT 'host' || cast(doc_id % 50 as string) || '.example' AS "
             "host, count(*) AS n FROM documents GROUP BY host ORDER BY host"
@@ -398,19 +459,9 @@ FROM pages
         ),
         # template node counts: 12 elements + 8 texts fixed, +1 comment if
         # d%3=0, +1 element +1 text if d%5=0, 1 doc + 1 doctype per page
-        "html_node_histogram": """
-WITH t AS (SELECT count(*) AS n,
-                  sum(case when doc_id % 3 = 0 then 1 else 0 end) AS c3,
-                  sum(case when doc_id % 5 = 0 then 1 else 0 end) AS c5
-           FROM documents)
-SELECT * FROM (
-  SELECT 'comment' AS type, c3::BIGINT AS n FROM t
-  UNION ALL SELECT 'doctype', n::BIGINT FROM t
-  UNION ALL SELECT 'document', n::BIGINT FROM t
-  UNION ALL SELECT 'element', (12 * n + c5)::BIGINT FROM t
-  UNION ALL SELECT 'text', (8 * n + c5)::BIGINT FROM t
-) ORDER BY type
-""",
+        "html_node_histogram": _NODE_HISTOGRAM_ORACLE,
+        # identical truth, computed from per-doc metric columns
+        "html_node_histogram_fast": _NODE_HISTOGRAM_ORACLE,
         "html_max_depth": (
             f"WITH {_DUCK_PAGES} SELECT url, 5::BIGINT AS max_depth FROM pages"
         ),

@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 
 from ..parser.api import UTF8_ERROR, parse_document, tree_to_json
 from ..parser.extract import extract_all, extract_text_v2
+from ..parser.treebuilder import ParseBudgetExceeded
 
 
 def _doc_or_none(html):
@@ -29,7 +30,9 @@ def _doc_or_none(html):
         if isinstance(html, (bytes, bytearray, memoryview)):
             html = bytes(html).decode("utf-8", errors="strict")
         return parse_document(html, max_nodes=1_000_000, max_depth=512).doc
-    except Exception:
+    except (UnicodeDecodeError, ParseBudgetExceeded):
+        # ONLY the contract's row-level error paths null out; a genuine
+        # parser defect must propagate, not silently become NULL
         return None
 
 

@@ -40,7 +40,13 @@ def normalize_url(url) -> Column:
     rest = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostpart = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
     hostpart = F.regexp_replace(hostpart, r"^[^@]*@", "")  # strip userinfo
-    hostpart = F.regexp_replace(hostpart, r":(80|443)$", "")
+    # strip only the scheme's OWN default port: http://host:443 is a
+    # distinct origin from http://host and must not collapse
+    hostpart = F.when(
+        scheme == "http", F.regexp_replace(hostpart, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostpart, r":443$", "")
+    ).otherwise(hostpart)
     path = F.regexp_replace(rest, r"^[^/]*", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.regexp_replace(path, r"^(/.+?)/$", r"$1")

@@ -85,6 +85,7 @@ def srp_bucket_ann(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via signed-random-projection buckets.
 
@@ -93,13 +94,13 @@ def srp_bucket_ann(
     parity of a hex digit of md5('p:d'). Bucket = bitstring of
     sign(dot(v, plane)). Join is bucket-equality only (the scale path:
     candidate set ≪ corpus). Output (query_id, neighbor_id, rank, sim).
-    """
-    dim = len(emb.select(vec_col).first()[0])
-    # deterministic ±1 plane weights
-    import hashlib
 
-    def w(p, d):
-        return 1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+    Pass ``dim`` explicitly when known (schema metadata / config) —
+    the ``None`` fallback peeks at one row, a driver-side action.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    w = _srp_weight
 
     def dot_expr(col, p):
         terms = " + ".join(

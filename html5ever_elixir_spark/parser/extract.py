@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import re
 
-from .dom import COMMENT, DOCTYPE, ELEMENT, HTML_NS, PI, TEXT, Node
+from .dom import COMMENT, DOCTYPE, DOCUMENT, ELEMENT, HTML_NS, PI, TEXT, Node
 
 EXTRACT_VERSION = "1"
 
@@ -206,6 +206,13 @@ def extract_all(doc: Node) -> dict:
     n_text_chars = 0
     n_anchors = 0
     max_depth = 0
+    # per-type counts (rendered DOM reachable from the root; <template>
+    # hidden documents are detached and intentionally not counted)
+    n_texts = 0
+    n_comments = 0
+    n_doctypes = 0
+    n_pis = 0
+    n_documents = 0
 
     def flush():
         nonlocal buf, total, anchor
@@ -232,6 +239,7 @@ def extract_all(doc: Node) -> dict:
         if depth > max_depth:
             max_depth = depth
         if t == TEXT:
+            n_texts += 1
             n_text_chars += len(node.contents)
             if in_title and title_parts is not None:
                 title_parts.append(node.contents)
@@ -242,9 +250,17 @@ def extract_all(doc: Node) -> dict:
                     anchor += len(node.contents)
             continue
         if t in (COMMENT, DOCTYPE, PI):
+            if t == COMMENT:
+                n_comments += 1
+            elif t == DOCTYPE:
+                n_doctypes += 1
+            else:
+                n_pis += 1
             continue
         child_skipped = skipped
         child_in_title = in_title
+        if t == DOCUMENT:
+            n_documents += 1
         if t == ELEMENT:
             n_elements += 1
             if node.name == "a":
@@ -292,6 +308,11 @@ def extract_all(doc: Node) -> dict:
         "n_text_chars": n_text_chars,
         "n_anchors": n_anchors,
         "max_depth": max_depth,
+        "n_texts": n_texts,
+        "n_comments": n_comments,
+        "n_doctypes": n_doctypes,
+        "n_pis": n_pis,
+        "n_documents": n_documents,
     }
 
 

@@ -255,13 +255,19 @@ class TreeBuilder:
         return n
 
     def _create_element(self, name: str, attrs, namespace: str = HTML_NS) -> Node:
+        template_contents = None
+        if namespace == HTML_NS and name == "template":
+            # hidden document for template contents. Rust evaluates the
+            # NodeData::Element struct argument — including
+            # template_contents: Some(self.new_node(Document)) — BEFORE
+            # the outer new_node call (arena_sink.rs:267-276), so the
+            # hidden document takes id N and the element id N+1.
+            template_contents = self._new_node(DOCUMENT)
         el = self._new_node(ELEMENT)
         el.name = name
         el.namespace = namespace
         el.attrs = attrs
-        if namespace == HTML_NS and name == "template":
-            # hidden document for template contents (arena_sink.rs:270-273)
-            el.template_contents = self._new_node(DOCUMENT)
+        el.template_contents = template_contents
         if namespace == MATHML_NS and name == "annotation-xml":
             enc = (el.get_attr("encoding") or "").lower()
             el.mathml_annotation_xml_integration = enc in (
@@ -2393,7 +2399,11 @@ for _t in ("a", "b", "big", "code", "em", "font", "i", "nobr", "s",
 for _t in ("div", "center", "blockquote", "section", "article", "aside",
            "nav", "footer", "header", "main", "ul", "ol", "dl", "details",
            "figure", "figcaption", "menu", "summary", "fieldset", "dir",
-           "hgroup", "dialog", "address"):
+           "hgroup", "dialog", "address",
+           # the spec's in-body END-tag block set additionally includes
+           # pre/listing/button (WHATWG §13.2.6.4.7 "An end tag whose tag
+           # name is one of …"); the START-tag sets deliberately differ
+           "pre", "listing", "button"):
     _HOT_END[_t] = TreeBuilder._eb_block
 
 _MODE_DISPATCH = {

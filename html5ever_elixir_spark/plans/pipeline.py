@@ -39,8 +39,12 @@ SALT = 16
 
 
 def dedup_latest_capture(pages: DataFrame) -> DataFrame:
-    """Keep the newest warc_ts capture per url."""
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    """Keep the newest warc_ts capture per url. md5(html) breaks
+    equal-timestamp ties so a resumed/re-run pipeline always keeps the
+    SAME capture (byte-identical-per-url output guarantee)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.md5(F.col("html").cast("binary")))
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -176,10 +180,17 @@ def run_extraction_pipeline(
     host_metrics(all_extracted).write.mode("overwrite").parquet(
         os.path.join(output_dir, "metrics", "host_metrics")
     )
+    # total from the lineage records (each counts exactly what its group
+    # committed) — no extra full scan of the output
+    total = 0
+    for name in os.listdir(_lineage_path(output_dir)):
+        if name.startswith("group-") and name.endswith(".json"):
+            with open(os.path.join(_lineage_path(output_dir), name)) as f:
+                rec = json.load(f)
+            if rec.get("status") == "complete":
+                total += rec.get("n_docs", 0)
     return {
         "groups_run": ran,
         "groups_skipped": sorted(done),
-        "total_docs": spark.read.parquet(
-            os.path.join(output_dir, "extracted")
-        ).count(),
+        "total_docs": total,
     }

@@ -349,8 +349,9 @@ def test_parse_budget_exceeded():
 
 
 def test_template_hidden_document_id_order():
-    # reference arena_sink.rs:270-273: template element id n, its hidden
-    # contents document id n+1
+    # reference arena_sink.rs:267-276: Rust evaluates the struct argument
+    # (incl. template_contents: Some(self.new_node(Document))) before the
+    # outer new_node call — hidden document id n, template element id n+1
     from html5ever_elixir_spark.parser.api import parse_document
     from html5ever_elixir_spark.parser.dom import ELEMENT
 
@@ -359,7 +360,7 @@ def test_template_hidden_document_id_order():
     while stack:
         node = stack.pop()
         if node.type == ELEMENT and node.name == "template":
-            assert node.template_contents.id == node.id + 1
+            assert node.template_contents.id == node.id - 1
             assert node.children == []  # contents detached
             assert node.template_contents.children[0].name == "p"
             return

@@ -1,0 +1,173 @@
+"""Round-2 regression tests: spec end-tag handling (pre/listing/
+button), template id order (reference parity), flat-nodes error
+sentinel + parse budget, scheme-aware URL port stripping, SQL-UDF
+exception propagation, deterministic latest-capture tiebreak."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# -- parser: in-body END-tag block set includes pre/listing/button ---------
+# (WHATWG §13.2.6.4.7; html5ever tree_builder/rules.rs handles these in
+# the same arm as div/ul/...)
+
+def _body_children(html):
+    from html5ever_elixir_spark.parser.api import parse_document
+
+    doc = parse_document(html).doc
+    body = doc.children[-1].children[-1]
+    assert body.name == "body"
+    return body
+
+
+@pytest.mark.parametrize("tag", ["pre", "listing", "button"])
+def test_end_tag_pops_open_descendants(tag):
+    body = _body_children(f"<{tag}><div>x</{tag}>y")
+    names = [getattr(c, "name", None) or c.type for c in body.children]
+    # the element closed at </tag>; y is a direct child of body
+    assert names[0] == tag
+    assert body.children[-1].type == "text"
+    assert body.children[-1].contents == "y"
+
+
+def test_end_tag_button_uses_plain_scope():
+    # </button> with no open button: parse error, ignored — x/y merge
+    body = _body_children("<div>x</button>y</div>")
+    div = body.children[0]
+    assert div.name == "div"
+    assert [c.contents for c in div.children if c.type == "text"] == ["xy"]
+
+
+def test_template_hidden_doc_allocated_before_element():
+    # arena_sink.rs:267-276: struct argument evaluated before the outer
+    # new_node → hidden document id N, template element id N+1
+    from html5ever_elixir_spark.parser.api import parse_document
+
+    builder = parse_document("<body><template>x</template>")
+    stack = [builder.doc]
+    tpl = None
+    while stack:
+        n = stack.pop()
+        if getattr(n, "name", None) == "template":
+            tpl = n
+            break
+        stack.extend(n.children)
+    assert tpl is not None
+    assert tpl.template_contents.id == tpl.id - 1
+
+
+# -- flat-nodes error sentinel + budget ------------------------------------
+
+
+def test_flat_nodes_error_sentinel_rows(spark):
+    from html5ever_elixir_spark.operators.parse import flat_parse_nodes
+    from html5ever_elixir_spark.parser.api import UTF8_ERROR
+
+    pages = spark.createDataFrame(
+        [("u1", bytearray(b"<p>ok</p>")), ("u2", bytearray(b"<htm\xff"))],
+        "url string, html binary",
+    )
+    nodes = flat_parse_nodes(pages).cache()
+    err = nodes.where("type = 'error'").collect()
+    assert len(err) == 1
+    assert err[0]["url"] == "u2"
+    assert err[0]["contents"] == UTF8_ERROR
+    assert err[0]["node_id"] is None
+    # the good doc still yields real node rows
+    assert nodes.where("url = 'u1' AND type = 'element'").count() > 0
+
+
+def test_flat_nodes_respects_parse_budget(spark):
+    from html5ever_elixir_spark.operators.parse import flat_parse_nodes
+
+    bomb = "<div>" * 5000
+    pages = spark.createDataFrame([("u", bomb)], "url string, html string")
+    nodes = flat_parse_nodes(pages, max_nodes=100).cache()
+    err = nodes.where("type = 'error'").collect()
+    assert len(err) == 1 and "budget" in err[0]["contents"]
+    assert nodes.where("type <> 'error'").count() == 0
+
+
+# -- per-doc node-type metric columns ---------------------------------------
+
+
+def test_parse_metrics_match_flat_node_counts(spark):
+    from html5ever_elixir_spark.operators.parse import (
+        flat_parse_nodes,
+        parse_and_extract,
+    )
+    from html5ever_elixir_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(30)
+    parsed = parse_and_extract(pages)
+    agg = parsed.agg(
+        F.sum("n_texts").alias("text"),
+        F.sum("n_comments").alias("comment"),
+        F.sum("n_doctypes").alias("doctype"),
+        F.sum("n_documents").alias("document"),
+        F.sum("n_elements").alias("element"),
+    ).first()
+    hist = {
+        r["type"]: r["n"]
+        for r in flat_parse_nodes(pages).groupBy("type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for t in ("text", "comment", "doctype", "document", "element"):
+        assert agg[t] == hist.get(t, 0), t
+
+
+# -- URL normalization: scheme-conditional default-port strip ---------------
+
+
+def test_normalize_url_port_strip_is_scheme_aware(spark):
+    from html5ever_elixir_spark.functions.url import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("http://h.example:80/a",),
+            ("https://h.example:443/a",),
+            ("http://h.example:443/a",),   # NOT default — keep
+            ("https://h.example:80/a",),   # NOT default — keep
+        ],
+        "u string",
+    ).select(normalize_url("u").alias("n"))
+    got = [r["n"] for r in df.collect()]
+    assert got == [
+        "http://h.example/a",
+        "https://h.example/a",
+        "http://h.example:443/a",
+        "https://h.example:80/a",
+    ]
+
+
+# -- SQL UDFs: parser defects propagate, contract errors null ----------------
+
+
+def test_sql_udf_narrow_exception_trap(spark, monkeypatch):
+    from html5ever_elixir_spark.functions import sql_udfs
+
+    assert sql_udfs._doc_or_none(b"\xff") is None  # UTF-8 → NULL
+    with pytest.raises(RuntimeError):
+        monkeypatch.setattr(
+            sql_udfs,
+            "parse_document",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("bug")),
+        )
+        sql_udfs._doc_or_none("<p>x</p>")
+
+
+# -- pipeline: deterministic equal-timestamp capture choice ------------------
+
+
+def test_latest_capture_tiebreak_deterministic(spark):
+    from html5ever_elixir_spark.plans.pipeline import dedup_latest_capture
+
+    rows = [("u", "2024-01-01 00:00:00", h) for h in ("aaa", "zzz", "mmm")]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, html string")
+    df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    picks = {
+        dedup_latest_capture(df.orderBy(F.rand(seed))).first()["html"]
+        for seed in (1, 2, 3)
+    }
+    assert len(picks) == 1  # same capture regardless of input order
