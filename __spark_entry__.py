@@ -272,6 +272,10 @@ def _q_dedup_lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_lsh_clusters(spark, sf_dir):
+    return dedup.lsh_clusters(_docs(spark, sf_dir))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -384,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dom_normalized": _q_dedup_dom,
         "dedup_minhash_sig": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "ann_cosine_topk": _q_ann_topk,
@@ -495,6 +500,7 @@ SELECT * FROM (
             f"FROM ({dedup.oracle_minhash_sql()})"
         ),
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
+        "dedup_lsh_clusters": dedup.oracle_lsh_clusters_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
         "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),

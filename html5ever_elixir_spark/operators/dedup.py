@@ -134,17 +134,27 @@ def oracle_minhash_sql(
     )
 
 
-def lsh_candidate_pairs(
+# pairwise LSH output is quadratic per bucket: a bucket of B near-identical
+# docs (boilerplate cluster, mirrored page) yields B²/2 pairs. Above this
+# cap the pairs carry no information pairwise Jaccard verify could use —
+# route those buckets through lsh_clusters (O(B) representative edges).
+DEFAULT_MAX_BUCKET = 64
+
+
+def _lsh_banded(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 16,
-    bands: int = 4,
-    shingle: int = 5,
+    text_col: str,
+    id_col: str,
+    k: int,
+    bands: int,
+    shingle: int,
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing any band of r=k/bands
-    consecutive signature entries. Output (id_a, id_b) with id_a < id_b,
-    distinct. The band bucket join is the single shuffle."""
+    """(id, band, bh) — one row per (doc, band); band hash = md5 of the
+    r consecutive signature entries. Docs with null signatures (< shingle
+    words) are EXCLUDED: they are not near-duplicates of each other, and
+    the DuckDB oracle's null-propagating ``||`` never matches them either
+    (keeping the engines agreeing instead of Spark's concat_ws
+    silently collapsing them all into the md5('') mega-bucket)."""
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle)
@@ -156,9 +166,39 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bh")
+    return (
+        sigs.where(F.col("sig")[0].isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
+        .select(id_col, "bb.band", "bb.bh")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band of r=k/bands
+    consecutive signature entries. Output (id_a, id_b) with id_a < id_b,
+    distinct. The band bucket join is the single shuffle.
+
+    Buckets larger than ``max_bucket`` are skipped (no pairs emitted):
+    such buckets are (near-)identical clusters whose B²/2 pairwise edges
+    are redundant — :func:`lsh_clusters` labels them in O(B). The size
+    pre-count shares the (band, bh) shuffle key with the self-join, so
+    AQE aligns the exchanges; pass ``max_bucket=None`` for uncapped."""
+    banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(sizes.where(F.col("_bsz") <= max_bucket),
+                        ["band", "bh"])
+            .drop("_bsz")
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -175,23 +215,161 @@ def lsh_candidate_pairs(
     )
 
 
-def oracle_lsh_pairs_sql(
-    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5
+def lsh_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """Scale path for duplicate-heavy corpora: label every doc with a
+    cluster representative instead of materializing pairwise edges.
+
+    cluster_id = min over the doc's band buckets of (min doc id in that
+    bucket); docs sharing any band bucket with a lower-id doc point at
+    it. Per bucket this is O(B) rows (one groupBy + one join), never
+    B²/2 — the fix for the r1 verdict's quadratic-bucket blowup. Output
+    (doc_id, cluster_id, is_keeper) covering EVERY input doc (short/
+    null-sig docs are their own cluster).
+
+    This is single-round min-label propagation: exact-dup clusters (the
+    pathological case) converge in this one round because equal texts
+    share every bucket. Chained near-dup clusters (A~B~C, A!~C) may need
+    :func:`lsh_connected_components` to fully merge."""
+    banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
+    reps = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_rep"))
+    labels = (
+        banded.join(reps, ["band", "bh"])
+        .groupBy(id_col)
+        .agg(F.min("_rep").alias("_lbl"))
+    )
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lbl"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("_lbl"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+def lsh_connected_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Full connected components over the band-bucket graph via
+    alternating min-label propagation (the large-star/small-star style
+    loop; each round is two shuffles, convergence in O(log n) rounds for
+    real dup graphs). Output (doc_id, cluster_id).
+
+    Iterative — not SQL-expressible in one statement; gated by pytest
+    against a brute-force union-find on small inputs."""
+    banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
+    # doc -> current label, seeded by the single-round bucket minimum
+    labels = (
+        banded.join(
+            banded.groupBy("band", "bh").agg(F.min(id_col).alias("_rep")),
+            ["band", "bh"],
+        )
+        .groupBy(id_col)
+        .agg(F.min("_rep").alias("lbl"))
+    )
+    bucket_membership = banded.select(id_col, "band", "bh")
+    for _ in range(max_iter):
+        # bucket label = min member label; doc label = min bucket label
+        with_lbl = bucket_membership.join(labels, id_col)
+        bucket_min = with_lbl.groupBy("band", "bh").agg(
+            F.min("lbl").alias("blbl")
+        )
+        new_labels = (
+            bucket_membership.join(bucket_min, ["band", "bh"])
+            .groupBy(id_col)
+            .agg(F.min("blbl").alias("lbl"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def _oracle_banded_cte(
+    table: str, k: int, bands: int, shingle: int
 ) -> str:
+    """sigs + banded CTE bodies shared by the LSH pair/cluster oracles.
+    Null signatures excluded, matching _lsh_banded."""
     r = k // bands
     inner = oracle_minhash_sql(table, k, shingle)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
         "md5(" + " || '|' || ".join(f"sig[{b * r + j + 1}]" for j in range(r)) + ") AS bh "
-        f"FROM sigs"
+        f"FROM sigs WHERE sig[1] IS NOT NULL"
         for b in range(bands)
     )
+    return f"sigs AS ({inner}), banded AS ({band_rows})"
+
+
+def oracle_lsh_pairs_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    cte = _oracle_banded_cte(table, k, bands, shingle)
+    if max_bucket is not None:
+        cte += (
+            ", small AS (SELECT doc_id, band, bh FROM ("
+            "SELECT *, count(*) OVER (PARTITION BY band, bh) AS _bsz "
+            f"FROM banded) WHERE _bsz <= {max_bucket})"
+        )
+        src = "small"
+    else:
+        src = "banded"
     return (
-        f"WITH sigs AS ({inner}), banded AS ({band_rows}) "
+        f"WITH {cte} "
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM banded a JOIN banded b "
+        f"FROM {src} a JOIN {src} b "
         "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
     )
+
+
+def oracle_lsh_clusters_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5
+) -> str:
+    cte = _oracle_banded_cte(table, k, bands, shingle)
+    return f"""
+WITH {cte},
+reps AS (SELECT band, bh, min(doc_id) AS _rep FROM banded GROUP BY band, bh),
+labels AS (
+  SELECT banded.doc_id, min(_rep) AS _lbl
+  FROM banded JOIN reps ON banded.band = reps.band AND banded.bh = reps.bh
+  GROUP BY banded.doc_id
+)
+SELECT t.doc_id,
+       coalesce(_lbl, t.doc_id) AS cluster_id,
+       coalesce(_lbl, t.doc_id) = t.doc_id AS is_keeper
+FROM {table} t LEFT JOIN labels ON t.doc_id = labels.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,92 @@ def test_latest_capture_tiebreak_deterministic(spark):
         for seed in (1, 2, 3)
     }
     assert len(picks) == 1  # same capture regardless of input order
+
+
+# -- LSH: duplicate-bucket blowup fix ----------------------------------------
+
+
+def test_lsh_pairs_skip_oversized_buckets(spark):
+    from html5ever_elixir_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_clusters,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(1000)] + [
+        (2000, "completely different words for another small document here"),
+        (2001, "completely different words for another small document here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 1000 identical docs share every band: pairwise would be ~500k rows.
+    pairs = lsh_candidate_pairs(docs).cache()
+    got = pairs.count()
+    assert got == 1  # only the small (size-2) bucket pairs survive
+    # the oversized cluster is fully recovered by the O(B) cluster path
+    clusters = lsh_clusters(docs).cache()
+    assert clusters.where("cluster_id = 0").count() == 1000
+    assert clusters.where("is_keeper").count() == 2  # doc 0 and doc 2000
+
+
+def test_lsh_clusters_short_docs_are_own_cluster(spark):
+    # < shingle words → null signature → excluded from banding on BOTH
+    # engines (DuckDB's || null-propagates); each is its own cluster
+    from html5ever_elixir_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_clusters,
+    )
+
+    rows = [(1, "too short"), (2, "too short"), (3, "also tiny")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert lsh_candidate_pairs(docs).count() == 0
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in lsh_clusters(docs).collect()
+    }
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_lsh_connected_components_matches_union_find(spark):
+    from html5ever_elixir_spark.operators.dedup import (
+        _lsh_banded,
+        lsh_connected_components,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+    rows = []
+    for i in range(40):
+        words = list(base)
+        # drift a few words so neighbors chain: i~i+1 similar, 0!~39
+        for j in range(i % 7):
+            words[j] = f"w{i}x{j}"
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # brute-force union-find over the same band-bucket edges
+    banded = _lsh_banded(docs, "text", "doc_id", 16, 4, 5).collect()
+    parent = {i: i for i in range(40)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets = {}
+    for r in banded:
+        buckets.setdefault((r["band"], r["bh"]), []).append(r["doc_id"])
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(40)}
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in lsh_connected_components(docs).collect()
+    }
+    assert got == expected
