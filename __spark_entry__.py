@@ -77,6 +77,21 @@ SELECT * FROM (
 """
 
 
+# maps-mode variant: every attr list in the template is single-entry, so
+# the JSON-object encoding is a mechanical bracket rewrite of the same
+# reconstruction ([["k","v"]] → {"k":"v"}, [] → {})
+_TREE_JSON_MAPS_ORACLE = (
+    _TREE_JSON_ORACLE
+    .replace('[["class","content"]]', '{"class":"content"}')
+    .replace('[["class","nav"]]', '{"class":"nav"}')
+    .replace('[["href","/p/', '{"href":"/p/')
+    .replace('"]],["next"]]', '"},["next"]]')
+    .replace('"]],["more"]]', '"},["more"]]')
+    .replace(",[],", ",{},")
+    .replace("AS tree_json", "AS tree_json_maps")
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build pages from sf0.001 documents, parse every page
     with the from-scratch HTML5 parser, extract main content + DOM
@@ -162,6 +177,60 @@ def _q_html_tree_json(spark, sf_dir):
 
     return parse_and_extract(pages, with_tree_json=True).select(
         "url", "tree_json"
+    )
+
+
+def _q_html_tree_json_maps(spark, sf_dir):
+    # maps-mode nested tree (reference parse_with_attributes_as_maps/1,
+    # lib/html5ever.ex:62-64): attrs encoded as a first-wins JSON object
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.parser.api import parse_document, tree_to_json
+
+    def fn(batches):
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "url": urls,
+                    "tree_json_maps": [
+                        tree_to_json(parse_document(h).doc, attrs_as_maps=True)
+                        for h in htmls
+                    ],
+                }
+            )
+
+    return (
+        _pages(spark, sf_dir)
+        .select("url", "html")
+        .mapInArrow(fn, "url string, tree_json_maps string")
+    )
+
+
+def _q_html_attrs_map_merge(spark, sf_dir):
+    # first-wins attrs_map semantics through the one place duplicates
+    # can reach the DOM: the <html> root-merge of a second <html> tag
+    # (reference add_attrs_if_missing, test/html5ever_test.exs:67-91).
+    # Pages are synthesized by ONE SQL expression both engines evaluate.
+    docs = _docs(spark, sf_dir)
+    pages = docs.selectExpr(
+        "'doc://' || cast(doc_id as string) AS url",
+        "'<html lang=\"l' || cast(doc_id as string) || '\"><head></head>'"
+        " || '<body><p>x</p></body></html>'"
+        " || '<html lang=\"zzz\" dir=\"d' || cast(doc_id as string) || '\">'"
+        " AS html",
+    )
+    nodes = flat_parse_nodes(pages)
+    return (
+        nodes.where("type = 'element' AND name = 'html'")
+        .select(
+            "url",
+            F.expr("element_at(attrs_map, 'lang')").alias("lang_attr"),
+            F.expr("element_at(attrs_map, 'dir')").alias("dir_attr"),
+            F.size("attrs").cast("bigint").alias("n_attr_pairs"),
+            F.size(F.map_keys("attrs_map")).cast("bigint").alias("n_map_keys"),
+        )
     )
 
 
@@ -280,6 +349,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _q_dedup_simhash64(spark, sf_dir):
+    return dedup.simhash64(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
@@ -300,6 +377,27 @@ def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
     # pair set (real corpora would use ~0.95)
     return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _q_media_features(spark, sf_dir):
+    # multimodal plumbing gate: binary payloads synthesized from the
+    # documents table by ONE expression both engines evaluate; the
+    # deterministic columns (n_bytes, sha256, decode_error) are
+    # DuckDB-reproducible — the decode feature vector is stub/PIL
+    # dependent and intentionally excluded from the oracle compare
+    from html5ever_elixir_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    media = _docs(spark, sf_dir).selectExpr(
+        "doc_id AS media_id",
+        "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind",
+        "cast(text as binary) AS payload",
+        "named_struct('width', 0, 'height', 0, 'mime', 'text/plain') AS meta",
+    )
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "decode_error"
+    )
 
 
 def _q_token_count(spark, sf_dir):
@@ -371,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # HTML engine (parse + extract, end-to-end vs SQL-reconstructed oracle)
         "html_tree_json": _q_html_tree_json,
+        "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text": _q_html_extract,
         "html_extract_text_v2": _q_html_extract_v2,
@@ -390,10 +490,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "ann_cosine_topk": _q_ann_topk,
         "ann_srp_bucket": _q_ann_srp,
         "emb_neardup_pairs": _q_emb_neardup,
+        "media_features": _q_media_features,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -414,6 +517,17 @@ def oracle_sql() -> dict[str, str]:
         # byte-exact nested-tree JSON, reconstructed in SQL from the
         # template structure (validates the full canonical encoder)
         "html_tree_json": _TREE_JSON_ORACLE,
+        # maps-mode encoding: attrs become first-wins JSON objects; on
+        # the template corpus that is a pure bracket-form rewrite of the
+        # pair-list oracle (single attrs throughout)
+        "html_tree_json_maps": _TREE_JSON_MAPS_ORACLE,
+        "html_attrs_map_merge": (
+            "SELECT 'doc://' || cast(doc_id as string) AS url, "
+            "'l' || cast(doc_id as string) AS lang_attr, "
+            "'d' || cast(doc_id as string) AS dir_attr, "
+            "2::BIGINT AS n_attr_pairs, 2::BIGINT AS n_map_keys "
+            "FROM documents"
+        ),
         # text-node count + decoded char count per url (entity decode +
         # collapse validated through the flat nodes table)
         "html_text_nodes": """
@@ -502,12 +616,22 @@ SELECT * FROM (
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_lsh_clusters": dedup.oracle_lsh_clusters_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
+        "dedup_simhash64": dedup.oracle_simhash64_sql(),
+        "dedup_simhash_pairs": dedup.oracle_simhash_pairs_sql(max_hamming=16),
         "dedup_ngram_jaccard": dedup.oracle_ngram_jaccard_sql(threshold=0.5),
         "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),
         # same md5-derived hyperplanes inlined as constants (dim=64 fixed
         # by the embeddings table)
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
+        "media_features": (
+            "SELECT doc_id AS media_id, "
+            "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "
+            "octet_length(encode(text))::BIGINT AS n_bytes, "
+            "sha256(text) AS sha256, "
+            "cast(NULL as varchar) AS decode_error "
+            "FROM documents"
+        ),
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_quality": textstats.oracle_quality_sql(),
         "text_lang_id": textstats.oracle_lang_id_sql(),

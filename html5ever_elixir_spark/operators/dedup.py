@@ -414,6 +414,173 @@ def oracle_simhash_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# SimHash-64 (two 32-bit halves: sign-safe in both engines' BIGINT) +
+# Hamming candidate pairs via 16-bit-chunk bucketing
+
+
+def _majority_bits(arr: str, offset_hex: int) -> str:
+    """SQL expr: 32-bit majority fingerprint over word-hash array
+    ``arr``; word hash = md5 hex chars [offset_hex, offset_hex+8) as a
+    32-bit int. Bit i set iff more than half the distinct word hashes
+    have bit i set."""
+    return " + ".join(
+        f"(case when 2 * size(filter({arr}, h -> (shiftright(h, {i}) & 1) = 1)) "
+        f"> size({arr}) then cast({1 << i} as bigint) else 0 end)"
+        for i in range(32)
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, simhash_hi, simhash_lo) — a 64-bit SimHash as two 32-bit
+    halves (hi = md5 hex [1,8], lo = [9,16] of each distinct word).
+    32 bits collide heavily at 10^12 docs (birthday bound ~2^16); the
+    64-bit form is the corpus-scale fingerprint. Row-local, no shuffle."""
+    wh_hi = (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    )
+    wh_lo = (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        "w -> cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint))"
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.expr(wh_hi).alias("_wh"), F.expr(wh_lo).alias("_wl")
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"({_majority_bits('_wh', 0)})").alias("simhash_hi"),
+            F.expr(f"({_majority_bits('_wl', 8)})").alias("simhash_lo"),
+        )
+    )
+
+
+def oracle_simhash64_sql(table: str = "documents") -> str:
+    def wh(start):
+        return (
+            "list_transform(list_distinct(str_split(text, ' ')), "
+            f"w -> ('0x' || substr(md5(w), {start}, 8))::BIGINT)"
+        )
+
+    def bits(arr):
+        return " + ".join(
+            f"(case when 2 * len(list_filter({arr}, h -> ((h >> {i}) & 1) = 1)) "
+            f"> len({arr}) then {1 << i}::BIGINT else 0 end)"
+            for i in range(32)
+        )
+
+    return (
+        f"SELECT doc_id, ({bits('_wh')}) AS simhash_hi, "
+        f"({bits('_wl')}) AS simhash_lo FROM "
+        f"(SELECT doc_id, {wh(1)} AS _wh, {wh(9)} AS _wl FROM {table})"
+    )
+
+
+# the four 16-bit chunks of (hi, lo); Hamming distance <= 3 guarantees
+# at least one chunk is bit-identical (pigeonhole over 4 chunks)
+_CHUNK_EXPRS = (
+    "shiftright(simhash_hi, 16) & 65535",
+    "simhash_hi & 65535",
+    "shiftright(simhash_lo, 16) & 65535",
+    "simhash_lo & 65535",
+)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup candidates by 64-bit SimHash Hamming distance:
+    bucket on each of the four 16-bit chunks (any Hamming-≤3 pair
+    shares a chunk), join in-bucket only, verify exact distance with
+    bit_count(xor). Oversized chunk buckets (identical/boilerplate
+    clusters) are skipped like lsh_candidate_pairs — route those
+    through exact_dedup / lsh_clusters. Output (id_a, id_b, hamming)."""
+    sh = simhash64(docs, text_col, id_col)
+    chunked = sh.select(
+        F.col(id_col),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"), F.expr(e).alias("cv")
+                )
+                for i, e in enumerate(_CHUNK_EXPRS)
+            ])
+        ).alias("cc"),
+    ).select(id_col, "simhash_hi", "simhash_lo", "cc.chunk", "cc.cv")
+    if max_bucket is not None:
+        sizes = chunked.groupBy("chunk", "cv").agg(F.count("*").alias("_bsz"))
+        chunked = (
+            chunked.join(sizes.where(F.col("_bsz") <= max_bucket),
+                         ["chunk", "cv"])
+            .drop("_bsz")
+        )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = (
+        "cast(bit_count(a.simhash_hi ^ b.simhash_hi) "
+        "+ bit_count(a.simhash_lo ^ b.simhash_lo) as bigint)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(ham).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def oracle_simhash_pairs_sql(
+    table: str = "documents",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    inner = oracle_simhash64_sql(table)
+    duck_chunks = (
+        "(simhash_hi >> 16) & 65535",
+        "simhash_hi & 65535",
+        "(simhash_lo >> 16) & 65535",
+        "simhash_lo & 65535",
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash_hi, simhash_lo, {i} AS chunk, ({e}) AS cv "
+        "FROM sh"
+        for i, e in enumerate(duck_chunks)
+    )
+    src = "chunked"
+    cap = ""
+    if max_bucket is not None:
+        cap = (
+            ", small AS (SELECT doc_id, simhash_hi, simhash_lo, chunk, cv "
+            "FROM (SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS _bsz "
+            f"FROM chunked) WHERE _bsz <= {max_bucket})"
+        )
+        src = "small"
+    return f"""
+WITH sh AS ({inner}), chunked AS ({chunk_rows}){cap}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  (bit_count(xor(a.simhash_hi, b.simhash_hi))
+   + bit_count(xor(a.simhash_lo, b.simhash_lo)))::BIGINT AS hamming
+FROM {src} a JOIN {src} b
+  ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE (bit_count(xor(a.simhash_hi, b.simhash_hi))
+   + bit_count(xor(a.simhash_lo, b.simhash_lo))) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard over candidate pairs
 
 

@@ -27,9 +27,18 @@ FEATURES_SCHEMA = (
 )
 
 
+try:  # real decoder when the runtime has PIL; sandbox does not
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    Image = None
+    _HAS_PIL = False
+
+
 def _decode_image_stub(payload: bytes, n_dims: int = 8) -> list[float]:
     """Deterministic fake 'embedding': byte-histogram folded to n_dims.
-    A real decoder (PIL → resize → model) drops in here; raising
+    Used when PIL is unavailable (this sandbox); raising
     NotImplementedError per modality is also acceptable upstream."""
     if payload is None:
         raise ValueError("null payload")
@@ -37,6 +46,25 @@ def _decode_image_stub(payload: bytes, n_dims: int = 8) -> list[float]:
     for i, b in enumerate(payload):
         acc[i % n_dims] += b
     total = max(sum(acc), 1)
+    return [round(a / total, 6) for a in acc]
+
+
+def _decode_image(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Real path: decode → grayscale → thumbnail → mean-pooled pixel
+    features. Falls back to the deterministic stub without PIL (the
+    Spark-side plumbing — schema, batching, error rows — is identical
+    either way)."""
+    if not _HAS_PIL:
+        return _decode_image_stub(payload, n_dims)
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    img.thumbnail((n_dims, n_dims))
+    px = list(img.getdata())
+    total = max(sum(px), 1)
+    acc = [0] * n_dims
+    for i, v in enumerate(px):
+        acc[i % n_dims] += v
     return [round(a / total, 6) for a in acc]
 
 
@@ -62,7 +90,7 @@ def extract_media_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
             errs = []
             for p in pdf["payload"]:
                 try:
-                    feats.append(_decode_image_stub(p, n_dims))
+                    feats.append(_decode_image(p, n_dims))
                     errs.append(None)
                 except Exception as e:  # decode failures are row-level
                     feats.append(None)

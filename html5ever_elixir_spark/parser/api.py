@@ -190,13 +190,26 @@ def flat_parse_attrs_maps(html):
 # canonical JSON encodings for Spark columns
 
 
-def tree_to_json(doc: Node) -> str:
+def tree_to_json(doc: Node, attrs_as_maps: bool = False) -> str:
     """Byte-stable canonical nested encoding (Spark ``tree_json`` column).
 
     Tagged arrays: document → ["#doc", [children]], element →
     ["e", name, [[n,v],...], [children]], text → "…", comment →
     ["c", data], doctype → ["d", name, public, system], pi →
-    ["p", target, data]. Compact separators, non-ASCII preserved."""
+    ["p", target, data]. Compact separators, non-ASCII preserved.
+
+    ``attrs_as_maps=True`` encodes attrs as a JSON object (insertion =
+    first-occurrence order) — the maps-mode surface of the reference's
+    ``parse_with_attributes_as_maps/1`` (lib/html5ever.ex:62-64)."""
+
+    def enc_attrs(attrs):
+        if not attrs_as_maps:
+            return [[n, v] for n, v in attrs]
+        out = {}
+        for n, v in attrs:
+            if n not in out:  # first wins (lib/html5ever.ex:46-47)
+                out[n] = v
+        return out
 
     def conv(node: Node):
         # children lists are shallow; recursion depth = DOM depth. Convert
@@ -211,8 +224,7 @@ def tree_to_json(doc: Node) -> str:
                 if stack:
                     gp = out_children[stack[-1][0].id]
                     gp.append(
-                        ["e", parent.name,
-                         [[n, v] for n, v in parent.attrs],
+                        ["e", parent.name, enc_attrs(parent.attrs),
                          out_children.pop(parent.id)]
                     )
                 continue

@@ -260,3 +260,35 @@ def test_lsh_connected_components_matches_union_find(spark):
         for r in lsh_connected_components(docs).collect()
     }
     assert got == expected
+
+
+# -- SimHash-64 + Hamming pairs ----------------------------------------------
+
+
+def test_simhash64_pairs_hamming(spark):
+    from html5ever_elixir_spark.operators.dedup import simhash64, simhash_pairs
+
+    t = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, t), (2, t),                       # identical → hamming 0
+            (3, t.replace("alpha", "ALPHA")),     # one word drift
+            (4, "entirely different content with other words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+          for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2]
+    assert all(0 <= v < 2**32 for pair in sh.values() for v in pair)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_pairs_cap_skips_identical_cluster(spark):
+    from html5ever_elixir_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, "same text repeated many many times over and over") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every chunk bucket has 200 members > cap → no quadratic pair dump
+    assert simhash_pairs(docs, max_bucket=64).count() == 0
+    assert simhash_pairs(docs, max_bucket=None).count() == 200 * 199 // 2
