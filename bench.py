@@ -81,8 +81,20 @@ def run_suite(spark, sf_dir: str):
         flat_parse_nodes(pages.limit(n_docs // 4).repartition(par))
         .groupBy("type").agg(F.count("*").alias("n"))
     ))
+    # same histogram from per-doc metric columns: no per-node rows cross
+    # the JVM boundary (apples-to-apples with flat_nodes_histogram)
+    timed("node_histogram_fast", lambda: _noop(
+        parse_and_extract(pages.limit(n_docs // 4).repartition(par)).agg(
+            F.sum("n_comments").alias("comment"),
+            F.sum("n_doctypes").alias("doctype"),
+            F.sum("n_documents").alias("document"),
+            F.sum("n_elements").alias("element"),
+            F.sum("n_texts").alias("text"),
+        )
+    ))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     timed("dedup_lsh_pairs", lambda: _noop(dedup.lsh_candidate_pairs(docs)))
+    timed("dedup_lsh_clusters", lambda: _noop(dedup.lsh_clusters(docs)))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
     timed("ann_cosine_topk", lambda: _noop(
         similarity.cosine_topk(emb, n_queries=20, k=10)

@@ -154,21 +154,27 @@ def _lsh_banded(
     words) are EXCLUDED: they are not near-duplicates of each other, and
     the DuckDB oracle's null-propagating ``||`` never matches them either
     (keeping the engines agreeing instead of Spark's concat_ws
-    silently collapsing them all into the md5('') mega-bucket)."""
+    silently collapsing them all into the md5('') mega-bucket).
+
+    Plan-shape note: the signature expression is bound ONCE as a lambda
+    variable (``transform(array(SIG), s -> …)``). Referencing the sig
+    column 16 times in a downstream projection lets CollapseProject
+    inline the full MinHash aggregate into every reference, and
+    higher-order functions are codegen-fallback (no subexpression
+    elimination) — measured ~10× recompute before this binding."""
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle)
-    band_exprs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
-                  ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    bands_arr = (
+        "element_at(transform(array(sig), s -> "
+        "case when s[0] IS NULL then "
+        "cast(array() as array<struct<band:int,bh:string>>) "
+        f"else transform(sequence(0, {bands - 1}), b -> "
+        "named_struct('band', cast(b as int), "
+        f"'bh', md5(concat_ws('|', slice(s, b * {r} + 1, {r}))))) end), 1)"
+    )
     return (
-        sigs.where(F.col("sig")[0].isNotNull())
-        .select(F.col(id_col), F.explode(F.array(*band_exprs)).alias("bb"))
+        sigs.select(F.col(id_col), F.explode(F.expr(bands_arr)).alias("bb"))
         .select(id_col, "bb.band", "bb.bh")
     )
 
@@ -189,14 +195,18 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are skipped (no pairs emitted):
     such buckets are (near-)identical clusters whose B²/2 pairwise edges
     are redundant — :func:`lsh_clusters` labels them in O(B). The size
-    pre-count shares the (band, bh) shuffle key with the self-join, so
-    AQE aligns the exchanges; pass ``max_bucket=None`` for uncapped."""
+    pre-count is a window over (band, bh) — the SAME exchange the
+    self-join needs, so the expensive MinHash lineage is computed once
+    and the join's second side is a ReusedExchange, not a recompute.
+    Pass ``max_bucket=None`` for uncapped."""
+    from pyspark.sql import Window
+
     banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("_bsz"))
+        w = Window.partitionBy("band", "bh")
         banded = (
-            banded.join(sizes.where(F.col("_bsz") <= max_bucket),
-                        ["band", "bh"])
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
     left = banded.alias("a")
@@ -236,11 +246,18 @@ def lsh_clusters(
     This is single-round min-label propagation: exact-dup clusters (the
     pathological case) converge in this one round because equal texts
     share every bucket. Chained near-dup clusters (A~B~C, A!~C) may need
-    :func:`lsh_connected_components` to fully merge."""
+    :func:`lsh_connected_components` to fully merge.
+
+    Plan shape: bucket representative via a window over (band, bh)
+    (one shuffle, no groupBy+join — a join would recompute the whole
+    MinHash lineage for the second input), then one groupBy on the id."""
+    from pyspark.sql import Window
+
     banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
-    reps = banded.groupBy("band", "bh").agg(F.min(id_col).alias("_rep"))
     labels = (
-        banded.join(reps, ["band", "bh"])
+        banded.withColumn(
+            "_rep", F.min(id_col).over(Window.partitionBy("band", "bh"))
+        )
         .groupBy(id_col)
         .agg(F.min("_rep").alias("_lbl"))
     )
@@ -272,18 +289,25 @@ def lsh_connected_components(
     real dup graphs). Output (doc_id, cluster_id).
 
     Iterative — not SQL-expressible in one statement; gated by pytest
-    against a brute-force union-find on small inputs."""
+    against a brute-force union-find on small inputs.
+
+    The banded membership is persisted for the loop (each round reads
+    it twice; without a persist every round would recompute the MinHash
+    lineage from scratch), and each round's labels are persisted and the
+    previous round's dropped so the plan doesn't grow unboundedly."""
+    from pyspark.sql import Window
+
     banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
+    bucket_membership = banded.select(id_col, "band", "bh").persist()
     # doc -> current label, seeded by the single-round bucket minimum
     labels = (
-        banded.join(
-            banded.groupBy("band", "bh").agg(F.min(id_col).alias("_rep")),
-            ["band", "bh"],
+        bucket_membership.withColumn(
+            "_rep", F.min(id_col).over(Window.partitionBy("band", "bh"))
         )
         .groupBy(id_col)
         .agg(F.min("_rep").alias("lbl"))
+        .persist()
     )
-    bucket_membership = banded.select(id_col, "band", "bh")
     for _ in range(max_iter):
         # bucket label = min member label; doc label = min bucket label
         with_lbl = bucket_membership.join(labels, id_col)
@@ -294,6 +318,7 @@ def lsh_connected_components(
             bucket_membership.join(bucket_min, ["band", "bh"])
             .groupBy(id_col)
             .agg(F.min("blbl").alias("lbl"))
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -302,10 +327,11 @@ def lsh_connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return (
+    out = (
         docs.select(id_col)
         .join(labels, id_col, "left")
         .select(
@@ -313,6 +339,12 @@ def lsh_connected_components(
             F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
         )
     )
+    # materialize before releasing the loop caches
+    out = out.persist()
+    out.count()
+    bucket_membership.unpersist()
+    labels.unpersist()
+    return out
 
 
 def _oracle_banded_cte(
@@ -514,10 +546,14 @@ def simhash_pairs(
         ).alias("cc"),
     ).select(id_col, "simhash_hi", "simhash_lo", "cc.chunk", "cc.cv")
     if max_bucket is not None:
-        sizes = chunked.groupBy("chunk", "cv").agg(F.count("*").alias("_bsz"))
+        from pyspark.sql import Window
+
         chunked = (
-            chunked.join(sizes.where(F.col("_bsz") <= max_bucket),
-                         ["chunk", "cv"])
+            chunked.withColumn(
+                "_bsz",
+                F.count("*").over(Window.partitionBy("chunk", "cv")),
+            )
+            .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
     a, b = chunked.alias("a"), chunked.alias("b")
