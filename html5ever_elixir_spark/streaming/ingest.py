@@ -57,6 +57,98 @@ def stream_extract(
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = (
+    "host string, first_ts timestamp, last_ts timestamp, "
+    "n_captures bigint, n_bytes bigint, closed boolean"
+)
+SESSION_STATE_SCHEMA = (
+    "first_ts timestamp, last_ts timestamp, n_captures bigint, n_bytes bigint"
+)
+
+
+def stream_host_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful operator (``applyInPandasWithState``): per-host
+    crawl-session tracking. State = (first_ts, last_ts, n_captures,
+    n_bytes) per host, merged across micro-batches; every batch emits a
+    running snapshot row (``closed=false``), and a host idle past
+    ``gap_seconds`` of processing time emits a final ``closed=true`` row
+    and frees its state (bounded state — mandatory at crawl scale, where
+    hosts churn constantly).
+
+    This is the category Structured Streaming's built-in windowed aggs
+    can't express: cross-batch session state with timeout-driven
+    eviction and custom merge logic."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    with_host = pages.withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        host = key[0]
+        if state.hasTimedOut:
+            first_ts, last_ts, n, b = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"host": host, "first_ts": first_ts, "last_ts": last_ts,
+                  "n_captures": n, "n_bytes": b, "closed": True}]
+            )
+            return
+        n = 0
+        b = 0
+        mn = None
+        mx = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            b += int(
+                pdf["html"].map(lambda h: len(h) if h is not None else 0).sum()
+            )
+            ts = pd.to_datetime(pdf["warc_ts"])
+            cmn, cmx = ts.min(), ts.max()
+            mn = cmn if mn is None or cmn < mn else mn
+            mx = cmx if mx is None or cmx > mx else mx
+        if state.exists:
+            f0, l0, n0, b0 = state.get
+            mn = f0 if mn is None or (f0 is not None and f0 < mn) else mn
+            mx = l0 if mx is None or (l0 is not None and l0 > mx) else mx
+            n += n0
+            b += b0
+        state.update((mn, mx, n, b))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            [{"host": host, "first_ts": mn, "last_ts": mx,
+              "n_captures": n, "n_bytes": b, "closed": False}]
+        )
+
+    sessions = with_host.groupBy("host").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_host_window_metrics(
     spark: SparkSession,
     input_dir: str,

@@ -57,3 +57,39 @@ def test_stream_host_window_metrics(spark, tmp_path):
     q2.awaitTermination(120)
     # state bounded: no crash, checkpoint advanced
     assert os.path.isdir(os.path.join(ck, "commits"))
+
+
+def test_stream_host_sessions_stateful(spark, tmp_path):
+    # custom stateful operator: state merges across micro-batches
+    # (maxFilesPerTrigger=1 forces multiple batches per drain)
+    from html5ever_elixir_spark.streaming.ingest import stream_host_sessions
+
+    inp = str(tmp_path / "landing3")
+    out = str(tmp_path / "sessions")
+    ck = str(tmp_path / "ck3")
+    _land_pages(spark, inp, 30)           # coalesce(2) → 2 files
+    _land_pages(spark, inp, 20, offset=1)  # 2 more files
+
+    q = stream_host_sessions(spark, inp, out, ck)
+    q.awaitTermination(180)
+    snap = spark.read.parquet(out)
+    assert set(snap.columns) == {
+        "host", "first_ts", "last_ts", "n_captures", "n_bytes", "closed"
+    }
+    # running snapshots accumulate: final per-host capture count equals
+    # the true per-host input count
+    import pyspark.sql.functions as F
+
+    inp_counts = {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(inp)
+        .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    final = {
+        r["host"]: r["m"]
+        for r in snap.groupBy("host").agg(F.max("n_captures").alias("m")).collect()
+    }
+    assert final == inp_counts
+    assert snap.where("n_bytes <= 0").count() == 0
