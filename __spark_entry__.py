@@ -354,6 +354,9 @@ def _q_dedup_simhash64(spark, sf_dir):
 
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
+    # max_hamming=16 > 3 is candidate generation (bucketed recall, like
+    # any LSH): the synthetic corpus has no Hamming<=3 near-dups, and
+    # the oracle implements the identical bucketed semantics
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
@@ -386,6 +389,7 @@ def _q_media_features(spark, sf_dir):
     # DuckDB-reproducible — the decode feature vector is stub/PIL
     # dependent and intentionally excluded from the oracle compare
     from html5ever_elixir_spark.operators.multimodal import (
+        _decode_image_stub,
         extract_media_features,
     )
 
@@ -395,7 +399,10 @@ def _q_media_features(spark, sf_dir):
         "cast(text as binary) AS payload",
         "named_struct('width', 0, 'height', 0, 'mime', 'text/plain') AS meta",
     )
-    return extract_media_features(media).select(
+    # stub decoder pinned: with PIL installed the default decoder would
+    # reject these text payloads and flip decode_error non-NULL, breaking
+    # the oracle pin — the gate covers the plumbing, not the decode
+    return extract_media_features(media, decoder=_decode_image_stub).select(
         "media_id", "kind", "n_bytes", "sha256", "decode_error"
     )
 

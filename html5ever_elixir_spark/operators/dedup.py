@@ -289,7 +289,9 @@ def lsh_connected_components(
     real dup graphs). Output (doc_id, cluster_id).
 
     Iterative — not SQL-expressible in one statement; gated by pytest
-    against a brute-force union-find on small inputs.
+    against a brute-force union-find on small inputs. The returned
+    frame is persisted (its lineage caches are released); callers
+    should ``.unpersist()`` it when done.
 
     The banded membership is persisted for the loop (each round reads
     it twice; without a persist every round would recompute the MinHash
@@ -450,11 +452,11 @@ def oracle_simhash_sql(table: str = "documents") -> str:
 # Hamming candidate pairs via 16-bit-chunk bucketing
 
 
-def _majority_bits(arr: str, offset_hex: int) -> str:
-    """SQL expr: 32-bit majority fingerprint over word-hash array
-    ``arr``; word hash = md5 hex chars [offset_hex, offset_hex+8) as a
-    32-bit int. Bit i set iff more than half the distinct word hashes
-    have bit i set."""
+def _majority_bits(arr: str) -> str:
+    """SQL expr: 32-bit majority fingerprint over a word-hash array
+    ``arr`` (which md5 hex window the hashes came from is baked into the
+    array expression). Bit i set iff more than half the distinct word
+    hashes have bit i set."""
     return " + ".join(
         f"(case when 2 * size(filter({arr}, h -> (shiftright(h, {i}) & 1) = 1)) "
         f"> size({arr}) then cast({1 << i} as bigint) else 0 end)"
@@ -481,8 +483,8 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
         )
         .select(
             F.col(id_col),
-            F.expr(f"({_majority_bits('_wh', 0)})").alias("simhash_hi"),
-            F.expr(f"({_majority_bits('_wl', 8)})").alias("simhash_lo"),
+            F.expr(f"({_majority_bits('_wh')})").alias("simhash_hi"),
+            F.expr(f"({_majority_bits('_wl')})").alias("simhash_lo"),
         )
     )
 
@@ -530,7 +532,12 @@ def simhash_pairs(
     shares a chunk), join in-bucket only, verify exact distance with
     bit_count(xor). Oversized chunk buckets (identical/boilerplate
     clusters) are skipped like lsh_candidate_pairs — route those
-    through exact_dedup / lsh_clusters. Output (id_a, id_b, hamming)."""
+    through exact_dedup / lsh_clusters. Output (id_a, id_b, hamming).
+
+    Recall contract: the pigeonhole guarantee (every qualifying pair
+    shares a chunk) holds only for ``max_hamming <= 3``. Larger
+    thresholds are CANDIDATE GENERATION — pairs whose differing bits
+    touch all four chunks are missed, like any LSH scheme."""
     sh = simhash64(docs, text_col, id_col)
     chunked = sh.select(
         F.col(id_col),

@@ -68,11 +68,20 @@ def _decode_image(payload: bytes, n_dims: int = 8) -> list[float]:
     return [round(a / total, 6) for a in acc]
 
 
-def extract_media_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, n_dims: int = 8, decoder=None
+) -> DataFrame:
     """media(media_id, kind, payload, meta) → per-item features.
 
     mapInPandas with Arrow batches: payloads stay binary end-to-end
-    (no base64/utf8 round trip); one Python call per batch."""
+    (no base64/utf8 round trip); one Python call per batch.
+
+    ``decoder`` defaults to :func:`_decode_image` (PIL when installed,
+    deterministic stub otherwise). Pass :func:`_decode_image_stub`
+    explicitly for environment-independent output — the driver-gated
+    ``media_features`` query does, so its decode_error column stays
+    NULL whether or not the runtime has Pillow."""
+    decode = decoder or _decode_image
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +99,7 @@ def extract_media_features(df: DataFrame, n_dims: int = 8) -> DataFrame:
             errs = []
             for p in pdf["payload"]:
                 try:
-                    feats.append(_decode_image(p, n_dims))
+                    feats.append(decode(p, n_dims))
                     errs.append(None)
                 except Exception as e:  # decode failures are row-level
                     feats.append(None)

@@ -33,6 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.url import host_of
 from ..operators.parse import parse_and_extract
 
 SALT = 16
@@ -144,7 +145,7 @@ def run_extraction_pipeline(
         t0 = time.time()
         slice_df = deduped.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
         parsed = parse_and_extract(slice_df).withColumn(
-            "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+            "host", host_of(F.col("url"))
         )
         out_path = os.path.join(output_dir, "extracted", f"group={g}")
         parsed.write.mode("overwrite").parquet(out_path)
@@ -181,13 +182,18 @@ def run_extraction_pipeline(
         os.path.join(output_dir, "metrics", "host_metrics")
     )
     # total from the lineage records (each counts exactly what its group
-    # committed) — no extra full scan of the output
+    # committed) — no extra full scan of the output. Tolerate unreadable
+    # records (same as completed_groups) and ignore stale records from a
+    # previous run with a different n_groups.
     total = 0
     for name in os.listdir(_lineage_path(output_dir)):
         if name.startswith("group-") and name.endswith(".json"):
-            with open(os.path.join(_lineage_path(output_dir), name)) as f:
-                rec = json.load(f)
-            if rec.get("status") == "complete":
+            try:
+                with open(os.path.join(_lineage_path(output_dir), name)) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if rec.get("status") == "complete" and rec.get("group", -1) < n_groups:
                 total += rec.get("n_docs", 0)
     return {
         "groups_run": ran,

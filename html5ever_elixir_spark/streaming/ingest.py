@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.url import host_of
 from ..operators.parse import parse_and_extract
 
 PAGES_SCHEMA = (
@@ -73,6 +74,7 @@ def stream_host_sessions(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     max_files_per_trigger: int = 1,
+    available_now: bool = True,
 ):
     """Custom stateful operator (``applyInPandasWithState``): per-host
     crawl-session tracking. State = (first_ts, last_ts, n_captures,
@@ -82,15 +84,20 @@ def stream_host_sessions(
     and frees its state (bounded state — mandatory at crawl scale, where
     hosts churn constantly).
 
+    Timeout caveat: ProcessingTimeTimeout only fires when a LATER
+    micro-batch runs, so under ``available_now=True`` (drain and stop)
+    sessions close on the NEXT drain that runs > gap_seconds later —
+    consumers of ``closed=true`` rows want the long-lived
+    ``available_now=False`` deployment (processingTime trigger), where
+    idle hosts close and evict continuously.
+
     This is the category Structured Streaming's built-in windowed aggs
     can't express: cross-batch session state with timeout-driven
     eviction and custom merge logic."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
-    with_host = pages.withColumn(
-        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
-    )
+    with_host = pages.withColumn("host", host_of(F.col("url")))
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -112,8 +119,13 @@ def stream_host_sessions(
             if not len(pdf):
                 continue
             n += len(pdf)
+            # octet length whether html arrived as bytes or str
             b += int(
-                pdf["html"].map(lambda h: len(h) if h is not None else 0).sum()
+                pdf["html"].map(
+                    lambda h: 0 if h is None
+                    else (len(h) if isinstance(h, (bytes, bytearray))
+                          else len(str(h).encode("utf-8")))
+                ).sum()
             )
             ts = pd.to_datetime(pdf["warc_ts"])
             cmn, cmx = ts.min(), ts.max()
@@ -139,14 +151,17 @@ def stream_host_sessions(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return (
+    writer = (
         sessions.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()
 
 
 def stream_host_window_metrics(
@@ -163,7 +178,7 @@ def stream_host_window_metrics(
     pages = read_pages_stream(spark, input_dir)
     agg = (
         pages.withWatermark("warc_ts", watermark)
-        .withColumn("host", F.regexp_extract("url", r"https?://([^/]+)/", 1))
+        .withColumn("host", host_of(F.col("url")))
         .groupBy(F.window("warc_ts", window).alias("w"), "host")
         .agg(
             F.count("*").alias("n_captures"),
