@@ -22,7 +22,9 @@ _tags = st.sampled_from(
      "</template>", "<script>", "</script>", "<svg>", "</svg>", "<math>",
      "<select>", "<option>", "<li>", "&amp;", "&#x41;", "&notin;", "<?pi?>",
      "<![CDATA[x]]>", "<title>", "</title>", "<textarea>", "<frameset>",
-     "<form>", "<input type=hidden>", "<br/>", "]]>", "--!>", "<caption>"]
+     "<form>", "<input type=hidden>", "<br/>", "]]>", "--!>", "<caption>",
+     "<pre>", "</pre>", "<listing>", "</listing>", "<button>", "</button>",
+     "<nobr>", "</nobr>", "<ruby>", "<rt>", "</html>", "</body>"]
 )
 _soup = st.lists(st.one_of(_markupish, _tags), max_size=30).map("".join)
 
