@@ -407,6 +407,16 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_pdf_extract_text(spark, sf_dir):
+    # PDF path roundtrip: deterministic Flate-compressed PDFs built from
+    # documents.text (8-word line wrap), extracted back by the
+    # from-scratch PDF reader; oracle reproduces the wrap in pure SQL
+    from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
+
+    pdfs = docs_to_pdfs(_docs(spark, sf_dir))
+    return pdf_extract(pdfs).select("doc_id", "error", "text", "n_pages")
+
+
 def _q_token_count(spark, sf_dir):
     out = textstats.token_count(_docs(spark, sf_dir))
     return out.select(
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": _q_ann_srp,
         "emb_neardup_pairs": _q_emb_neardup,
         "media_features": _q_media_features,
+        "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -639,6 +650,18 @@ SELECT * FROM (
             "cast(NULL as varchar) AS decode_error "
             "FROM documents"
         ),
+        # wrap text every 8 words with \n (what the PDF writer does),
+        # 40 lines/page; the extractor must invert it byte-exactly
+        "pdf_extract_text": """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, cast(NULL as varchar) AS error,
+  array_to_string(
+    list_transform(range(0, (len(ws) + 7) // 8),
+                   i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ')),
+    chr(10)) AS text,
+  (((len(ws) + 7) // 8 + 39) // 40)::BIGINT AS n_pages
+FROM w
+""",
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_quality": textstats.oracle_quality_sql(),
         "text_lang_id": textstats.oracle_lang_id_sql(),

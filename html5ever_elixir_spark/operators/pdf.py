@@ -1,0 +1,101 @@
+"""PDF text-extraction operators (north-rule "PDF/layout parse" —
+pipeline mandate; not in the HTML-only reference).
+
+Same execution model as the HTML path (``operators/parse.py``): one
+``mapInArrow`` call per Arrow batch, binary payloads end-to-end, 2-column
+pruned input, row-level errors (out-of-scope PDFs become an ``error``
+value, never a job failure).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..parser.pdf import PdfError, extract_pdf_text, make_simple_pdf
+
+PDF_PARSED_FIELDS = (
+    "doc_id bigint, error string, text string, n_pages bigint, n_bytes bigint"
+)
+
+
+def pdf_extract(
+    df: DataFrame, id_col: str = "doc_id", pdf_col: str = "pdf"
+) -> DataFrame:
+    """pdfs(id, pdf binary) → (doc_id, error, text, n_pages, n_bytes)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            pdfs = batch.column(1).to_pylist()
+            out = {"doc_id": ids, "error": [], "text": [],
+                   "n_pages": [], "n_bytes": []}
+            for p in pdfs:
+                out["n_bytes"].append(len(p) if p is not None else 0)
+                try:
+                    if p is None:
+                        raise PdfError("null payload")
+                    text, n_pages = extract_pdf_text(p)
+                except PdfError as e:
+                    out["error"].append(str(e))
+                    out["text"].append(None)
+                    out["n_pages"].append(None)
+                    continue
+                out["error"].append(None)
+                out["text"].append(text)
+                out["n_pages"].append(n_pages)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([
+                    ("doc_id", pa.int64()), ("error", pa.string()),
+                    ("text", pa.string()), ("n_pages", pa.int64()),
+                    ("n_bytes", pa.int64()),
+                ]),
+            )
+
+    pruned = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(pdf_col).alias("pdf"),
+    )
+    return pruned.mapInArrow(fn, PDF_PARSED_FIELDS)
+
+
+def docs_to_pdfs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """Deterministic synthetic PDF corpus from the documents table
+    (tests/benchmarks only — no external data): text wrapped every
+    ``words_per_line`` words, one Tj per line, Flate-compressed streams.
+    The wrap rule is reproducible in SQL, so a DuckDB oracle can predict
+    the extraction roundtrip exactly."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            pdfs = []
+            for t in texts:
+                words = (t or "").split(" ")
+                lines = [
+                    " ".join(words[i : i + words_per_line])
+                    for i in range(0, len(words), words_per_line)
+                ]
+                pdfs.append(make_simple_pdf(lines))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "pdf": pdfs},
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("pdf", pa.binary())]
+                ),
+            )
+
+    pruned = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInArrow(fn, "doc_id bigint, pdf binary")

@@ -1,0 +1,299 @@
+"""Minimal from-scratch PDF text extraction (the north rule's
+"PDF/layout parse" alongside the HTML path; the reference repo is
+HTML-only, so scope here is the pipeline mandate, not reference parity).
+
+Scope (honest): classic cross-reference PDFs with direct page trees and
+Tj/TJ/'/" text-showing operators, optional FlateDecode (stdlib zlib) on
+content streams, literal/hex string syntax with escapes, and
+line-break reconstruction from Td/TD/T*/Tm moves. Explicitly NOT
+handled: encrypted files, object streams (/ObjStm), predictors, CID /
+composite fonts, ToUnicode CMaps — a corpus job routes those rows to
+the error column rather than failing (same row-level error contract as
+the HTML parser's invalid-UTF-8 path).
+
+The companion :func:`make_simple_pdf` produces deterministic
+single-font PDFs used by the oracle roundtrip gate and tests; its
+output always exercises FlateDecode so the extractor's inflate path is
+load-bearing, not decorative.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---------------------------------------------------------------------------
+# writer (deterministic synthetic PDFs for tests/benchmarks — no
+# external data, per the driver contract)
+
+
+def _escape_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_simple_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
+    """One-font (Helvetica) PDF: each text line is one Tj show, pages
+    break every ``lines_per_page`` lines. Content streams are
+    Flate-compressed. Text must be Latin-1-encodable (the simple-font
+    byte encoding this writer and reader share)."""
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, max(len(lines), 1), lines_per_page)
+    ]
+    objs: dict[int, bytes] = {}
+    font_id = 3 + 2 * len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
+    )
+    for i, page_lines in enumerate(pages):
+        page_id = 3 + 2 * i
+        content_id = page_id + 1
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_pdf_string(line)}) Tj")
+        ops.append("ET")
+        raw = "\n".join(ops).encode("latin-1")
+        flate = zlib.compress(raw)
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_id} 0 R "
+            f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>".encode()
+        )
+        objs[content_id] = (
+            f"<< /Length {len(flate)} /Filter /FlateDecode >>\nstream\n".encode()
+            + flate
+            + b"\nendstream"
+        )
+    objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+class PdfError(ValueError):
+    """Unparseable / out-of-scope PDF (row-level error, never job-fatal)."""
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """Object id → body bytes (between 'obj' and its 'endobj').
+    Linear scan instead of trusting the xref table — robust to the
+    incremental-update / slightly-off offsets common in crawled PDFs."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            continue
+        oid = int(m.group(1))
+        objs.setdefault(oid, data[m.end():end])
+    if not objs:
+        raise PdfError("no PDF objects found")
+    return objs
+
+
+def _content_stream(body: bytes) -> bytes:
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return b""
+    lm = re.search(rb"/Length\s+(\d+)", body[: sm.start()])
+    if lm is not None:
+        raw = body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        # no direct /Length: strip exactly ONE optional EOL before
+        # endstream — compressed data may legitimately END in 0x0a/0x0d
+        # bytes, so rstrip would corrupt the zlib payload
+        end = body.rfind(b"endstream")
+        raw = body[sm.end():end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+    if b"/FlateDecode" in body[: sm.start()]:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise PdfError(f"FlateDecode failed: {e}") from None
+    return raw
+
+
+def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
+    """Content-stream object ids in document page order (catalog →
+    pages tree → /Contents). Falls back to every stream-bearing object
+    in id order when the page tree is missing/broken."""
+    catalog = next(
+        (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
+    )
+    page_ids: list[int] = []
+
+    def walk(node_id: int, depth: int = 0):
+        if depth > 64 or node_id not in objs:
+            return
+        body = objs[node_id]
+        km = _KIDS_RE.search(body)
+        if km:
+            for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1)):
+                walk(int(rm.group(1)), depth + 1)
+        elif b"/Page" in body:
+            for name, ref in _REF_RE.findall(body):
+                if name == b"Contents":
+                    page_ids.append(int(ref))
+
+    if catalog is not None:
+        for name, ref in _REF_RE.findall(catalog):
+            if name == b"Pages":
+                walk(int(ref))
+    if not page_ids:
+        page_ids = [oid for oid in sorted(objs) if _STREAM_RE.search(objs[oid])]
+    return page_ids
+
+
+_TOKEN_RE = re.compile(
+    rb"\(|<[0-9A-Fa-f\s]*>|\[|\]|/[^\s/\[\]()<>]*|[-+.0-9]+|[A-Za-z'\"*]+"
+)
+
+
+def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
+    """data[p] is just past '('; returns (decoded, pos past ')')."""
+    out = []
+    depth = 1
+    n = len(data)
+    while p < n:
+        c = data[p]
+        if c == 0x5C:  # backslash
+            p += 1
+            if p >= n:
+                break
+            e = data[p]
+            if e in b"nrtbf":
+                out.append({0x6E: "\n", 0x72: "\r", 0x74: "\t",
+                            0x62: "\b", 0x66: "\f"}[e])
+                p += 1
+            elif e in b"()\\":
+                out.append(chr(e))
+                p += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = ""
+                while p < n and len(oct_digits) < 3 and 0x30 <= data[p] <= 0x37:
+                    oct_digits += chr(data[p])
+                    p += 1
+                out.append(chr(int(oct_digits, 8)))
+            else:  # stray backslash: drop it (spec)
+                pass
+        elif c == 0x28:  # (
+            depth += 1
+            out.append("(")
+            p += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return "".join(out), p + 1
+            out.append(")")
+            p += 1
+        else:
+            out.append(chr(c))
+            p += 1
+    raise PdfError("unterminated literal string")
+
+
+def _extract_stream_text(content: bytes) -> list[str]:
+    """Text lines from one content stream's BT/ET blocks."""
+    lines: list[str] = []
+    cur: list[str] = []
+    in_text = False
+    pending_strings: list[str] = []
+    p = 0
+    n = len(content)
+
+    def break_line():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    while p < n:
+        m = _TOKEN_RE.search(content, p)
+        if m is None:
+            break
+        tok = m.group(0)
+        p = m.end()
+        if tok == b"(":
+            s, p = _parse_literal_string(content, p)
+            pending_strings.append(s)
+            continue
+        if tok.startswith(b"<") and tok.endswith(b">"):
+            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            pending_strings.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
+            continue
+        if tok == b"BT":
+            in_text = True
+            pending_strings.clear()
+            continue
+        if tok == b"ET":
+            break_line()
+            in_text = False
+            continue
+        if not in_text:
+            continue
+        if tok in (b"Tj", b"TJ"):
+            cur.extend(pending_strings)
+            pending_strings.clear()
+        elif tok in (b"'", b'"'):  # move-to-next-line + show
+            break_line()
+            cur.extend(pending_strings)
+            pending_strings.clear()
+        elif tok in (b"Td", b"TD", b"T*", b"Tm"):
+            break_line()
+            pending_strings.clear()
+        elif tok in (b"[", b"]"):
+            continue  # TJ array brackets; numbers are kerning, ignored
+    break_line()
+    return lines
+
+
+def extract_pdf_text(data: bytes) -> tuple[str, int]:
+    """(extracted_text, n_pages) for a simple-profile PDF; raises
+    :class:`PdfError` on anything out of scope (caller maps it to the
+    row-level error column)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise PdfError("binary input required")
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("missing %PDF header")
+    if b"/Encrypt" in data:
+        raise PdfError("encrypted PDF not supported")
+    objs = _objects(data)
+    content_ids = _page_content_ids(objs)
+    if not content_ids:
+        raise PdfError("no page content streams")
+    lines: list[str] = []
+    for cid in content_ids:
+        if cid not in objs:
+            raise PdfError(f"dangling /Contents ref {cid}")
+        lines.extend(_extract_stream_text(_content_stream(objs[cid])))
+    return "\n".join(lines), len(content_ids)

@@ -1,0 +1,107 @@
+"""PDF path: from-scratch writer/reader roundtrip, string/operator
+edge cases, row-level error surface through the Spark operator."""
+
+import zlib
+
+import pytest
+
+from html5ever_elixir_spark.parser.pdf import (
+    PdfError,
+    extract_pdf_text,
+    make_simple_pdf,
+)
+
+
+def test_roundtrip_multiline_multipage():
+    lines = [f"line {i} of the corpus" for i in range(95)]
+    text, n_pages = extract_pdf_text(make_simple_pdf(lines))
+    assert text == "\n".join(lines)
+    assert n_pages == 3  # 40 lines/page
+
+
+def test_roundtrip_escapes():
+    lines = ["parens ( inside ) text", "back\\slash", "tab\tand(nested (deep))"]
+    text, _ = extract_pdf_text(make_simple_pdf(lines))
+    assert text == "\n".join(lines)
+
+
+def test_flate_payload_ending_in_eol_bytes():
+    # regression: compressed data ending in 0x0a/0x0d must survive the
+    # endstream boundary handling (rstrip would corrupt it)
+    for i in range(200):
+        lines = [f"doc variant {i} " * 3]
+        text, _ = extract_pdf_text(make_simple_pdf(lines))
+        assert text == lines[0]
+
+
+def test_raw_operators_hex_tj_quote():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(kern) -120 (ed)] TJ "
+        b"<48 6921> Tj "
+        b"0 -14 Td (second) Tj "
+        b"(third) ' "
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF"
+    )
+    text, n_pages = extract_pdf_text(pdf)
+    # <48 6921> = "Hi!" (odd nibble padded with 0 -> 0x10? no: 48 69 21)
+    assert text == "kernedHi!\nsecond\nthird"
+    assert n_pages == 1
+
+
+def test_octal_and_newline_escapes():
+    content = rb"BT (\101\102\103 and \n newline \) done) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "ABC and \n newline ) done"
+
+
+def test_errors_are_typed():
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"plain text")
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"%PDF-1.4\nnothing here")
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"%PDF-1.4\n/Encrypt 1 0 obj << >> endobj")
+    # corrupt flate
+    bad = make_simple_pdf(["x"]).replace(zlib.compress(b"BT\n/F1 12 Tf\n72 720 Td\n(x) Tj\nET"), b"\x00\x01")
+    with pytest.raises(PdfError):
+        extract_pdf_text(bad)
+
+
+def test_spark_pdf_operator_error_rows(spark):
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    pdfs = docs_to_pdfs(docs)
+    # corrupt one payload
+    broken = pdfs.withColumn(
+        "pdf",
+        F.when(F.col("doc_id") == 2, F.lit(b"%PDF-broken")).otherwise(
+            F.col("pdf")
+        ),
+    )
+    out = {r["doc_id"]: r for r in pdf_extract(broken).collect()}
+    assert out[1]["error"] is None and out[1]["text"] == "alpha beta gamma"
+    assert out[2]["error"] is not None and out[2]["text"] is None
+    assert out[2]["n_bytes"] > 0
