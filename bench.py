@@ -95,6 +95,12 @@ def run_suite(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     timed("dedup_lsh_pairs", lambda: _noop(dedup.lsh_candidate_pairs(docs)))
     timed("dedup_lsh_clusters", lambda: _noop(dedup.lsh_clusters(docs)))
+    # PDF path: build deterministic Flate PDFs from documents.text and
+    # extract the text back (both stages Python/Arrow — the second
+    # mapInArrow family alongside the HTML parse)
+    from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
+
+    timed("pdf_roundtrip", lambda: _noop(pdf_extract(docs_to_pdfs(docs))))
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
     timed("ann_cosine_topk", lambda: _noop(
         similarity.cosine_topk(emb, n_queries=20, k=10)
