@@ -100,17 +100,38 @@ class PdfError(ValueError):
     """Unparseable / out-of-scope PDF (row-level error, never job-fatal)."""
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
     """Object id → body bytes (between 'obj' and its 'endobj').
     Linear scan instead of trusting the xref table — robust to the
-    incremental-update / slightly-off offsets common in crawled PDFs."""
+    incremental-update / slightly-off offsets common in crawled PDFs.
+    For stream objects with a direct /Length, the scan skips past the
+    stream payload before looking for 'endobj' — compressed bytes can
+    legitimately contain the literal text 'endobj'/'endstream'."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        end = data.find(b"endobj", m.end())
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        search_from = m.end()
+        sm = _STREAM_RE.search(data, m.end())
+        if sm is not None:
+            lm = _LENGTH_RE.search(data, m.end(), sm.start())
+            # only if this stream belongs to THIS object (no endobj
+            # between the header and the stream keyword)
+            if lm is not None and data.find(b"endobj", m.end(), sm.start()) == -1:
+                search_from = sm.end() + int(lm.group(1))
+        end = data.find(b"endobj", search_from)
         if end == -1:
+            pos = m.end()
             continue
         oid = int(m.group(1))
         objs.setdefault(oid, data[m.end():end])
+        pos = end + 6
     if not objs:
         raise PdfError("no PDF objects found")
     return objs
@@ -159,9 +180,15 @@ def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
             for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1)):
                 walk(int(rm.group(1)), depth + 1)
         elif b"/Page" in body:
-            for name, ref in _REF_RE.findall(body):
-                if name == b"Contents":
-                    page_ids.append(int(ref))
+            # /Contents is a single ref or an array of refs
+            am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+            if am:
+                for rm in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1)):
+                    page_ids.append(int(rm.group(1)))
+            else:
+                for name, ref in _REF_RE.findall(body):
+                    if name == b"Contents":
+                        page_ids.append(int(ref))
 
     if catalog is not None:
         for name, ref in _REF_RE.findall(catalog):

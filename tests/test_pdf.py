@@ -105,3 +105,34 @@ def test_spark_pdf_operator_error_rows(spark):
     assert out[1]["error"] is None and out[1]["text"] == "alpha beta gamma"
     assert out[2]["error"] is not None and out[2]["text"] is None
     assert out[2]["n_bytes"] > 0
+
+
+def test_stream_containing_endobj_literal():
+    # /Length-guided scan must not truncate at binary 'endobj' bytes
+    content = b"BT (before) Tj ET endobj trap BT (x) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "before\nx"
+
+
+def test_contents_array_multiple_streams():
+    c1 = b"BT (part one) Tj ET"
+    c2 = b"BT (part two) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n%%EOF"
+    )
+    text, n = extract_pdf_text(pdf)
+    assert text == "part one\npart two"
+    assert n == 2  # n_pages counts content streams (1:1 for our writer)
