@@ -345,6 +345,13 @@ def _q_dedup_lsh_clusters(spark, sf_dir):
     return dedup.lsh_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_lsh_cc(spark, sf_dir):
+    # iterative min-label propagation — not one-statement SQL, so no
+    # oracle entry (driver records the weaker rows-only check);
+    # equivalence with brute-force union-find is pytest-gated
+    return dedup.lsh_connected_components(_docs(spark, sf_dir), max_iter=5)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -506,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
+        "dedup_lsh_cc": _q_dedup_lsh_cc,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
