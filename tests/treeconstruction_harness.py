@@ -114,12 +114,15 @@ def parse_dat(text: str):
         cases.append(cur)
     out = []
     for c in cases:
-        # data/document keep internal newlines; trailing blank separator
-        # lines are format artifacts
+        # data/document keep internal newlines (multi-line text nodes
+        # legitimately contain blank lines); only the trailing blank
+        # case-separator lines are format artifacts
         data = "\n".join(c["data"])
         if data.endswith("\n"):
             data = data[:-1]
-        doc = [ln for ln in c["document"] if ln]
+        doc = list(c["document"])
+        while doc and not doc[-1]:
+            doc.pop()
         out.append(
             {
                 "data": data,
