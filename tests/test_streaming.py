@@ -61,17 +61,31 @@ def test_stream_host_window_metrics(spark, tmp_path):
 
 def test_stream_host_sessions_stateful(spark, tmp_path):
     # custom stateful operator: state merges across micro-batches
-    # (maxFilesPerTrigger=1 forces multiple batches per drain)
+    # (maxFilesPerTrigger=1 forces 2 batches over the 2 landed files).
+    # The default 1800s gap keeps one session per host; the query's
+    # pending timeouts prevent availableNow termination, so poll
+    # progress until both batches committed, then stop.
+    import time
+
     from html5ever_elixir_spark.streaming.ingest import stream_host_sessions
 
     inp = str(tmp_path / "landing3")
     out = str(tmp_path / "sessions")
     ck = str(tmp_path / "ck3")
-    _land_pages(spark, inp, 30)           # coalesce(2) → 2 files
-    _land_pages(spark, inp, 20, offset=1)  # 2 more files
+    _land_pages(spark, inp, 30)  # coalesce(2) → 2 files → 2 batches
 
     q = stream_host_sessions(spark, inp, out, ck)
-    q.awaitTermination(180)
+    total = 0
+    deadline = time.time() + 150
+    while time.time() < deadline and total < 30:
+        # recentProgress lists all completed batches (lastProgress can
+        # skip one if two batches finish within a poll interval)
+        total = sum(
+            p["numInputRows"] for p in q.recentProgress if p is not None
+        )
+        time.sleep(2)
+    q.stop()
+    assert total >= 30, f"only {total} rows processed"
     snap = spark.read.parquet(out)
     assert set(snap.columns) == {
         "host", "first_ts", "last_ts", "n_captures", "n_bytes", "closed"
