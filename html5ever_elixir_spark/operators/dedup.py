@@ -412,23 +412,28 @@ FROM {table} t LEFT JOIN labels ON t.doc_id = labels.doc_id
 _SIMHASH_BITS = 32
 
 
+def _word_hashes(text_col: str, start_hex: int) -> str:
+    """SQL expr: distinct-word 32-bit hashes from md5 hex chars
+    [start_hex, start_hex+8) (1-based)."""
+    return (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        f"w -> cast(conv(substring(md5(w), {start_hex}, 8), 16, 10) as bigint))"
+    )
+
+
+def _bound_majority(wh_expr: str, bits_fn) -> str:
+    """Evaluate the word-hash array ONCE (lambda binding — the same
+    CollapseProject/no-CSE trap as LSH banding, measured 1.45× here)
+    and fold the per-bit majority over it."""
+    return f"element_at(transform(array({wh_expr}), a -> {bits_fn('a')}), 1)"
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash bigint) — bit i set iff >half of distinct word hashes
     have bit i set. Word hash = first 8 md5 hex chars as int (32 bits),
     identical in DuckDB. Row-local (no explode/shuffle)."""
-    wh = (
-        f"transform(array_distinct(split({text_col}, ' ')), "
-        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-    )
-    bits = " + ".join(
-        f"(case when 2 * size(filter(_wh, h -> (shiftright(h, {i}) & 1) = 1)) "
-        f"> size(_wh) then cast({1 << i} as bigint) else 0 end)"
-        for i in range(_SIMHASH_BITS)
-    )
-    return (
-        docs.select(F.col(id_col), F.expr(wh).alias("_wh"))
-        .select(F.col(id_col), F.expr(f"({bits})").alias("simhash"))
-    )
+    expr = _bound_majority(_word_hashes(text_col, 1), _majority_bits)
+    return docs.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
 def oracle_simhash_sql(table: str = "documents") -> str:
@@ -468,24 +473,16 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash_hi, simhash_lo) — a 64-bit SimHash as two 32-bit
     halves (hi = md5 hex [1,8], lo = [9,16] of each distinct word).
     32 bits collide heavily at 10^12 docs (birthday bound ~2^16); the
-    64-bit form is the corpus-scale fingerprint. Row-local, no shuffle."""
-    wh_hi = (
-        f"transform(array_distinct(split({text_col}, ' ')), "
-        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-    )
-    wh_lo = (
-        f"transform(array_distinct(split({text_col}, ' ')), "
-        "w -> cast(conv(substring(md5(w), 9, 8), 16, 10) as bigint))"
-    )
-    return (
-        docs.select(
-            F.col(id_col), F.expr(wh_hi).alias("_wh"), F.expr(wh_lo).alias("_wl")
-        )
-        .select(
-            F.col(id_col),
-            F.expr(f"({_majority_bits('_wh')})").alias("simhash_hi"),
-            F.expr(f"({_majority_bits('_wl')})").alias("simhash_lo"),
-        )
+    64-bit form is the corpus-scale fingerprint. Row-local, no shuffle;
+    each word-hash array is lambda-bound so it's computed once."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(
+            _bound_majority(_word_hashes(text_col, 1), _majority_bits)
+        ).alias("simhash_hi"),
+        F.expr(
+            _bound_majority(_word_hashes(text_col, 9), _majority_bits)
+        ).alias("simhash_lo"),
     )
 
 
