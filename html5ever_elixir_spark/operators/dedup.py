@@ -105,20 +105,22 @@ def minhash_signatures(
     ``array_min(transform(...))`` projections, which Catalyst partially
     collapses into repeated shingle computation. Bit-identical output
     ('zz' sorts above every md5 hex digit; empty shingle lists yield
-    null signatures, matching DuckDB's list_min([]))."""
+    null signatures, matching DuckDB's list_min([])).
+
+    The shingle array is lambda-bound so the empty-guard and the
+    aggregate share ONE evaluation (CollapseProject + codegen-fallback
+    higher-order fns would otherwise recompute it per reference)."""
     sh = _spark_shingles(text_col, shingle)
     init = f"transform(sequence(0, {k - 1}), i -> 'zz')"
     sig = (
+        f"element_at(transform(array({sh}), _sh -> "
         f"case when size(_sh) = 0 then "
         f"transform(sequence(0, {k - 1}), i -> cast(null as string)) "
         f"else aggregate(_sh, {init}, (acc, s) -> "
         f"transform(sequence(0, {k - 1}), "
-        f"i -> least(acc[i], md5(cast(i as string) || ':' || s)))) end"
+        f"i -> least(acc[i], md5(cast(i as string) || ':' || s)))) end), 1)"
     )
-    return (
-        docs.select(F.col(id_col), F.expr(sh).alias("_sh"))
-        .select(F.col(id_col), F.expr(sig).alias("sig"))
-    )
+    return docs.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def oracle_minhash_sql(
