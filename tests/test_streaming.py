@@ -107,3 +107,40 @@ def test_stream_host_sessions_stateful(spark, tmp_path):
     }
     assert final == inp_counts
     assert snap.where("n_bytes <= 0").count() == 0
+
+
+def test_stream_host_sessions_timeout_closes(spark, tmp_path):
+    # eviction path: a second drain > gap_seconds later fires the
+    # processing-time timeout for first-drain hosts -> closed=true rows
+    import time
+
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.streaming.ingest import stream_host_sessions
+
+    inp = str(tmp_path / "landing4")
+    out = str(tmp_path / "sessions4")
+    ck = str(tmp_path / "ck4")
+    _land_pages(spark, inp, 10)
+
+    def drain(min_rows):
+        q = stream_host_sessions(
+            spark, inp, out, ck, gap_seconds=3, max_files_per_trigger=4
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= min_rows:
+                break
+            time.sleep(2)
+        time.sleep(4)  # let the trailing timeout batch commit
+        q.stop()
+
+    drain(10)
+    time.sleep(4)  # exceed gap_seconds between drains
+    _land_pages(spark, inp, 6, offset=1)
+    drain(6)
+    snap = spark.read.parquet(out)
+    closed = snap.where("closed")
+    assert closed.count() > 0  # first-drain sessions were evicted
+    # a closed session carries the accumulated counts
+    assert closed.where(F.col("n_captures") <= 0).count() == 0
