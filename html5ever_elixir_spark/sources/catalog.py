@@ -10,6 +10,7 @@ with snapshot isolation + partition pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
@@ -22,7 +23,9 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
         return spark.read.parquet(source)
     try:
         return spark.read.table(source)
-    except Exception:
+    except AnalysisException:
+        # unresolvable identifier: treat as a relative path (tests);
+        # anything else (auth, catalog config) must propagate
         return spark.read.parquet(source)
 
 

@@ -33,10 +33,13 @@ def main():
     from pyspark.sql import SparkSession
 
     from html5ever_elixir_spark.plans.pipeline import run_extraction_pipeline
+    from html5ever_elixir_spark.sources.catalog import read_pages
 
     spark = SparkSession.builder.appName("h5s-extraction").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    pages = spark.read.parquet(args.input)
+    # path → parquet; table identifier → configured catalog (Iceberg in
+    # production)
+    pages = read_pages(spark, args.input)
     summary = run_extraction_pipeline(
         spark,
         pages,

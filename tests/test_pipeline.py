@@ -74,3 +74,20 @@ def test_host_metrics_salted(spark, corpus, tmp_path):
     assert sum(r.n_docs for r in rows.values()) == 120
     # invalid-utf8 docs appear as errors, never dropped
     assert sum(r.n_errors for r in rows.values()) > 0
+
+
+def test_catalog_source_abstraction(spark, tmp_path):
+    # path branch reads parquet; unresolvable identifier falls back to
+    # a relative path; other catalog errors propagate
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from html5ever_elixir_spark.sources.catalog import read_pages, write_pages
+
+    p = str(tmp_path / "cat_pages")
+    df = spark.createDataFrame([("u", "h")], "url string, html string")
+    write_pages(df, p, mode="overwrite")
+    assert read_pages(spark, p).count() == 1
+    with pytest.raises(AnalysisException):
+        # relative fallback also fails -> surfaced, not swallowed
+        read_pages(spark, "no_such_catalog.db.pages").count()
