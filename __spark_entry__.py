@@ -352,6 +352,10 @@ def _q_dedup_lsh_cc(spark, sf_dir):
     return dedup.lsh_connected_components(_docs(spark, sf_dir), max_iter=5)
 
 
+def _q_dedup_duplicate_spans(spark, sf_dir):
+    return dedup.duplicate_spans(_docs(spark, sf_dir))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -514,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
         "dedup_lsh_cc": _q_dedup_lsh_cc,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -641,6 +646,7 @@ SELECT * FROM (
         ),
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_lsh_clusters": dedup.oracle_lsh_clusters_sql(),
+        "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_simhash64": dedup.oracle_simhash64_sql(),
         "dedup_simhash_pairs": dedup.oracle_simhash_pairs_sql(max_hamming=16),

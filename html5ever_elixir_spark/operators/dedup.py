@@ -455,6 +455,63 @@ def oracle_simhash_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span detection (exact substring dedup at n-gram
+# granularity — the span-level pass of "Deduplicating Training Data
+# Makes Language Models Better"-style pipelines; suffix arrays find
+# arbitrary-length repeats, this finds fixed-n repeats scalably)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word n-gram spans appearing in ≥ ``min_docs`` DISTINCT documents.
+    Output (gram_hash, n_docs, n_occurrences), n_docs descending then
+    hash. Per-doc duplicate spans are collapsed before the shuffle
+    (array_distinct), so the exploded row count is bounded by distinct
+    spans per doc; the groupBy key is an md5 hash — uniform, no skew.
+    A 100 TB run would add a count-min/bloom pre-filter stage to drop
+    singleton grams before the shuffle; semantics are unchanged."""
+    sh = _spark_shingles(text_col, n)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct(transform({sh}, s -> md5(s)))")
+        ).alias("gram_hash"),
+    )
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "gram_hash")
+    )
+
+
+def oracle_duplicate_spans_sql(
+    table: str = "documents", n: int = 20, min_docs: int = 2
+) -> str:
+    sh = _duck_shingles("text", n)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform({sh}, s -> md5(s))))
+           AS gram_hash
+  FROM {table}
+)
+SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM grams GROUP BY gram_hash
+HAVING count(DISTINCT doc_id) >= {min_docs}
+ORDER BY n_docs DESC, gram_hash
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash-64 (two 32-bit halves: sign-safe in both engines' BIGINT) +
 # Hamming candidate pairs via 16-bit-chunk bucketing
 

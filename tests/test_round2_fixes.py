@@ -292,3 +292,26 @@ def test_simhash_pairs_cap_skips_identical_cluster(spark):
     # every chunk bucket has 200 members > cap → no quadratic pair dump
     assert simhash_pairs(docs, max_bucket=64).count() == 0
     assert simhash_pairs(docs, max_bucket=None).count() == 200 * 199 // 2
+
+
+# -- duplicated-span detection ------------------------------------------------
+
+
+def test_duplicate_spans(spark):
+    from html5ever_elixir_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"aaa {shared} bbb"),
+        (2, f"ccc {shared} ddd"),
+        (3, "totally different words that share no ten gram at all here ok"),
+        (4, f"xxx {shared} {shared} yyy"),  # repeated within one doc too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(docs, n=10).collect()
+    # the exact 10-gram `shared` appears in docs 1, 2 and 4
+    top = out[0]
+    assert top["n_docs"] == 3
+    # per-doc dups collapsed before counting occurrences
+    assert top["n_occurrences"] == 3
+    assert all(r["n_docs"] >= 2 for r in out)
