@@ -291,9 +291,12 @@ def lsh_connected_components(
     real dup graphs). Output (doc_id, cluster_id).
 
     Iterative — not SQL-expressible in one statement; gated by pytest
-    against a brute-force union-find on small inputs. The returned
-    frame is persisted (its lineage caches are released); callers
-    should ``.unpersist()`` it when done.
+    against a brute-force union-find on small inputs. The result is
+    materialized via ``localCheckpoint(eager=True)`` (truncated
+    lineage) so the loop's caches can be released immediately; the
+    checkpoint blocks themselves are reclaimed by Spark's
+    ContextCleaner once the returned frame is unreferenced — no manual
+    unpersist obligation on callers.
 
     The banded membership is persisted for the loop (each round reads
     it twice; without a persist every round would recompute the MinHash
@@ -343,9 +346,8 @@ def lsh_connected_components(
             F.coalesce(F.col("lbl"), F.col(id_col)).alias("cluster_id"),
         )
     )
-    # materialize before releasing the loop caches
-    out = out.persist()
-    out.count()
+    # materialize with truncated lineage, then release the loop caches
+    out = out.localCheckpoint(eager=True)
     bucket_membership.unpersist()
     labels.unpersist()
     return out
@@ -469,12 +471,14 @@ def duplicate_spans(
     min_docs: int = 2,
 ) -> DataFrame:
     """Word n-gram spans appearing in ≥ ``min_docs`` DISTINCT documents.
-    Output (gram_hash, n_docs, n_occurrences), n_docs descending then
-    hash. Per-doc duplicate spans are collapsed before the shuffle
-    (array_distinct), so the exploded row count is bounded by distinct
-    spans per doc; the groupBy key is an md5 hash — uniform, no skew.
-    A 100 TB run would add a count-min/bloom pre-filter stage to drop
-    singleton grams before the shuffle; semantics are unchanged."""
+    Output (gram_hash, n_docs), n_docs descending then hash. Per-doc
+    duplicate spans are collapsed before the shuffle (array_distinct),
+    bounding the exploded row count at distinct spans per doc — which
+    also means within-doc repetition is intentionally NOT counted (a
+    per-(doc, gram) occurrence count would be count(*) == n_docs here,
+    i.e. no information). The groupBy key is an md5 hash — uniform, no
+    skew. A 100 TB run would add a count-min/bloom pre-filter stage to
+    drop singleton grams before the shuffle; semantics are unchanged."""
     sh = _spark_shingles(text_col, n)
     grams = docs.select(
         F.col(id_col),
@@ -484,10 +488,7 @@ def duplicate_spans(
     )
     return (
         grams.groupBy("gram_hash")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
-        )
+        .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("n_docs"), "gram_hash")
     )
@@ -503,8 +504,7 @@ WITH grams AS (
            AS gram_hash
   FROM {table}
 )
-SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
-       count(*)::BIGINT AS n_occurrences
+SELECT gram_hash, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM grams GROUP BY gram_hash
 HAVING count(DISTINCT doc_id) >= {min_docs}
 ORDER BY n_docs DESC, gram_hash

@@ -86,7 +86,12 @@ def docs_to_pdfs(
                     " ".join(words[i : i + words_per_line])
                     for i in range(0, len(words), words_per_line)
                 ]
-                pdfs.append(make_simple_pdf(lines))
+                try:
+                    pdfs.append(make_simple_pdf(lines))
+                except Exception:
+                    # writer failure → null payload → pdf_extract emits
+                    # a row-level error, never a job failure
+                    pdfs.append(None)
             yield pa.RecordBatch.from_pydict(
                 {"doc_id": ids, "pdf": pdfs},
                 schema=pa.schema(

@@ -31,11 +31,22 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _pdf_show_string(line: str) -> str:
+    """A Tj-able string token: literal ( ) syntax for Latin-1 text,
+    UTF-16BE hex string (with BOM) otherwise — both forms the reader
+    decodes back exactly."""
+    try:
+        line.encode("latin-1")
+    except UnicodeEncodeError:
+        return "<FEFF" + line.encode("utf-16-be").hex().upper() + ">"
+    return f"({_escape_pdf_string(line)})"
+
+
 def make_simple_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
     """One-font (Helvetica) PDF: each text line is one Tj show, pages
     break every ``lines_per_page`` lines. Content streams are
-    Flate-compressed. Text must be Latin-1-encodable (the simple-font
-    byte encoding this writer and reader share)."""
+    Flate-compressed. Latin-1 lines use literal strings; anything else
+    is written as a BOM-prefixed UTF-16BE hex string."""
     pages = [
         lines[i : i + lines_per_page]
         for i in range(0, max(len(lines), 1), lines_per_page)
@@ -54,7 +65,7 @@ def make_simple_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
         for j, line in enumerate(page_lines):
             if j:
                 ops.append("0 -14 Td")
-            ops.append(f"({_escape_pdf_string(line)}) Tj")
+            ops.append(f"{_pdf_show_string(line)} Tj")
         ops.append("ET")
         raw = "\n".join(ops).encode("latin-1")
         flate = zlib.compress(raw)
@@ -100,16 +111,20 @@ class PdfError(ValueError):
     """Unparseable / out-of-scope PDF (row-level error, never job-fatal)."""
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only — negative lookahead rejects the indirect form
+# '/Length 5 0 R' (matching its object number as a byte count slices the
+# stream wrong: Flate fails loudly, uncompressed truncates silently)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
     """Object id → body bytes (between 'obj' and its 'endobj').
-    Linear scan instead of trusting the xref table — robust to the
-    incremental-update / slightly-off offsets common in crawled PDFs.
-    For stream objects with a direct /Length, the scan skips past the
-    stream payload before looking for 'endobj' — compressed bytes can
-    legitimately contain the literal text 'endobj'/'endstream'."""
+    Linear scan instead of trusting the xref table (robust to the
+    slightly-off offsets common in crawled PDFs); LAST definition wins,
+    matching the newest-generation rule for appended incremental
+    updates. For stream objects with a direct /Length, the scan skips
+    past the stream payload before looking for 'endobj' — compressed
+    bytes can legitimately contain the literal text 'endobj'."""
     objs: dict[int, bytes] = {}
     pos = 0
     n = len(data)
@@ -130,7 +145,7 @@ def _objects(data: bytes) -> dict[int, bytes]:
             pos = m.end()
             continue
         oid = int(m.group(1))
-        objs.setdefault(oid, data[m.end():end])
+        objs[oid] = data[m.end():end]  # last wins (incremental updates)
         pos = end + 6
     if not objs:
         raise PdfError("no PDF objects found")
@@ -141,7 +156,7 @@ def _content_stream(body: bytes) -> bytes:
     sm = _STREAM_RE.search(body)
     if sm is None:
         return b""
-    lm = re.search(rb"/Length\s+(\d+)", body[: sm.start()])
+    lm = _LENGTH_RE.search(body[: sm.start()])
     if lm is not None:
         raw = body[sm.end() : sm.end() + int(lm.group(1))]
     else:
@@ -162,33 +177,49 @@ def _content_stream(body: bytes) -> bytes:
     return raw
 
 
+_TYPE_RE = re.compile(rb"/Type\s*/(Pages|Page)\b")
+
+
 def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
     """Content-stream object ids in document page order (catalog →
     pages tree → /Contents). Falls back to every stream-bearing object
-    in id order when the page tree is missing/broken."""
+    in id order when the page tree is missing/broken. The walk is
+    iterative with a visited set — a corrupt/malicious /Kids cycle must
+    become an error row, never a hung executor task."""
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
     )
     page_ids: list[int] = []
+    visited: set[int] = set()
 
-    def walk(node_id: int, depth: int = 0):
-        if depth > 64 or node_id not in objs:
-            return
-        body = objs[node_id]
-        km = _KIDS_RE.search(body)
-        if km:
-            for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1)):
-                walk(int(rm.group(1)), depth + 1)
-        elif b"/Page" in body:
-            # /Contents is a single ref or an array of refs
-            am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
-            if am:
-                for rm in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1)):
-                    page_ids.append(int(rm.group(1)))
-            else:
-                for name, ref in _REF_RE.findall(body):
-                    if name == b"Contents":
-                        page_ids.append(int(ref))
+    def walk(node_id: int):
+        stack = [node_id]
+        while stack:
+            nid = stack.pop()
+            if nid in visited or nid not in objs:
+                continue
+            visited.add(nid)
+            body = objs[nid]
+            tm = _TYPE_RE.search(body)
+            node_type = tm.group(1) if tm else None
+            km = _KIDS_RE.search(body)
+            if node_type == b"Pages" or (node_type is None and km):
+                if km:
+                    kids = [
+                        int(rm.group(1))
+                        for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1))
+                    ]
+                    stack.extend(reversed(kids))  # preserve document order
+            elif node_type == b"Page":
+                # /Contents is a single ref or an array of refs
+                am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+                if am:
+                    for rm in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1)):
+                        page_ids.append(int(rm.group(1)))
+                else:
+                    for name, ref in _REF_RE.findall(body):
+                        if name == b"Contents":
+                            page_ids.append(int(ref))
 
     if catalog is not None:
         for name, ref in _REF_RE.findall(catalog):
@@ -229,6 +260,11 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
                     oct_digits += chr(data[p])
                     p += 1
                 out.append(chr(int(oct_digits, 8)))
+            elif e in (0x0A, 0x0D):  # line continuation (spec 7.3.4.2):
+                # backslash-EOL drops BOTH the backslash and the EOL
+                p += 1
+                if e == 0x0D and p < n and data[p] == 0x0A:
+                    p += 1
             else:  # stray backslash: drop it (spec)
                 pass
         elif c == 0x28:  # (
@@ -275,7 +311,11 @@ def _extract_stream_text(content: bytes) -> list[str]:
             hexs = re.sub(rb"\s", b"", tok[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
-            pending_strings.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
+            raw = bytes.fromhex(hexs.decode())
+            if raw.startswith(b"\xfe\xff"):  # UTF-16BE BOM
+                pending_strings.append(raw[2:].decode("utf-16-be"))
+            else:
+                pending_strings.append(raw.decode("latin-1"))
             continue
         if tok == b"BT":
             in_text = True

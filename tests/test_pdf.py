@@ -136,3 +136,58 @@ def test_contents_array_multiple_streams():
     text, n = extract_pdf_text(pdf)
     assert text == "part one\npart two"
     assert n == 2  # n_pages counts content streams (1:1 for our writer)
+
+
+def test_non_latin1_text_roundtrips_via_utf16_hex():
+    lines = ["curly ’ quote and 中文 text", "plain ascii"]
+    text, _ = extract_pdf_text(make_simple_pdf(lines))
+    assert text == "\n".join(lines)
+
+
+def test_kids_cycle_is_error_not_hang():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [2 0 R 2 0 R 2 0 R] /Count 1 >>\nendobj\n"
+        b"%%EOF"
+    )
+    with pytest.raises(PdfError):  # no content streams found
+        extract_pdf_text(pdf)
+
+
+def test_indirect_length_not_misparsed():
+    # '/Length 5 0 R' must not slice the stream to 5 bytes
+    content = b"BT (complete text survives) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content
+        + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "complete text survives"
+
+
+def test_incremental_update_last_definition_wins():
+    base = make_simple_pdf(["old text"])
+    c = b"BT (new text) Tj ET"
+    update = (
+        b"\n4 0 obj\n<< /Length " + str(len(c)).encode() + b" >>\nstream\n"
+        + c + b"\nendstream\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(base + update)
+    assert text == "new text"
+
+
+def test_backslash_eol_is_line_continuation():
+    content = b"BT (first \\\npart) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "first part"
