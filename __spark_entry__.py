@@ -418,6 +418,18 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_frame_sample(spark, sf_dir):
+    # frame sampling over binary payloads built from documents.text;
+    # the text is ASCII at every SF (asserted by the corpus generator's
+    # charset), so DuckDB's varchar slicing reproduces the byte split
+    from html5ever_elixir_spark.operators.multimodal import sample_frames
+
+    media = _docs(spark, sf_dir).selectExpr(
+        "doc_id AS media_id", "cast(text as binary) AS payload"
+    )
+    return sample_frames(media, n_frames=4)
+
+
 def _q_pdf_extract_text(spark, sf_dir):
     # PDF path roundtrip: deterministic Flate-compressed PDFs built from
     # documents.text (8-word line wrap), extracted back by the
@@ -527,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": _q_ann_srp,
         "emb_neardup_pairs": _q_emb_neardup,
         "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
@@ -664,6 +677,19 @@ SELECT * FROM (
             "cast(NULL as varchar) AS decode_error "
             "FROM documents"
         ),
+        # balanced 4-way byte split; text is ASCII so varchar slicing
+        # equals the operator's byte slicing
+        "media_frame_sample": """
+WITH f AS (SELECT doc_id AS media_id, text, length(text) AS ln,
+                  unnest(range(0, 4)) AS frame_idx
+           FROM documents)
+SELECT media_id, frame_idx::BIGINT AS frame_idx,
+  ((frame_idx + 1) * ln // 4 - frame_idx * ln // 4)::BIGINT AS n_bytes,
+  sha256(substring(text, (frame_idx * ln // 4) + 1,
+                   (frame_idx + 1) * ln // 4 - frame_idx * ln // 4))
+    AS frame_sha256
+FROM f
+""",
         # wrap text every 8 words with \n (what the PDF writer does),
         # 40 lines/page; the extractor must invert it byte-exactly
         "pdf_extract_text": """

@@ -68,6 +68,51 @@ def _decode_image(payload: bytes, n_dims: int = 8) -> list[float]:
     return [round(a / total, 6) for a in acc]
 
 
+FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx bigint, n_bytes bigint, frame_sha256 string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 4,
+) -> DataFrame:
+    """Deterministic frame sampling over opaque binary payloads: frame i
+    covers bytes [i*L//n, (i+1)*L//n) (balanced split), emitted as one
+    row per frame with its byte count and sha256. For real video this is
+    where a decoder picks keyframes; the Spark-side shape — one binary
+    payload in, N typed frame rows out, batch-wise via mapInPandas — is
+    exactly the production plumbing, and the byte-range split keeps the
+    whole operator oracle-checkable without media libraries."""
+    import hashlib as _hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_bytes": [],
+                   "frame_sha256": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                ln = len(data)
+                for i in range(n_frames):
+                    lo = i * ln // n_frames
+                    hi = (i + 1) * ln // n_frames
+                    chunk = data[lo:hi]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame_sha256"].append(
+                        _hashlib.sha256(chunk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    pruned = df.select(id_col, payload_col)
+    return pruned.mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def extract_media_features(
     df: DataFrame, n_dims: int = 8, decoder=None
 ) -> DataFrame:

@@ -312,3 +312,28 @@ def test_duplicate_spans(spark):
     # the exact 10-gram `shared` appears in docs 1, 2 and 4
     assert out[0]["n_docs"] == 3
     assert all(r["n_docs"] >= 2 for r in out)
+
+
+# -- multimodal frame sampling -----------------------------------------------
+
+
+def test_sample_frames_covers_payload(spark):
+    import hashlib
+
+    from html5ever_elixir_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 3 + b"tail"  # 772 bytes, not % 4
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = sorted(sample_frames(df, n_frames=4).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["media_id"] for r in rows] == [1, 1, 1, 1]  # null skipped
+    assert sum(r["n_bytes"] for r in rows) == len(payload)
+    # frames are the balanced byte split, hashes match
+    ln = len(payload)
+    for i, r in enumerate(rows):
+        chunk = payload[i * ln // 4 : (i + 1) * ln // 4]
+        assert r["n_bytes"] == len(chunk)
+        assert r["frame_sha256"] == hashlib.sha256(chunk).hexdigest()
