@@ -387,6 +387,24 @@ def _q_ann_srp(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _q_emb_normalize(spark, sf_dir):
+    # array-typed unit vector stays internal (driver contract); gate the
+    # norm plus scalars derived from the unit vector
+    out = similarity.normalize_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "norm",
+        F.expr("round(unit[0], 6)").alias("u0"),
+        F.expr(
+            "round(aggregate(unit, cast(0.0 as double), (a, v) -> a + v), 6)"
+        ).alias("unit_sum"),
+    )
+
+
+def _q_text_quality_filter(spark, sf_dir):
+    return textstats.quality_filter(_docs(spark, sf_dir))
+
+
 def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
     # pair set (real corpora would use ~0.95)
@@ -538,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_srp_bucket": _q_ann_srp,
         "emb_neardup_pairs": _q_emb_neardup,
+        "emb_normalize": _q_emb_normalize,
+        "text_quality_filter": _q_text_quality_filter,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -669,6 +689,12 @@ SELECT * FROM (
         # by the embeddings table)
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
+        "emb_normalize": (
+            "SELECT vec_id, norm, round(unit[1], 6) AS u0, "
+            "round(list_sum(unit), 6) AS unit_sum "
+            f"FROM ({similarity.oracle_normalize_sql()})"
+        ),
+        "text_quality_filter": textstats.oracle_quality_filter_sql(),
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

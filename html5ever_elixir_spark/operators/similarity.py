@@ -194,6 +194,42 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= {k}
 """
 
 
+def normalize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize (the precondition for dot-product == cosine ANN
+    indexes): v / ||v||, float64 math, rounded to 6 places for the
+    cross-engine hash. Row-local, zero shuffle; the norm is lambda-bound
+    so it's computed once per row. Output (vec_id, norm, unit)."""
+    norm = (
+        f"sqrt(aggregate({vec_col}, cast(0.0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    unit = (
+        f"element_at(transform(array({norm}), n -> "
+        f"transform({vec_col}, v -> round(cast(v as double) / n, 6))), 1)"
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(F.expr(norm), 6).alias("norm"),
+        F.expr(unit).alias("unit"),
+    )
+
+
+def oracle_normalize_sql(table: str = "embeddings") -> str:
+    return f"""
+SELECT vec_id,
+  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))), 6)
+    AS norm,
+  list_transform(embedding::DOUBLE[],
+    v -> round(v / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6)) AS unit
+FROM {table}
+"""
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

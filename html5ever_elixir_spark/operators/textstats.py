@@ -121,6 +121,58 @@ def oracle_lang_id_sql(table: str = "documents") -> str:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    min_stopword_ratio: float = 0.05,
+    min_alpha_ratio: float = 0.6,
+    lang: str = "en",
+) -> DataFrame:
+    """The composed training-data keep/drop gate (what the individual
+    scores exist FOR): keep docs that are long enough, stopword-bearing
+    (natural language, not keyword spam), mostly alphabetic, and in the
+    target language. Pure column composition of quality_score ⋈ lang_id
+    on the id — Catalyst collapses it into one scan, zero extra
+    shuffles. Output (doc_id, n_words, stopword_ratio, alpha_ratio,
+    lang_pred) for the surviving docs."""
+    q = quality_score(docs, text_col, id_col)
+    lid = lang_id(docs, text_col, id_col)
+    return (
+        q.join(lid, id_col)
+        .where(
+            (F.col("n_words") >= min_words)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("lang_pred") == lang)
+        )
+        .select(
+            id_col,
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "stopword_ratio", "alpha_ratio", "lang_pred",
+        )
+    )
+
+
+def oracle_quality_filter_sql(
+    table: str = "documents",
+    min_words: int = 30,
+    min_stopword_ratio: float = 0.05,
+    min_alpha_ratio: float = 0.6,
+    lang: str = "en",
+) -> str:
+    return f"""
+WITH q AS ({oracle_quality_sql(table)}), l AS ({oracle_lang_id_sql(table)})
+SELECT q.doc_id, n_words, stopword_ratio, alpha_ratio, lang_pred
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE n_words >= {min_words}
+  AND stopword_ratio >= {min_stopword_ratio}
+  AND alpha_ratio >= {min_alpha_ratio}
+  AND lang_pred = '{lang}'
+"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
     """Stable 64-bit-ish document fingerprint: md5 of
     whitespace-normalized text, first 16 hex chars."""
