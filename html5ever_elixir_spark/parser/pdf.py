@@ -313,7 +313,12 @@ def _extract_stream_text(content: bytes) -> list[str]:
                 hexs += b"0"
             raw = bytes.fromhex(hexs.decode())
             if raw.startswith(b"\xfe\xff"):  # UTF-16BE BOM
-                pending_strings.append(raw[2:].decode("utf-16-be"))
+                # errors='replace': a corrupt hex string (lone
+                # surrogate) must degrade to U+FFFD, not escape as a
+                # non-PdfError exception from the extraction contract
+                pending_strings.append(
+                    raw[2:].decode("utf-16-be", errors="replace")
+                )
             else:
                 pending_strings.append(raw.decode("latin-1"))
             continue
