@@ -346,9 +346,10 @@ def _q_dedup_lsh_clusters(spark, sf_dir):
 
 
 def _q_dedup_lsh_cc(spark, sf_dir):
-    # iterative min-label propagation — not one-statement SQL, so no
-    # oracle entry (driver records the weaker rows-only check);
-    # equivalence with brute-force union-find is pytest-gated
+    # iterative min-label propagation; max_iter is a compile-time
+    # constant so the rounds unroll to chained CTEs in the DuckDB
+    # oracle (idempotent after convergence => early-stop == fixed
+    # unroll); also pytest-gated vs brute-force union-find
     return dedup.lsh_connected_components(_docs(spark, sf_dir), max_iter=5)
 
 
@@ -679,6 +680,7 @@ SELECT * FROM (
         ),
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_lsh_clusters": dedup.oracle_lsh_clusters_sql(),
+        "dedup_lsh_cc": dedup.oracle_lsh_cc_sql(max_iter=5),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_simhash64": dedup.oracle_simhash64_sql(),

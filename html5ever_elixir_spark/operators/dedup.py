@@ -290,7 +290,11 @@ def lsh_connected_components(
     loop; each round is two shuffles, convergence in O(log n) rounds for
     real dup graphs). Output (doc_id, cluster_id).
 
-    Iterative — not SQL-expressible in one statement; gated by pytest
+    Iterative, but ``max_iter`` is a compile-time constant, so the
+    rounds unroll to chained CTEs for the DuckDB oracle
+    (oracle_lsh_cc_sql): min-label propagation is monotone and
+    idempotent after convergence, so the early-stopped Spark loop and
+    the fixed-depth unroll produce identical labels. Also pytest-gated
     against a brute-force union-find on small inputs. The result is
     materialized via ``localCheckpoint(eager=True)`` (truncated
     lineage) so the loop's caches can be released immediately; the
@@ -388,6 +392,48 @@ def oracle_lsh_pairs_sql(
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
         f"FROM {src} a JOIN {src} b "
         "ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+    )
+
+
+def oracle_lsh_cc_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5,
+    max_iter: int = 10,
+) -> str:
+    """Unrolled min-label propagation: round 0 seeds each doc with the
+    min over its buckets of the bucket-min doc_id (same as the clusters
+    oracle); round i+1 takes the min over the doc's buckets of the
+    bucket-min of round-i labels. Fixed-depth unrolling equals the
+    early-stopping Spark loop because propagation is idempotent once
+    converged. Mirrors lsh_connected_components exactly."""
+    cte = _oracle_banded_cte(table, k, bands, shingle)
+    rounds = [
+        """l0 AS (
+  SELECT banded.doc_id, min(_rep) AS lbl
+  FROM banded JOIN (SELECT band, bh, min(doc_id) AS _rep
+                    FROM banded GROUP BY band, bh) reps
+    ON banded.band = reps.band AND banded.bh = reps.bh
+  GROUP BY banded.doc_id
+)"""
+    ]
+    for i in range(1, max_iter + 1):
+        rounds.append(
+            f"""b{i} AS (
+  SELECT banded.band, banded.bh, min(lbl) AS blbl
+  FROM banded JOIN l{i - 1} ON banded.doc_id = l{i - 1}.doc_id
+  GROUP BY banded.band, banded.bh
+), l{i} AS (
+  SELECT banded.doc_id, min(blbl) AS lbl
+  FROM banded JOIN b{i}
+    ON banded.band = b{i}.band AND banded.bh = b{i}.bh
+  GROUP BY banded.doc_id
+)"""
+        )
+    final = f"l{max_iter}"
+    return (
+        f"WITH {cte},\n" + ",\n".join(rounds) + f"""
+SELECT t.doc_id, coalesce(lbl, t.doc_id) AS cluster_id
+FROM {table} t LEFT JOIN {final} ON t.doc_id = {final}.doc_id
+"""
     )
 
 

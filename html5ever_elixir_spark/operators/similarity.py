@@ -97,16 +97,25 @@ def srp_bucket_ann(
 
     Pass ``dim`` explicitly when known (schema metadata / config) —
     the ``None`` fallback peeks at one row, a driver-side action.
+
+    Each hyperplane is an ``array<double>`` LITERAL and the dot product
+    is ``aggregate(zip_with(v, plane, *), 0d, +)`` — a single constant
+    per plane, so the generated expression stays O(n_planes) regardless
+    of ``dim`` (the r2 version emitted a literal sum of dim*n_planes
+    terms: 12k-65k codegen terms at real embedding dims 768-4096).
     """
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    w = _srp_weight
 
     def dot_expr(col, p):
-        terms = " + ".join(
-            f"({w(p, d)}) * cast({col}[{d}] as double)" for d in range(dim)
+        plane = "array(" + ", ".join(
+            f"{_srp_weight(p, d)}D" for d in range(dim)
+        ) + ")"
+        return (
+            f"aggregate(zip_with({col}, {plane}, "
+            "(v, w) -> cast(v as double) * w), "
+            "cast(0.0 as double), (a, x) -> a + x)"
         )
-        return f"({terms})"
 
     bucket = (
         "concat("
@@ -202,14 +211,18 @@ def normalize_embeddings(
     """L2-normalize (the precondition for dot-product == cosine ANN
     indexes): v / ||v||, float64 math, rounded to 6 places for the
     cross-engine hash. Row-local, zero shuffle; the norm is lambda-bound
-    so it's computed once per row. Output (vec_id, norm, unit)."""
+    so it's computed once per row. Zero vectors get a NULL unit on BOTH
+    engines (unguarded, Spark's x/0 is NULL but DuckDB's is inf/NaN —
+    the gate would hash-mismatch the moment a zero embedding appears).
+    Output (vec_id, norm, unit)."""
     norm = (
         f"sqrt(aggregate({vec_col}, cast(0.0 as double), "
         "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
     )
     unit = (
-        f"element_at(transform(array({norm}), n -> "
-        f"transform({vec_col}, v -> round(cast(v as double) / n, 6))), 1)"
+        f"element_at(transform(array({norm}), n -> case when n = 0 then "
+        f"null else transform({vec_col}, "
+        "v -> round(cast(v as double) / n, 6)) end), 1)"
     )
     return emb.select(
         F.col(id_col),
@@ -223,9 +236,12 @@ def oracle_normalize_sql(table: str = "embeddings") -> str:
 SELECT vec_id,
   round(sqrt(list_sum(list_transform(embedding::DOUBLE[], v -> v * v))), 6)
     AS norm,
-  list_transform(embedding::DOUBLE[],
-    v -> round(v / sqrt(list_sum(list_transform(embedding::DOUBLE[],
-                                                x -> x * x))), 6)) AS unit
+  CASE WHEN sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) = 0
+       THEN NULL
+       ELSE list_transform(embedding::DOUBLE[],
+         v -> round(v / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     x -> x * x))), 6))
+  END AS unit
 FROM {table}
 """
 

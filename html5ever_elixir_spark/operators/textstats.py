@@ -84,16 +84,15 @@ def oracle_quality_sql(table: str = "documents") -> str:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
-    """Heuristic n-gram/stopword language-ID: count marker-word hits per
-    language, argmax with fixed priority order (en > es > de > fr >
-    'und' for undetermined)."""
+def _lang_pred_expr(text_col: str) -> str:
+    """SQL expr for the heuristic language-ID (shared by lang_id and
+    quality_filter so the composed gate stays a single projection)."""
     words = f"split({text_col}, ' ')"
     hits = {
         lang: f"size(filter({words}, w -> array_contains({_arr(ws)}, w)))"
         for lang, ws in LANG_MARKERS.items()
     }
-    expr = (
+    return (
         f"case when {hits['en']} >= greatest({hits['es']}, {hits['de']}, "
         f"{hits['fr']}) and {hits['en']} > 0 then 'en' "
         f"when {hits['es']} >= greatest({hits['de']}, {hits['fr']}) "
@@ -101,7 +100,15 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
         f"when {hits['de']} >= {hits['fr']} and {hits['de']} > 0 then 'de' "
         f"when {hits['fr']} > 0 then 'fr' else 'und' end"
     )
-    return docs.select(F.col(id_col), F.expr(expr).alias("lang_pred"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+    """Heuristic n-gram/stopword language-ID: count marker-word hits per
+    language, argmax with fixed priority order (en > es > de > fr >
+    'und' for undetermined)."""
+    return docs.select(
+        F.col(id_col), F.expr(_lang_pred_expr(text_col)).alias("lang_pred")
+    )
 
 
 def oracle_lang_id_sql(table: str = "documents") -> str:
@@ -133,25 +140,32 @@ def quality_filter(
     """The composed training-data keep/drop gate (what the individual
     scores exist FOR): keep docs that are long enough, stopword-bearing
     (natural language, not keyword spam), mostly alphabetic, and in the
-    target language. Pure column composition of quality_score ⋈ lang_id
-    on the id — Catalyst collapses it into one scan, zero extra
-    shuffles. Output (doc_id, n_words, stopword_ratio, alpha_ratio,
+    target language. All four features are row-local projections of the
+    same row, so they are computed in ONE select over ``docs`` — one
+    scan, zero joins, zero shuffles (the r2 version joined
+    quality_score ⋈ lang_id, which physically planned as 2 scans + a
+    hash join). Output (doc_id, n_words, stopword_ratio, alpha_ratio,
     lang_pred) for the surviving docs."""
-    q = quality_score(docs, text_col, id_col)
-    lid = lang_id(docs, text_col, id_col)
-    return (
-        q.join(lid, id_col)
-        .where(
-            (F.col("n_words") >= min_words)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-            & (F.col("alpha_ratio") >= min_alpha_ratio)
-            & (F.col("lang_pred") == lang)
-        )
-        .select(
-            id_col,
-            F.col("n_words").cast("bigint").alias("n_words"),
-            "stopword_ratio", "alpha_ratio", "lang_pred",
-        )
+    words = f"split({text_col}, ' ')"
+    stop = _arr(LANG_MARKERS["en"])
+    scored = docs.select(
+        F.col(id_col),
+        F.expr(f"cast(size({words}) as bigint)").alias("n_words"),
+        F.expr(
+            f"round(cast(size(filter({words}, w -> array_contains({stop}, w))) "
+            f"as double) / size({words}), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"round(cast(length(regexp_replace({text_col}, '[^a-z]', '')) "
+            f"as double) / length({text_col}), 6)"
+        ).alias("alpha_ratio"),
+        F.expr(_lang_pred_expr(text_col)).alias("lang_pred"),
+    )
+    return scored.where(
+        (F.col("n_words") >= min_words)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("lang_pred") == lang)
     )
 
 

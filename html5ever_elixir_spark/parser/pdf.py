@@ -111,10 +111,12 @@ class PdfError(ValueError):
     """Unparseable / out-of-scope PDF (row-level error, never job-fatal)."""
 
 
-# direct /Length only — negative lookahead rejects the indirect form
+# direct /Length only — negative lookaheads reject the indirect form
 # '/Length 5 0 R' (matching its object number as a byte count slices the
-# stream wrong: Flate fails loudly, uncompressed truncates silently)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# stream wrong: Flate fails loudly, uncompressed truncates silently).
+# (?!\d) anchors the digit run: without it the engine backtracks on
+# '/Length 50 0 R' to capture '5' and sneak past the indirect-ref guard.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:

@@ -30,7 +30,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.url import host_of
@@ -148,23 +148,27 @@ def run_extraction_pipeline(
             "host", host_of(F.col("url"))
         )
         out_path = os.path.join(output_dir, "extracted", f"group={g}")
-        parsed.write.mode("overwrite").parquet(out_path)
-        # lineage from the written output (exactly what was committed)
-        written = spark.read.parquet(out_path)
-        stats = written.agg(
-            F.count("*").alias("n_docs"),
+        # lineage via observe(): metrics ride the write job itself (the
+        # rows observed ARE the rows committed) — the r2 version
+        # re-read each group's just-written parquet, one extra scan of
+        # every group's own output
+        obs = Observation(f"lineage-group-{g}")
+        parsed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
                 "n_errors"
             ),
             F.sum(F.coalesce(F.col("n_nodes"), F.lit(0))).alias("n_nodes"),
-        ).collect()[0]
+        ).write.mode("overwrite").parquet(out_path)
+        stats = obs.get  # available once the write action finished
         rec = {
             "group": g,
             "buckets": [lo, hi],
             "status": "complete",
             "n_docs": stats["n_docs"],
-            "n_errors": stats["n_errors"],
-            "n_nodes": stats["n_nodes"],
+            "n_errors": stats["n_errors"] if stats["n_errors"] is not None else 0,
+            "n_nodes": stats["n_nodes"] if stats["n_nodes"] is not None else 0,
             "wall_sec": round(time.time() - t0, 2),
             "extract_version": "1",
         }

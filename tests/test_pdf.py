@@ -169,6 +169,22 @@ def test_indirect_length_not_misparsed():
     assert text == "complete text survives"
 
 
+def test_indirect_length_multidigit_objnum_not_misparsed():
+    # '/Length 50 0 R': regex backtracking must not capture '5' as a
+    # direct byte count (anchored digit run in _LENGTH_RE)
+    content = b"BT (multi-digit ref object survives intact) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 50 0 R >>\nstream\n" + content
+        + b"\nendstream\nendobj\n"
+        b"50 0 obj\n" + str(len(content)).encode() + b"\nendobj\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "multi-digit ref object survives intact"
+
+
 def test_incremental_update_last_definition_wins():
     base = make_simple_pdf(["old text"])
     c = b"BT (new text) Tj ET"
