@@ -4,9 +4,14 @@ HTML-only, so scope here is the pipeline mandate, not reference parity).
 
 Scope (honest): classic cross-reference PDFs with direct page trees and
 Tj/TJ/'/" text-showing operators, optional FlateDecode (stdlib zlib) on
-content streams, literal/hex string syntax with escapes, and
-line-break reconstruction from Td/TD/T*/Tm moves. Explicitly NOT
-handled: encrypted files, object streams (/ObjStm), predictors, CID /
+content streams with PNG (10-15) and TIFF (2, 8-bit) predictors,
+literal/hex string syntax with escapes, and line-break reconstruction
+from Td/TD/T*/Tm moves. Object resolution takes the classic
+cross-reference table fast path when the table validates (offsets
+actually point at the right `N 0 obj` headers, /Prev chains walked
+newest-first) and falls back to a full linear scan otherwise — crawled
+PDFs routinely carry slightly-off offsets. Explicitly NOT handled:
+encrypted files, object streams (/ObjStm) and xref streams, CID /
 composite fonts, ToUnicode CMaps — a corpus job routes those rows to
 the error column rather than failing (same row-level error contract as
 the HTML parser's invalid-UTF-8 path).
@@ -119,30 +124,113 @@ class PdfError(ValueError):
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
-def _objects(data: bytes) -> dict[int, bytes]:
-    """Object id → body bytes (between 'obj' and its 'endobj').
-    Linear scan instead of trusting the xref table (robust to the
-    slightly-off offsets common in crawled PDFs); LAST definition wins,
-    matching the newest-generation rule for appended incremental
-    updates. For stream objects with a direct /Length, the scan skips
-    past the stream payload before looking for 'endobj' — compressed
+def _object_body_end(data: bytes, hdr_end: int) -> int:
+    """Index of this object's 'endobj' (or -1). For stream objects with
+    a direct /Length, skip past the stream payload first — compressed
     bytes can legitimately contain the literal text 'endobj'."""
+    search_from = hdr_end
+    sm = _STREAM_RE.search(data, hdr_end)
+    if sm is not None:
+        lm = _LENGTH_RE.search(data, hdr_end, sm.start())
+        # only if this stream belongs to THIS object (no endobj
+        # between the header and the stream keyword)
+        if lm is not None and data.find(b"endobj", hdr_end, sm.start()) == -1:
+            search_from = sm.end() + int(lm.group(1))
+    return data.find(b"endobj", search_from)
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_KW_RE = re.compile(rb"[\r\n\t ]*xref[\r\n\t ]+")
+_XREF_SUBSEC_RE = re.compile(rb"(\d+)[\t ]+(\d+)[\r\n\t ]+")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})[\t ]+(\d{5})[\t ]+([nf])[\r\n\t ]*")
+_OBJ_AT_RE = re.compile(rb"[\r\n\t ]*(\d+)\s+\d+\s+obj\b")
+
+
+def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
+    """Classic cross-reference table fast path: follow the last
+    startxref and the /Prev chain (newest table first, so the
+    newest-generation definition wins and freed objects stay deleted),
+    then slice each in-use object at its recorded offset. Returns None
+    — caller falls back to the linear scan — on xref streams
+    (PDF 1.5+ '/Type /XRef'), missing tables, or any offset that does
+    not actually point at the right 'N 0 obj' header (crawled PDFs
+    routinely carry slightly-off offsets)."""
+    sx = None
+    for sx in _STARTXREF_RE.finditer(data):
+        pass
+    if sx is None:
+        return None
+    if _OBJ_RE.search(data, sx.end()) is not None:
+        # object definitions AFTER the newest startxref: an appended
+        # incremental update with no xref of its own — the table is
+        # stale, only the scan sees the newest definitions
+        return None
+    off = int(sx.group(1))
+    offsets: dict[int, int] = {}
+    decided: set[int] = set()
+    seen_tables: set[int] = set()
+    while True:
+        if off in seen_tables or not (0 <= off < len(data)):
+            return None
+        seen_tables.add(off)
+        km = _XREF_KW_RE.match(data, off)
+        if km is None:
+            return None  # xref stream or garbage offset
+        pos = km.end()
+        while True:
+            sm = _XREF_SUBSEC_RE.match(data, pos)
+            if sm is None:
+                break
+            start, count = int(sm.group(1)), int(sm.group(2))
+            pos = sm.end()
+            for i in range(count):
+                em = _XREF_ENTRY_RE.match(data, pos)
+                if em is None:
+                    return None
+                pos = em.end()
+                oid = start + i
+                if oid in decided:
+                    continue
+                decided.add(oid)
+                if em.group(3) == b"n" and oid > 0:
+                    offsets[oid] = int(em.group(1))
+        end = data.find(b"startxref", pos)
+        seg = data[pos : end if end != -1 else len(data)]
+        pm = re.search(rb"/Prev\s+(\d+)", seg)
+        if pm is None:
+            break
+        off = int(pm.group(1))
+    if not offsets:
+        return None
     objs: dict[int, bytes] = {}
+    for oid, o in offsets.items():
+        hm = _OBJ_AT_RE.match(data, o) if 0 <= o < len(data) else None
+        if hm is None or int(hm.group(1)) != oid:
+            return None  # off-by-some offset: distrust the whole table
+        end = _object_body_end(data, hm.end())
+        if end == -1:
+            return None
+        objs[oid] = data[hm.end():end]
+    return objs
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    """Object id → body bytes (between 'obj' and its 'endobj'). Tries
+    the validated xref-table fast path first (no full-file scan on big
+    well-formed PDFs), then the linear scan: LAST definition wins,
+    matching the newest-generation rule for appended incremental
+    updates."""
+    objs = _objects_via_xref(data)
+    if objs:
+        return objs
+    objs = {}
     pos = 0
     n = len(data)
     while pos < n:
         m = _OBJ_RE.search(data, pos)
         if m is None:
             break
-        search_from = m.end()
-        sm = _STREAM_RE.search(data, m.end())
-        if sm is not None:
-            lm = _LENGTH_RE.search(data, m.end(), sm.start())
-            # only if this stream belongs to THIS object (no endobj
-            # between the header and the stream keyword)
-            if lm is not None and data.find(b"endobj", m.end(), sm.start()) == -1:
-                search_from = sm.end() + int(lm.group(1))
-        end = data.find(b"endobj", search_from)
+        end = _object_body_end(data, m.end())
         if end == -1:
             pos = m.end()
             continue
@@ -176,7 +264,82 @@ def _content_stream(body: bytes) -> bytes:
             raw = zlib.decompress(raw)
         except zlib.error as e:
             raise PdfError(f"FlateDecode failed: {e}") from None
+        raw = _apply_predictor(raw, body[: sm.start()])
     return raw
+
+
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
+
+
+def _dict_int(d: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    return int(m.group(1)) if m else default
+
+
+def _apply_predictor(raw: bytes, stream_dict: bytes) -> bytes:
+    """Undo the /DecodeParms predictor after inflate: PNG filters 10-15
+    (None/Sub/Up/Average/Paeth per row, ISO 32000-1 §7.4.4.4 via PNG
+    spec §9) and TIFF horizontal differencing (predictor 2, 8-bit
+    components only). Truncated rows / unknown filter bytes raise
+    PdfError (row-level error, never a silent wrong answer)."""
+    pm = _PARMS_RE.search(stream_dict)
+    if pm is None:
+        return raw
+    parms = pm.group(1)
+    predictor = _dict_int(parms, b"Predictor", 1)
+    if predictor <= 1:
+        return raw
+    colors = _dict_int(parms, b"Colors", 1)
+    bpc = _dict_int(parms, b"BitsPerComponent", 8)
+    columns = _dict_int(parms, b"Columns", 1)
+    if predictor == 2:
+        if bpc != 8:
+            raise PdfError(f"TIFF predictor with BitsPerComponent={bpc}")
+        rowlen = columns * colors
+        out = bytearray(raw)
+        for r0 in range(0, len(out), rowlen):
+            row_end = min(r0 + rowlen, len(out))
+            for i in range(r0 + colors, row_end):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise PdfError(f"unsupported predictor {predictor}")
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(raw)
+    while i < n:
+        ft = raw[i]
+        i += 1
+        if i + rowlen > n:
+            raise PdfError("truncated predictor row")
+        row = bytearray(raw[i : i + rowlen])
+        i += rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"unknown PNG filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 _TYPE_RE = re.compile(rb"/Type\s*/(Pages|Page)\b")

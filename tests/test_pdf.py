@@ -207,3 +207,114 @@ def test_backslash_eol_is_line_continuation():
     )
     text, _ = extract_pdf_text(pdf)
     assert text == "first part"
+
+
+# -- round 3: xref fast path + Flate predictors ------------------------------
+
+def _png_filter(raw: bytes, columns: int, ftype: int) -> bytes:
+    """Forward-apply a PNG row filter (Colors=1, BPC=8) for test input."""
+    if len(raw) % columns:
+        raw += b" " * (columns - len(raw) % columns)
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(raw), columns):
+        row = raw[r : r + columns]
+        out.append(ftype)
+        for j, b in enumerate(row):
+            if ftype == 0:
+                out.append(b)
+            elif ftype == 1:  # sub
+                out.append((b - (row[j - 1] if j else 0)) & 0xFF)
+            elif ftype == 2:  # up
+                out.append((b - prev[j]) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _predictor_pdf(filtered: bytes, columns: int, predictor: int = 12) -> bytes:
+    import zlib
+
+    flate = zlib.compress(filtered)
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(flate)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor "
+        + str(predictor).encode() + b" /Columns " + str(columns).encode()
+        + b" >> >>\nstream\n" + flate + b"\nendstream\nendobj\n%%EOF"
+    )
+
+
+def test_xref_fast_path_used_and_equivalent():
+    from html5ever_elixir_spark.parser.pdf import _objects, _objects_via_xref
+
+    pdf = make_simple_pdf([f"line {i}" for i in range(50)])
+    via_xref = _objects_via_xref(pdf)
+    assert via_xref is not None  # the writer's table validates
+    assert via_xref == _objects(pdf)
+
+
+def test_corrupt_xref_offsets_fall_back_to_scan():
+    from html5ever_elixir_spark.parser.pdf import _objects_via_xref
+
+    pdf = bytearray(make_simple_pdf(["survives bad xref"]))
+    at = pdf.index(b"xref\n")
+    # clobber the first in-use entry's offset (points mid-file garbage)
+    entry_at = pdf.index(b"0000000000 65535 f \n", at) + 20
+    pdf[entry_at : entry_at + 10] = b"0000000003"
+    assert _objects_via_xref(bytes(pdf)) is None
+    text, _ = extract_pdf_text(bytes(pdf))
+    assert text == "survives bad xref"
+
+
+def test_xref_prev_chain_newest_generation_wins():
+    # base file + proper incremental update: new object 4, new xref with
+    # /Prev → fast path must resolve object 4 to the NEW definition
+    from html5ever_elixir_spark.parser.pdf import _objects_via_xref
+
+    base = make_simple_pdf(["old text"])
+    old_xref_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    c = b"BT (new text) Tj ET"
+    update = bytearray(b"\n")
+    obj_at = len(base) + len(update)
+    update += (
+        b"4 0 obj\n<< /Length " + str(len(c)).encode() + b" >>\nstream\n"
+        + c + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(base) + len(update)
+    update += (
+        b"xref\n4 1\n" + f"{obj_at:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+        + str(old_xref_at).encode() + b" >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF"
+    )
+    pdf = base + bytes(update)
+    assert _objects_via_xref(pdf) is not None
+    text, _ = extract_pdf_text(pdf)
+    assert text == "new text"
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2])
+def test_png_predictor_roundtrip(ftype):
+    content = b"BT (predictor text round trips exactly) Tj ET"
+    pdf = _predictor_pdf(_png_filter(content, 10, ftype), 10)
+    text, _ = extract_pdf_text(pdf)
+    assert text == "predictor text round trips exactly"
+
+
+def test_tiff_predictor_roundtrip():
+    content = b"BT (tiff differenced) Tj ET"
+    cols = len(content)  # one row, Colors=1 → horizontal differencing
+    diffed = bytearray(content)
+    for i in range(len(diffed) - 1, 0, -1):
+        diffed[i] = (diffed[i] - diffed[i - 1]) & 0xFF
+    pdf = _predictor_pdf(bytes(diffed), cols, predictor=2)
+    text, _ = extract_pdf_text(pdf)
+    assert text == "tiff differenced"
+
+
+def test_truncated_predictor_row_is_error():
+    filtered = _png_filter(b"BT (x) Tj ET", 10, 2)[:-3]  # cut mid-row
+    with pytest.raises(PdfError):
+        extract_pdf_text(_predictor_pdf(filtered, 10))
