@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the actual media decode
-is STUBBED behind a deterministic fake because the sandbox has no
-image/audio libraries — swap ``_decode_image_stub`` for a real decoder
-(PIL/ffmpeg) in production and nothing else changes.
+signatures, partitioning) is real and tested. Decode has three tiers:
+a REAL pure-Python decoder for uncompressed rasters (P5/P6 PNM and
+24-bit BI_RGB BMP — executes and is tested in this sandbox), PIL for
+everything else when installed, and a deterministic byte-histogram
+stub as the last resort so pipelines never need media libraries to
+exercise the plumbing. Corrupt payloads in a RECOGNIZED format are
+row-level decode errors, never silently stubbed.
 """
 
 from __future__ import annotations
@@ -49,23 +52,121 @@ def _decode_image_stub(payload: bytes, n_dims: int = 8) -> list[float]:
     return [round(a / total, 6) for a in acc]
 
 
+class CorruptRasterError(ValueError):
+    """Recognized raster magic but unparseable body: a row-level decode
+    error (must NOT fall through to the stub — silent fake features for
+    a corrupt image are worse than an error column)."""
+
+
+def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python decode of uncompressed raster formats — the REAL
+    decode branch that runs without PIL: binary PNM (P5 gray / P6 RGB,
+    maxval 255) and 24-bit uncompressed BI_RGB BMP (top-down or
+    bottom-up, row padding honored). Returns (width, height, grayscale
+    pixels 0-255 row-major top-down; RGB via the BT.601 integer luma).
+    Raises plain ValueError when the magic is unrecognized (caller
+    falls through to PIL/stub) and CorruptRasterError when the magic
+    matched but the body is bad."""
+    if payload[:2] in (b"P5", b"P6"):
+        toks: list[bytes] = []
+        i, n = 2, len(payload)
+        while len(toks) < 3 and i < n:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < n and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        if len(toks) < 3:
+            raise CorruptRasterError("truncated PNM header")
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            raise CorruptRasterError("non-numeric PNM header") from None
+        if maxval != 255 or w <= 0 or h <= 0:
+            raise CorruptRasterError(f"unsupported PNM geometry {w}x{h}/{maxval}")
+        i += 1  # exactly one whitespace byte after maxval (spec)
+        nchan = 3 if payload[:2] == b"P6" else 1
+        need = w * h * nchan
+        raw = payload[i : i + need]
+        if len(raw) < need:
+            raise CorruptRasterError("truncated PNM pixel data")
+        if nchan == 1:
+            return w, h, list(raw)
+        px = [
+            (raw[k] * 299 + raw[k + 1] * 587 + raw[k + 2] * 114) // 1000
+            for k in range(0, need, 3)
+        ]
+        return w, h, px
+    if payload[:2] == b"BM":
+        import struct
+
+        if len(payload) < 54:
+            raise CorruptRasterError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise CorruptRasterError("BMP core header unsupported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise CorruptRasterError(f"only 24-bit BI_RGB BMP (got {bpp}/{comp})")
+        if w <= 0 or h == 0:
+            raise CorruptRasterError(f"bad BMP geometry {w}x{h}")
+        flip = h > 0  # positive height = bottom-up storage
+        h = abs(h)
+        rowlen = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        px = [0] * (w * h)
+        for r in range(h):
+            ro = data_off + r * rowlen
+            if ro + w * 3 > len(payload):
+                raise CorruptRasterError("truncated BMP pixel data")
+            y = (h - 1 - r) if flip else r
+            for c in range(w):
+                b_ = payload[ro + 3 * c]
+                g_ = payload[ro + 3 * c + 1]
+                r_ = payload[ro + 3 * c + 2]
+                px[y * w + c] = (r_ * 299 + g_ * 587 + b_ * 114) // 1000
+        return w, h, px
+    raise ValueError("unrecognized raster magic")
+
+
+def _pool_features(px: list[int], n_dims: int) -> list[float]:
+    total = max(sum(px), 1)
+    acc = [0] * n_dims
+    for i, v in enumerate(px):
+        acc[i % n_dims] += v
+    return [round(a / total, 6) for a in acc]
+
+
 def _decode_image(payload: bytes, n_dims: int = 8) -> list[float]:
-    """Real path: decode → grayscale → thumbnail → mean-pooled pixel
-    features. Falls back to the deterministic stub without PIL (the
-    Spark-side plumbing — schema, batching, error rows — is identical
-    either way)."""
+    """Real path: decode → grayscale → mean-pooled pixel features.
+    Uncompressed PNM/BMP decode is pure Python (runs everywhere); other
+    formats go through PIL when installed and otherwise fall back to
+    the deterministic stub. Corrupt payloads in a recognized format
+    raise (row-level decode_error), they do not get stub features."""
+    if payload is None:
+        raise ValueError("null payload")
+    try:
+        _, _, px = _decode_raster(bytes(payload))
+        return _pool_features(px, n_dims)
+    except CorruptRasterError:
+        raise
+    except ValueError:
+        pass  # unrecognized magic: try PIL / stub
     if not _HAS_PIL:
         return _decode_image_stub(payload, n_dims)
     import io
 
     img = Image.open(io.BytesIO(payload)).convert("L")
     img.thumbnail((n_dims, n_dims))
-    px = list(img.getdata())
-    total = max(sum(px), 1)
-    acc = [0] * n_dims
-    for i, v in enumerate(px):
-        acc[i % n_dims] += v
-    return [round(a / total, 6) for a in acc]
+    return _pool_features(list(img.getdata()), n_dims)
 
 
 FRAMES_SCHEMA = (

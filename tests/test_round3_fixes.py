@@ -164,3 +164,97 @@ def test_lsh_cc_oracle_matches_spark_loop(spark, tmp_path):
         tuple(r) for r in con.execute(oracle_lsh_cc_sql(max_iter=5)).fetchall()
     )
     assert got == want
+
+
+# -- multimodal: the REAL decode branch executes (pure-Python rasters) -------
+
+def _make_ppm(w, h, rgb_fn):
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(rgb_fn(x, y))
+    return b"P6\n# test\n" + f"{w} {h}\n255\n".encode() + bytes(px)
+
+
+def _make_bmp24(w, h, rgb_fn):
+    import struct
+
+    rowlen = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_fn(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (rowlen - len(row))
+        px += row
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                      2835, 2835, 0, 0)
+    return hdr + dib + bytes(px)
+
+
+def test_real_raster_decode_ppm_and_bmp_agree():
+    from html5ever_elixir_spark.operators.multimodal import (
+        _decode_image,
+        _decode_image_stub,
+        _decode_raster,
+    )
+
+    rgb = lambda x, y: ((x * 40) % 256, (y * 60) % 256, (x + y) * 10 % 256)
+    ppm, bmp = _make_ppm(5, 3, rgb), _make_bmp24(5, 3, rgb)
+    w, h, px_ppm = _decode_raster(ppm)
+    assert (w, h) == (5, 3)
+    # same image in both containers → identical grayscale pixels
+    assert _decode_raster(bmp)[2] == px_ppm
+    # expected luma for pixel (x=1,y=0): BT.601 integer
+    assert px_ppm[1] == (40 * 299 + 0 * 587 + 10 * 114) // 1000
+    # the real branch produces REAL features, distinct from the stub
+    assert _decode_image(ppm) != _decode_image_stub(ppm)
+    assert _decode_image(ppm) == _decode_image(bmp)
+
+
+def test_corrupt_recognized_raster_is_error_not_stub():
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_image,
+    )
+
+    good = _make_bmp24(4, 4, lambda x, y: (x, y, 0))
+    with pytest.raises(CorruptRasterError):
+        _decode_image(good[:30])  # truncated header
+    with pytest.raises(CorruptRasterError):
+        _decode_image(good[:-8])  # truncated pixel data
+    with pytest.raises(CorruptRasterError):
+        _decode_image(b"P6\n2 2\n255\nxxx")  # truncated PNM
+    # unrecognized magic still routes to the deterministic stub
+    assert _decode_image(b"\x89PNG-but-not-really" * 3) is not None
+
+
+def test_media_features_real_branch_through_spark(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    ppm = _make_ppm(6, 4, lambda x, y: (x * 30, y * 50, 128))
+    rows = [
+        (0, "image", bytearray(ppm), (6, 4, "image/x-portable-pixmap")),
+        (1, "image", bytearray(_make_bmp24(3, 3, lambda x, y: (200, x, y))),
+         (3, 3, "image/bmp")),
+        (2, "image", bytearray(b"not an image at all"), (0, 0, "binary")),
+        (3, "image", bytearray(_make_bmp24(4, 4, lambda x, y: (1, 2, 3))[:40]),
+         (4, 4, "image/bmp")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, mime:string>",
+    )
+    out = {r.media_id: r for r in extract_media_features(media).collect()}
+    # real decodes: error-free, real features
+    assert out[0].decode_error is None and len(out[0].feature) == 8
+    assert out[1].decode_error is None
+    # unrecognized payload: stub features, no error (plumbing contract)
+    assert out[2].decode_error is None and out[2].feature is not None
+    # corrupt BMP: row-level decode_error, null feature
+    assert out[3].decode_error is not None and out[3].feature is None
