@@ -144,3 +144,57 @@ def test_stream_host_sessions_timeout_closes(spark, tmp_path):
     assert closed.count() > 0  # first-drain sessions were evicted
     # a closed session carries the accumulated counts
     assert closed.where(F.col("n_captures") <= 0).count() == 0
+
+
+def test_stream_host_sessions_kill_and_resume_state_recovery(spark, tmp_path):
+    # chaos path: stop the query with input still pending, restart from
+    # the same checkpoint — per-host state must survive the restart (the
+    # resumed run's n_captures counts BOTH runs' rows, proving the state
+    # store reloaded rather than starting fresh)
+    import time
+
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.streaming.ingest import stream_host_sessions
+
+    inp = str(tmp_path / "landing5")
+    out = str(tmp_path / "sessions5")
+    ck = str(tmp_path / "ck5")
+
+    def drain(min_rows):
+        q = stream_host_sessions(spark, inp, out, ck)
+        deadline = time.time() + 120
+        total = 0
+        while time.time() < deadline and total < min_rows:
+            total = sum(
+                p["numInputRows"] for p in q.recentProgress if p is not None
+            )
+            time.sleep(2)
+        q.stop()  # stop (no clean shutdown handshake with the source)
+        assert total >= min_rows, f"only {total} rows before stop"
+
+    _land_pages(spark, inp, 20)
+    drain(20)
+
+    # more input lands while the query is DOWN; the restart must resume
+    # from checkpointed offsets AND checkpointed per-host state
+    _land_pages(spark, inp, 12, offset=1)
+    drain(12)
+
+    snap = spark.read.parquet(out)
+    # total per-host captures across both runs (urls differ by batch
+    # prefix but share hosts)
+    inp_counts = {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(inp)
+        .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    final = {
+        r["host"]: r["m"]
+        for r in snap.groupBy("host").agg(F.max("n_captures").alias("m")).collect()
+    }
+    # state recovered: counts include the pre-kill rows, not just the
+    # post-restart batch
+    assert final == inp_counts
