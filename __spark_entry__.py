@@ -16,7 +16,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from html5ever_elixir_spark.operators import dedup, relational, similarity, textstats
+from html5ever_elixir_spark.operators import (
+    dedup,
+    relational,
+    sampling,
+    similarity,
+    textstats,
+)
 from html5ever_elixir_spark.operators.parse import flat_parse_nodes, parse_and_extract
 from html5ever_elixir_spark.sources.pages import pages_from_documents, pages_select_sql
 
@@ -406,6 +412,24 @@ def _q_text_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
 
 
+# keep rates must match _STRAT_RATES in oracle_sql()
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.1}
+
+
+def _q_sample_stratified(spark, sf_dir):
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), _STRAT_RATES
+    ).select("doc_id", "lang")
+
+
+def _q_text_token_budget(spark, sf_dir):
+    return textstats.token_budget(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_jaccard(spark, sf_dir):
+    return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
+
+
 def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
     # pair set (real corpora would use ~0.95)
@@ -563,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
+        "text_token_budget": _q_text_token_budget,
+        "sample_stratified": _q_sample_stratified,
+        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -731,6 +758,11 @@ SELECT doc_id, cast(NULL as varchar) AS error,
 FROM w
 """,
         "text_token_count": textstats.oracle_token_count_sql(),
+        "text_token_budget": textstats.oracle_token_budget_sql(),
+        "sample_stratified": sampling.oracle_stratified_sample_sql(
+            _STRAT_RATES, select="doc_id, lang"
+        ),
+        "dedup_minhash_jaccard": dedup.oracle_minhash_jaccard_sql(),
         "text_quality": textstats.oracle_quality_sql(),
         "text_lang_id": textstats.oracle_lang_id_sql(),
         "text_fingerprint": textstats.oracle_fingerprint_sql(),

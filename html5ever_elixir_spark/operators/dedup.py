@@ -227,6 +227,85 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash Jaccard estimator over the LSH candidate pairs: the
+    fraction of agreeing signature components (the standard unbiased
+    estimator — E[matches/k] = J; Broder, "On the resemblance and
+    containment of documents", 1997). The cheap O(k) middle filter
+    between LSH candidate generation and the exact shingle-set verify
+    (:func:`ngram_jaccard_pairs`): at corpus scale you estimate on all
+    candidates and run the exact verify only above a threshold.
+    Output (id_a, id_b, jaccard_est).
+
+    The signature join recomputes signatures for the pair endpoints; a
+    production run over one corpus would persist
+    :func:`minhash_signatures` once and feed both stages (same plan
+    shape, one materialization)."""
+    pairs = lsh_candidate_pairs(
+        docs, text_col, id_col, k, bands, shingle, max_bucket
+    )
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = (
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x <=> y, 1, 0)), "
+        "0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"round(cast({matches} as double) / {k}, 6)").alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
+def oracle_minhash_jaccard_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    cte = _oracle_banded_cte(table, k, bands, shingle)
+    if max_bucket is not None:
+        cte += (
+            ", small AS (SELECT doc_id, band, bh FROM ("
+            "SELECT *, count(*) OVER (PARTITION BY band, bh) AS _bsz "
+            f"FROM banded) WHERE _bsz <= {max_bucket})"
+        )
+        src = "small"
+    else:
+        src = "banded"
+    terms = " + ".join(
+        f"(case when sa.sig[{j + 1}] IS NOT DISTINCT FROM sb.sig[{j + 1}] "
+        "then 1 else 0 end)"
+        for j in range(k)
+    )
+    return f"""
+WITH {cte},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {src} a JOIN {src} b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       round(cast(({terms}) as double) / {k}, 6) AS jaccard_est
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+"""
+
+
 def lsh_clusters(
     docs: DataFrame,
     text_col: str = "text",
@@ -515,9 +594,14 @@ def duplicate_spans(
     id_col: str = "doc_id",
     n: int = 20,
     min_docs: int = 2,
+    ordered: bool = True,
 ) -> DataFrame:
     """Word n-gram spans appearing in ≥ ``min_docs`` DISTINCT documents.
-    Output (gram_hash, n_docs), n_docs descending then hash. Per-doc
+    Output (gram_hash, n_docs), n_docs descending then hash when
+    ``ordered`` (the deterministic report form the oracle gates);
+    keep/drop consumers at corpus scale should pass ``ordered=False`` —
+    the global sort is the cost driver at 100 TB and joins back on
+    gram_hash don't need it. Per-doc
     duplicate spans are collapsed before the shuffle (array_distinct),
     bounding the exploded row count at distinct spans per doc — which
     also means within-doc repetition is intentionally NOT counted (a
@@ -532,12 +616,12 @@ def duplicate_spans(
             F.expr(f"array_distinct(transform({sh}, s -> md5(s)))")
         ).alias("gram_hash"),
     )
-    return (
+    out = (
         grams.groupBy("gram_hash")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .orderBy(F.desc("n_docs"), "gram_hash")
     )
+    return out.orderBy(F.desc("n_docs"), "gram_hash") if ordered else out
 
 
 def oracle_duplicate_spans_sql(

@@ -202,3 +202,51 @@ def oracle_fingerprint_sql(table: str = "documents") -> str:
         "SELECT doc_id, substr(md5(trim(regexp_replace(text, "
         f"'[ \t\n\r\f]+', ' ', 'g'))), 1, 16) AS fp FROM {table}"
     )
+
+
+def token_budget(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group training-token budgeting: how many docs/tokens each
+    source (or host, or language) contributes and its share of the
+    corpus — the query behind mixture weighting and dedup targeting.
+    One shuffle on the group key (partial agg map-side); the share
+    window runs over the already-reduced #groups-row frame, so the
+    single-partition exchange is trivially small at any corpus size.
+    Output (group, n_docs, n_tokens, token_share)."""
+    from pyspark.sql import Window
+
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), " +")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        F.col(group_col).alias("grp"),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+    )
+
+
+def oracle_token_budget_sql(
+    table: str = "documents", group_col: str = "source"
+) -> str:
+    return f"""
+WITH g AS (
+  SELECT {group_col} AS grp, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), ' +')))::BIGINT AS n_tokens
+  FROM {table} GROUP BY {group_col}
+)
+SELECT grp, n_docs, n_tokens,
+       round(cast(n_tokens as double) / sum(n_tokens) OVER (), 6)
+         AS token_share
+FROM g
+"""

@@ -258,3 +258,57 @@ def test_media_features_real_branch_through_spark(spark):
     assert out[2].decode_error is None and out[2].feature is not None
     # corrupt BMP: row-level decode_error, null feature
     assert out[3].decode_error is not None and out[3].feature is None
+
+
+# -- new round-3 pipeline operators ------------------------------------------
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from html5ever_elixir_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id bigint, text string, lang string",
+    )
+    rates = {"en": 0.25, "de": 1.0}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    assert a == b  # layout-independent, reproducible
+    c = {r.doc_id for r in stratified_sample(docs, rates, salt="v2").collect()}
+    assert a != c  # new salt, independent draw
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_de = sum(1 for i in a if i % 2 == 1)
+    assert n_de == 1000  # rate 1.0 keeps everything
+    assert 150 <= n_en <= 350  # ~25% of 1000
+    # unlisted strata use default_rate=0.0
+    docs_fr = spark.createDataFrame(
+        [(1, "t", "fr")], "doc_id bigint, text string, lang string"
+    )
+    assert stratified_sample(docs_fr, rates).count() == 0
+
+
+def test_token_budget_shares_sum_to_one(spark):
+    from html5ever_elixir_spark.operators.textstats import token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f g h i j", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {r.grp: r for r in token_budget(docs).collect()}
+    assert rows["s1"].n_docs == 2 and rows["s1"].n_tokens == 5
+    assert rows["s2"].n_docs == 1 and rows["s2"].n_tokens == 5
+    assert rows["s1"].token_share == rows["s2"].token_share == 0.5
+
+
+def test_minhash_jaccard_estimate_exact_dups(spark):
+    from html5ever_elixir_spark.operators.dedup import minhash_jaccard_estimate
+
+    base = "the quick brown fox jumps over the lazy dog near the river " * 4
+    docs = spark.createDataFrame(
+        [(0, base), (1, base),
+         (2, "entirely different words about catalyst shuffle plans " * 6)],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.jaccard_est
+            for r in minhash_jaccard_estimate(docs).collect()}
+    assert rows[(0, 1)] == 1.0  # identical shingle sets agree on all k
+    assert all(v <= 1.0 for v in rows.values())
