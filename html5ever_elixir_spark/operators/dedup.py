@@ -150,6 +150,7 @@ def _lsh_banded(
     k: int,
     bands: int,
     shingle: int,
+    keep_sig: bool = False,
 ) -> DataFrame:
     """(id, band, bh) — one row per (doc, band); band hash = md5 of the
     r consecutive signature entries. Docs with null signatures (< shingle
@@ -175,10 +176,11 @@ def _lsh_banded(
         "named_struct('band', cast(b as int), "
         f"'bh', md5(concat_ws('|', slice(s, b * {r} + 1, {r}))))) end), 1)"
     )
-    return (
-        sigs.select(F.col(id_col), F.explode(F.expr(bands_arr)).alias("bb"))
-        .select(id_col, "bb.band", "bb.bh")
+    exploded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(F.expr(bands_arr)).alias("bb")
     )
+    cols = [id_col, "bb.band", "bb.bh"] + (["sig"] if keep_sig else [])
+    return exploded.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -245,30 +247,44 @@ def minhash_jaccard_estimate(
     candidates and run the exact verify only above a threshold.
     Output (id_a, id_b, jaccard_est).
 
-    The signature join recomputes signatures for the pair endpoints; a
-    production run over one corpus would persist
-    :func:`minhash_signatures` once and feed both stages (same plan
-    shape, one materialization)."""
-    pairs = lsh_candidate_pairs(
-        docs, text_col, id_col, k, bands, shingle, max_bucket
+    Plan shape: the signatures ride THROUGH the banding (keep_sig), so
+    the estimate needs no signature re-join — one scan, the (band, bh)
+    self-join shuffle (second side a ReusedExchange, same as
+    lsh_candidate_pairs), and a thin 3-column distinct. The naive
+    pairs ⋈ sigs ⋈ sigs formulation planned as 4 scans + 3 joins,
+    recomputing the MinHash lineage for every side."""
+    from pyspark.sql import Window
+
+    banded = _lsh_banded(
+        docs, text_col, id_col, k, bands, shingle, keep_sig=True
     )
-    sigs = minhash_signatures(docs, text_col, id_col, k, shingle)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
     matches = (
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x <=> y, 1, 0)), "
+        "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x <=> y, 1, 0)), "
         "0, (acc, v) -> acc + v)"
     )
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
-            "id_a",
-            "id_b",
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             F.expr(f"round(cast({matches} as double) / {k}, 6)").alias(
                 "jaccard_est"
             ),
         )
+        .distinct()
     )
 
 
