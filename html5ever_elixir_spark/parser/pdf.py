@@ -7,14 +7,17 @@ Tj/TJ/'/" text-showing operators, optional FlateDecode (stdlib zlib) on
 content streams with PNG (10-15) and TIFF (2, 8-bit) predictors,
 literal/hex string syntax with escapes, and line-break reconstruction
 from Td/TD/T*/Tm moves. Object resolution takes the classic
-cross-reference table fast path when the table validates (offsets
-actually point at the right `N 0 obj` headers, /Prev chains walked
-newest-first) and falls back to a full linear scan otherwise — crawled
-PDFs routinely carry slightly-off offsets. Explicitly NOT handled:
-encrypted files, object streams (/ObjStm) and xref streams, CID /
-composite fonts, ToUnicode CMaps — a corpus job routes those rows to
-the error column rather than failing (same row-level error contract as
-the HTML parser's invalid-UTF-8 path).
+cross-reference fast path when the tables validate (offsets actually
+point at the right `N 0 obj` headers, /Prev and hybrid /XRefStm chains
+walked newest-first) and falls back to a full linear scan otherwise —
+crawled PDFs routinely carry slightly-off offsets. PDF 1.5+ layouts
+are supported: cross-reference STREAMS (W-field rows, Flate +
+predictor) and compressed object streams (/ObjStm type-2 entries,
+where modern PDFs keep their catalog/pages dicts). Explicitly NOT
+handled: encrypted files, CID / composite fonts, ToUnicode CMaps — a
+corpus job routes those rows to the error column rather than failing
+(same row-level error contract as the HTML parser's invalid-UTF-8
+path).
 
 The companion :func:`make_simple_pdf` produces deterministic
 single-font PDFs used by the oracle roundtrip gate and tests; its
@@ -103,6 +106,78 @@ def make_simple_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
     return bytes(out)
 
 
+
+def make_objstm_pdf(lines: list[str], predictor: int = 12) -> bytes:
+    """PDF 1.5 layout generator for tests: the document dicts
+    (catalog/pages/page) packed in a Flate-compressed object stream,
+    the content stream a regular object, and a cross-reference STREAM
+    (W [1 4 1], PNG-up predictor by default) — the modern layout
+    crawled PDFs overwhelmingly use. Single page, same text model as
+    :func:`make_simple_pdf`."""
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for j, line in enumerate(lines):
+        if j:
+            ops.append("0 -14 Td")
+        ops.append(f"{_pdf_show_string(line)} Tj")
+    ops.append("ET")
+    content = zlib.compress("\n".join(ops).encode("latin-1"))
+
+    dicts = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    offs, cat = [], b""
+    for _oid, body in dicts:
+        offs.append(len(cat))
+        cat += body + b"\n"
+    header = " ".join(f"{oid} {o}" for (oid, _), o in zip(dicts, offs))
+    header = (header + "\n").encode()
+    stm_payload = zlib.compress(header + cat)
+
+    out = bytearray(b"%PDF-1.5\n")
+    positions: dict[int, int] = {}
+
+    def emit(oid: int, body: bytes) -> None:
+        positions[oid] = len(out)
+        out.extend(f"{oid} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    emit(4, b"<< /Length " + str(len(content)).encode()
+         + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream")
+    emit(5, b"<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+         + b" /Length " + str(len(stm_payload)).encode()
+         + b" /Filter /FlateDecode >>\nstream\n" + stm_payload
+         + b"\nendstream")
+
+    xref_at = len(out)
+    rows = [
+        (0, 0, 255),  # free head (field 3 capped to the 1-byte W width)
+        (2, 5, 0), (2, 5, 1), (2, 5, 2),      # objects 1-3 in ObjStm 5
+        (1, positions[4], 0), (1, positions[5], 0), (1, xref_at, 0),
+    ]
+    raw = b"".join(
+        bytes([t]) + f1.to_bytes(4, "big") + bytes([f2]) for t, f1, f2 in rows
+    )
+    parms = b""
+    if predictor >= 10:  # forward-apply PNG up so the reader undoes it
+        rowlen = 6
+        filtered = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(raw), rowlen):
+            row = raw[r : r + rowlen]
+            filtered.append(2)
+            filtered.extend((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+            prev = row
+        raw = bytes(filtered)
+        parms = (b" /DecodeParms << /Predictor 12 /Columns 6 >>")
+    xref_payload = zlib.compress(raw)
+    emit(6, b"<< /Type /XRef /Size 7 /W [1 4 1] /Root 1 0 R /Length "
+         + str(len(xref_payload)).encode() + b" /Filter /FlateDecode"
+         + parms + b" >>\nstream\n" + xref_payload + b"\nendstream")
+    out.extend(b"startxref\n" + str(xref_at).encode() + b"\n%%EOF")
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # reader
 
@@ -146,15 +221,96 @@ _XREF_ENTRY_RE = re.compile(rb"(\d{10})[\t ]+(\d{5})[\t ]+([nf])[\r\n\t ]*")
 _OBJ_AT_RE = re.compile(rb"[\r\n\t ]*(\d+)\s+\d+\s+obj\b")
 
 
+def _int_key(d: bytes, key: bytes):
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    return int(m.group(1)) if m else None
+
+
+def _parse_xref_stream(data: bytes, off: int):
+    """Parse a PDF 1.5+ cross-reference STREAM at ``off``. Returns
+    (entries, prev, stream_body) where entries is a list of
+    (oid, type, f1, f2) rows, or None when the object is not a valid
+    xref stream. The stream payload goes through the shared
+    Flate + predictor path (xref streams almost always use PNG up)."""
+    hm = _OBJ_AT_RE.match(data, off)
+    if hm is None:
+        return None
+    end = _object_body_end(data, hm.end())
+    if end == -1:
+        return None
+    body = data[hm.end():end]
+    sm = _STREAM_RE.search(body)
+    if sm is None or b"/XRef" not in body[: sm.start()]:
+        return None
+    head = body[: sm.start()]
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head)
+    size = _int_key(head, b"Size")
+    if wm is None or size is None:
+        return None
+    a, b, c = (int(g) for g in wm.groups())
+    rowlen = a + b + c
+    if rowlen == 0 or b == 0:
+        return None
+    im = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if im:
+        nums = [int(x) for x in re.findall(rb"\d+", im.group(1))]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    raw = _content_stream(body)
+    entries = []
+    pos = 0
+    for start, count in index:
+        for i in range(count):
+            row = raw[pos : pos + rowlen]
+            pos += rowlen
+            if len(row) < rowlen:
+                return None
+            t = int.from_bytes(row[:a], "big") if a else 1
+            f1 = int.from_bytes(row[a : a + b], "big")
+            f2 = int.from_bytes(row[a + b :], "big") if c else 0
+            entries.append((start + i, t, f1, f2))
+    return entries, _int_key(head, b"Prev"), body
+
+
+def _load_objstm(body: bytes) -> list[tuple[int, bytes]] | None:
+    """Decode an object stream (/Type /ObjStm): header of N
+    (objnum, offset) pairs, then the concatenated object bodies at
+    /First + offset. Returns [(objnum, body), ...] in stream order."""
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return None
+    head = body[: sm.start()]
+    n = _int_key(head, b"N")
+    first = _int_key(head, b"First")
+    if n is None or first is None:
+        return None
+    content = _content_stream(body)
+    nums = [int(x) for x in re.findall(rb"\d+", content[:first])]
+    if len(nums) < 2 * n:
+        return None
+    pairs = list(zip(nums[0 : 2 * n : 2], nums[1 : 2 * n : 2]))
+    out = []
+    for i, (oid, rel) in enumerate(pairs):
+        lo = first + rel
+        hi = first + pairs[i + 1][1] if i + 1 < n else len(content)
+        if lo > len(content) or hi < lo:
+            return None
+        out.append((oid, content[lo:hi]))
+    return out
+
+
 def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
-    """Classic cross-reference table fast path: follow the last
-    startxref and the /Prev chain (newest table first, so the
-    newest-generation definition wins and freed objects stay deleted),
-    then slice each in-use object at its recorded offset. Returns None
-    — caller falls back to the linear scan — on xref streams
-    (PDF 1.5+ '/Type /XRef'), missing tables, or any offset that does
-    not actually point at the right 'N 0 obj' header (crawled PDFs
-    routinely carry slightly-off offsets)."""
+    """Cross-reference fast path: follow the last startxref through the
+    /Prev (and hybrid /XRefStm) chain, newest table first, so the
+    newest-generation definition wins and freed objects stay deleted.
+    Handles BOTH classic tables and PDF 1.5+ xref streams, including
+    type-2 entries (objects inside /ObjStm compressed object streams —
+    where modern PDFs keep their catalog/pages dicts). Returns None —
+    caller falls back to the linear scan — on missing/garbled tables or
+    any direct offset that does not actually point at the right
+    'N 0 obj' header (crawled PDFs routinely carry slightly-off
+    offsets)."""
     sx = None
     for sx in _STARTXREF_RE.finditer(data):
         pass
@@ -165,42 +321,68 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
         # incremental update with no xref of its own — the table is
         # stale, only the scan sees the newest definitions
         return None
-    off = int(sx.group(1))
     offsets: dict[int, int] = {}
+    in_objstm: dict[int, tuple[int, int]] = {}
     decided: set[int] = set()
     seen_tables: set[int] = set()
-    while True:
+    queue = [int(sx.group(1))]
+    while queue:
+        off = queue.pop(0)
         if off in seen_tables or not (0 <= off < len(data)):
             return None
         seen_tables.add(off)
+        nexts: list[int] = []
         km = _XREF_KW_RE.match(data, off)
-        if km is None:
-            return None  # xref stream or garbage offset
-        pos = km.end()
-        while True:
-            sm = _XREF_SUBSEC_RE.match(data, pos)
-            if sm is None:
-                break
-            start, count = int(sm.group(1)), int(sm.group(2))
-            pos = sm.end()
-            for i in range(count):
-                em = _XREF_ENTRY_RE.match(data, pos)
-                if em is None:
-                    return None
-                pos = em.end()
-                oid = start + i
-                if oid in decided:
+        if km is not None:  # classic table
+            pos = km.end()
+            while True:
+                sm = _XREF_SUBSEC_RE.match(data, pos)
+                if sm is None:
+                    break
+                start, count = int(sm.group(1)), int(sm.group(2))
+                pos = sm.end()
+                for i in range(count):
+                    em = _XREF_ENTRY_RE.match(data, pos)
+                    if em is None:
+                        return None
+                    pos = em.end()
+                    oid = start + i
+                    if oid in decided:
+                        continue
+                    decided.add(oid)
+                    if em.group(3) == b"n" and oid > 0:
+                        offsets[oid] = int(em.group(1))
+            end = data.find(b"startxref", pos)
+            seg = data[pos : end if end != -1 else len(data)]
+            # hybrid-reference file: the /XRefStm complements the table
+            # and takes priority over /Prev (ISO 32000-1 §7.5.8.4)
+            hs = re.search(rb"/XRefStm\s+(\d+)", seg)
+            if hs:
+                nexts.append(int(hs.group(1)))
+            pm = re.search(rb"/Prev\s+(\d+)", seg)
+            if pm:
+                nexts.append(int(pm.group(1)))
+        else:  # xref stream
+            try:
+                parsed = _parse_xref_stream(data, off)
+            except PdfError:
+                return None
+            if parsed is None:
+                return None
+            entries, prev, _ = parsed
+            for oid, t, f1, f2 in entries:
+                if oid in decided or oid == 0:
                     continue
                 decided.add(oid)
-                if em.group(3) == b"n" and oid > 0:
-                    offsets[oid] = int(em.group(1))
-        end = data.find(b"startxref", pos)
-        seg = data[pos : end if end != -1 else len(data)]
-        pm = re.search(rb"/Prev\s+(\d+)", seg)
-        if pm is None:
-            break
-        off = int(pm.group(1))
-    if not offsets:
+                if t == 1:
+                    offsets[oid] = f1
+                elif t == 2:
+                    in_objstm[oid] = (f1, f2)
+                # t == 0 (free) and unknown types: decided, absent
+            if prev is not None:
+                nexts.append(prev)
+        queue = nexts + queue
+    if not offsets and not in_objstm:
         return None
     objs: dict[int, bytes] = {}
     for oid, o in offsets.items():
@@ -211,6 +393,29 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
         if end == -1:
             return None
         objs[oid] = data[hm.end():end]
+    # materialize type-2 objects from their object streams
+    by_stm: dict[int, list[int]] = {}
+    for oid, (stm, _idx) in in_objstm.items():
+        by_stm.setdefault(stm, []).append(oid)
+    for stm, oids in by_stm.items():
+        if stm not in objs:
+            return None
+        try:
+            loaded = _load_objstm(objs[stm])
+        except PdfError:
+            return None
+        if loaded is None:
+            return None
+        bodies = dict(loaded)
+        for oid in oids:
+            idx = in_objstm[oid][1]
+            if idx >= len(loaded) or loaded[idx][0] != oid:
+                # index/objnum mismatch: tolerate via the objnum map
+                if oid not in bodies:
+                    return None
+                objs[oid] = bodies[oid]
+            else:
+                objs[oid] = loaded[idx][1]
     return objs
 
 
@@ -391,7 +596,16 @@ def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
             if name == b"Pages":
                 walk(int(ref))
     if not page_ids:
-        page_ids = [oid for oid in sorted(objs) if _STREAM_RE.search(objs[oid])]
+        # heuristic salvage: every stream-bearing object EXCEPT
+        # structural streams (xref / object streams are never page
+        # content, and a corrupt one must not fail the salvage)
+        page_ids = [
+            oid
+            for oid in sorted(objs)
+            if (sm := _STREAM_RE.search(objs[oid])) is not None
+            and b"/XRef" not in objs[oid][: sm.start()]
+            and b"/ObjStm" not in objs[oid][: sm.start()]
+        ]
     return page_ids
 
 

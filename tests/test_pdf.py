@@ -318,3 +318,119 @@ def test_truncated_predictor_row_is_error():
     filtered = _png_filter(b"BT (x) Tj ET", 10, 2)[:-3]  # cut mid-row
     with pytest.raises(PdfError):
         extract_pdf_text(_predictor_pdf(filtered, 10))
+
+
+# -- PDF 1.5: xref streams + object streams ----------------------------------
+
+def test_objstm_roundtrip_with_and_without_predictor():
+    from html5ever_elixir_spark.parser.pdf import (
+        _objects_via_xref,
+        make_objstm_pdf,
+    )
+
+    lines = ["modern layout line one", "and line two"]
+    for pred in (12, 1):
+        pdf = make_objstm_pdf(lines, predictor=pred)
+        # resolved through the xref-stream fast path, incl. type-2 rows
+        assert sorted(_objects_via_xref(pdf)) == [1, 2, 3, 4, 5, 6]
+        text, n = extract_pdf_text(pdf)
+        assert text == "\n".join(lines) and n == 1
+
+
+def test_hybrid_xrefstm_from_classic_trailer():
+    # classic table whose trailer carries /XRefStm → the stream's
+    # type-2 entries must be honored (ISO 32000-1 §7.5.8.4)
+    from html5ever_elixir_spark.parser.pdf import make_objstm_pdf
+
+    base = make_objstm_pdf(["hybrid reference file"])
+    xref_stream_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    body = base.rsplit(b"startxref\n", 1)[0]
+    classic_at = len(body)
+    pdf = (
+        body + b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm "
+        + str(xref_stream_at).encode() + b" >>\nstartxref\n"
+        + str(classic_at).encode() + b"\n%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "hybrid reference file"
+
+
+def test_objstm_incremental_update_prev_chain():
+    # modern incremental update: new content obj + new xref stream with
+    # /Prev to the original → newest generation wins across the chain
+    import zlib as _z
+
+    from html5ever_elixir_spark.parser.pdf import make_objstm_pdf
+
+    base = make_objstm_pdf(["original text"])
+    old_xref_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    c = _z.compress(b"BT (updated text) Tj ET")
+    update = bytearray(b"\n")
+    obj_at = len(base) + len(update)
+    update += (
+        b"4 0 obj\n<< /Length " + str(len(c)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + c + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(base) + len(update)
+    rows = b"".join(
+        bytes([1]) + n.to_bytes(4, "big") + b"\x00" for n in (obj_at, xref_at)
+    )
+    payload = _z.compress(rows)
+    update += (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /Index [4 1 7 1] /W [1 4 1] "
+        b"/Root 1 0 R /Prev " + str(old_xref_at).encode()
+        + b" /Length " + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + payload
+        + b"\nendstream\nendobj\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF"
+    )
+    text, _ = extract_pdf_text(base + bytes(update))
+    assert text == "updated text"
+
+
+def test_corrupt_xref_stream_falls_back_to_scan():
+    # clobber the xref stream payload: the fast path must give up and
+    # the scan still salvages the uncompressed content stream
+    from html5ever_elixir_spark.parser.pdf import (
+        _objects_via_xref,
+        make_objstm_pdf,
+    )
+
+    pdf = bytearray(make_objstm_pdf(["salvageable content"]))
+    at = pdf.index(b"6 0 obj")
+    st = pdf.index(b"stream\n", at) + 7
+    pdf[st : st + 6] = b"\x00" * 6
+    assert _objects_via_xref(bytes(pdf)) is None
+    text, _ = extract_pdf_text(bytes(pdf))
+    assert text == "salvageable content"
+
+
+def test_fuzz_corruption_never_escapes_error_contract():
+    # any truncation / byte clobber must yield (text, n) or PdfError —
+    # never IndexError/KeyError/zlib.error/etc.
+    import random
+
+    from html5ever_elixir_spark.parser.pdf import make_objstm_pdf
+
+    rng = random.Random(42)
+    bases = [
+        make_simple_pdf([f"line {i}" for i in range(10)]),
+        make_objstm_pdf(["objstm doc", "second line"]),
+    ]
+    for base in bases:
+        for trial in range(150):
+            buf = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] = rng.randrange(256)
+            else:
+                at = rng.randrange(len(buf))
+                del buf[at : at + rng.randrange(1, 40)]
+            try:
+                extract_pdf_text(bytes(buf))
+            except PdfError:
+                pass
