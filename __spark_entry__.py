@@ -430,6 +430,15 @@ def _q_dedup_minhash_jaccard(spark, sf_dir):
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
 
 
+def _q_ann_srp_multiprobe(spark, sf_dir):
+    # Hamming-1 multiprobe: query side expands n_planes+1×, corpus side
+    # untouched — recall recovery for points near a hyperplane
+    out = similarity.srp_bucket_ann(
+        _emb(spark, sf_dir), n_queries=10, k=5, dim=64, multiprobe=True
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
     # pair set (real corpora would use ~0.95)
@@ -580,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "ann_cosine_topk": _q_ann_topk,
         "ann_srp_bucket": _q_ann_srp,
+        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
@@ -717,6 +727,7 @@ SELECT * FROM (
         # same md5-derived hyperplanes inlined as constants (dim=64 fixed
         # by the embeddings table)
         "ann_srp_bucket": similarity.oracle_srp_sql(),
+        "ann_srp_multiprobe": similarity.oracle_srp_sql(multiprobe=True),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
         "emb_normalize": (
             "SELECT vec_id, norm, round(unit[1], 6) AS u0, "

@@ -86,6 +86,7 @@ def srp_bucket_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k via signed-random-projection buckets.
 
@@ -94,6 +95,15 @@ def srp_bucket_ann(
     parity of a hex digit of md5('p:d'). Bucket = bitstring of
     sign(dot(v, plane)). Join is bucket-equality only (the scale path:
     candidate set ≪ corpus). Output (query_id, neighbor_id, rank, sim).
+
+    ``multiprobe=True`` additionally probes every Hamming-1 bucket
+    (flip each of the n_planes bits): single-probe SRP misses any
+    neighbor that lands one sign-flip away, the dominant recall loss
+    for points near a hyperplane. The expansion multiplies only the
+    QUERY side (n_planes+1 rows per query, still broadcast); the
+    corpus side is untouched, so the cost model at scale is unchanged.
+    Each (query, neighbor) pair matches at most one probe (probe
+    strings are distinct, a neighbor has one bucket) — no dedup needed.
 
     Pass ``dim`` explicitly when known (schema metadata / config) —
     the ``None`` fallback peeks at one row, a driver-side action.
@@ -128,11 +138,26 @@ def srp_bucket_ann(
     hashed = emb.select(
         F.col(id_col), F.col(vec_col), F.expr(bucket).alias("bucket")
     )
-    queries = hashed.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("a"),
-        F.col("bucket").alias("qb"),
-    )
+    queries = hashed.where(F.col(id_col) < n_queries)
+    if multiprobe:
+        probe_arr = (
+            f"transform(sequence(0, {n_planes}), i -> "
+            "case when i = 0 then bucket else concat("
+            "substring(bucket, 1, i - 1), "
+            "case when substring(bucket, i, 1) = '0' then '1' else '0' end, "
+            f"substring(bucket, i + 1, {n_planes})) end)"
+        )
+        queries = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("a"),
+            F.explode(F.expr(probe_arr)).alias("qb"),
+        )
+    else:
+        queries = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("a"),
+            F.col("bucket").alias("qb"),
+        )
     corpus = hashed.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("b"),
@@ -167,9 +192,11 @@ def oracle_srp_sql(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: bool = False,
 ) -> str:
     """DuckDB mirror of srp_bucket_ann: identical md5-derived ±1 plane
-    weights inlined as constants (1-based list indexing)."""
+    weights inlined as constants (1-based list indexing); multiprobe
+    expands the query side over generate_series bit flips."""
 
     def dot(p):
         return " + ".join(
@@ -181,12 +208,22 @@ def oracle_srp_sql(
         f"case when ({dot(p)}) >= 0 then '1' else '0' end"
         for p in range(n_planes)
     )
+    if multiprobe:
+        probe_cte = (
+            "SELECT query_id, a, CASE WHEN i = 0 THEN qb ELSE "
+            "substr(qb, 1, i - 1) || (CASE WHEN substr(qb, i, 1) = '0' "
+            "THEN '1' ELSE '0' END) || substr(qb, i + 1) END AS qb "
+            f"FROM q0 CROSS JOIN generate_series(0, {n_planes}) AS t(i)"
+        )
+    else:
+        probe_cte = "SELECT * FROM q0"
     return f"""
 WITH hashed AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket FROM {table}
 ),
-q AS (SELECT vec_id AS query_id, v AS a, bucket AS qb FROM hashed
-      WHERE vec_id < {n_queries}),
+q0 AS (SELECT vec_id AS query_id, v AS a, bucket AS qb FROM hashed
+       WHERE vec_id < {n_queries}),
+q AS ({probe_cte}),
 c AS (SELECT vec_id AS neighbor_id, v AS b, bucket FROM hashed),
 scored AS (
   SELECT query_id, neighbor_id,

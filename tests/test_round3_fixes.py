@@ -312,3 +312,17 @@ def test_minhash_jaccard_estimate_exact_dups(spark):
             for r in minhash_jaccard_estimate(docs).collect()}
     assert rows[(0, 1)] == 1.0  # identical shingle sets agree on all k
     assert all(v <= 1.0 for v in rows.values())
+
+
+def test_srp_multiprobe_recall_superset(spark):
+    # Hamming-1 probing must find every single-probe neighbor pair and
+    # strictly more on a corpus with near-hyperplane points
+    from html5ever_elixir_spark.operators.similarity import srp_bucket_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = srp_bucket_ann(emb, n_queries=5, k=50, dim=64)
+    multi = srp_bucket_ann(emb, n_queries=5, k=50, dim=64, multiprobe=True)
+    sp = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    mp = {(r.query_id, r.neighbor_id) for r in multi.collect()}
+    assert sp <= mp
+    assert len(mp) > len(sp)
