@@ -351,6 +351,10 @@ def _q_dedup_lsh_clusters(spark, sf_dir):
     return dedup.lsh_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_keep_longest(spark, sf_dir):
+    return dedup.keep_longest(_docs(spark, sf_dir))
+
+
 def _q_dedup_lsh_cc(spark, sf_dir):
     # iterative min-label propagation; max_iter is a compile-time
     # constant so the rounds unroll to chained CTEs in the DuckDB
@@ -582,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
         "dedup_lsh_cc": _q_dedup_lsh_cc,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
@@ -718,6 +723,7 @@ SELECT * FROM (
         "dedup_lsh_pairs": dedup.oracle_lsh_pairs_sql(),
         "dedup_lsh_clusters": dedup.oracle_lsh_clusters_sql(),
         "dedup_lsh_cc": dedup.oracle_lsh_cc_sql(max_iter=5),
+        "dedup_keep_longest": dedup.oracle_keep_longest_sql(),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_simhash64": dedup.oracle_simhash64_sql(),

@@ -371,6 +371,55 @@ def lsh_clusters(
     )
 
 
+def keep_longest(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """Canonical-document selection — the policy step AFTER clustering:
+    within each LSH cluster keep the longest text (ties → smallest id),
+    the usual crawl heuristic (the longest capture is the least
+    truncated). Output (doc_id, cluster_id, keep). One extra shuffle on
+    cluster_id beyond lsh_clusters; the per-cluster window is O(cluster
+    size), never pairwise."""
+    from pyspark.sql import Window
+
+    clusters = lsh_clusters(docs, text_col, id_col, k, bands, shingle).select(
+        id_col, "cluster_id"
+    )
+    scored = clusters.join(
+        docs.select(id_col, F.length(text_col).alias("_len")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("_len"), F.asc(id_col)
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        F.col(id_col), "cluster_id", (F.col("rn") == 1).alias("keep")
+    )
+
+
+def oracle_keep_longest_sql(
+    table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5
+) -> str:
+    return f"""
+WITH cl AS ({oracle_lsh_clusters_sql(table, k, bands, shingle)}),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, length(t.text) AS _len
+  FROM cl JOIN {table} t ON cl.doc_id = t.doc_id
+),
+r AS (
+  SELECT doc_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY _len DESC NULLS LAST, doc_id) AS rn
+  FROM j
+)
+SELECT doc_id, cluster_id, rn = 1 AS keep FROM r
+"""
+
+
 def lsh_connected_components(
     docs: DataFrame,
     text_col: str = "text",

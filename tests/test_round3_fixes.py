@@ -326,3 +326,20 @@ def test_srp_multiprobe_recall_superset(spark):
     mp = {(r.query_id, r.neighbor_id) for r in multi.collect()}
     assert sp <= mp
     assert len(mp) > len(sp)
+
+
+def test_keep_longest_policy(spark):
+    from html5ever_elixir_spark.operators.dedup import keep_longest
+
+    base = "the quick brown fox jumps over the lazy dog by the river " * 4
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + "extra tail making this one longer"),
+         (2, base), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in keep_longest(docs).collect()}
+    # 0,1,2 cluster together; the longest (1) is kept, not min-id (0)
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id
+    assert rows[1].keep and not rows[0].keep and not rows[2].keep
+    # null-text singleton keeps itself
+    assert rows[3].keep and rows[3].cluster_id == 3
