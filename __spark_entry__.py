@@ -426,6 +426,10 @@ def _q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_text_chunks(spark, sf_dir):
+    return textstats.chunk_documents(_docs(spark, sf_dir))
+
+
 def _q_text_token_budget(spark, sf_dir):
     return textstats.token_budget(_docs(spark, sf_dir))
 
@@ -603,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
         "text_token_budget": _q_text_token_budget,
+        "text_chunks": _q_text_chunks,
         "sample_stratified": _q_sample_stratified,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
@@ -776,6 +781,7 @@ FROM w
 """,
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_token_budget": textstats.oracle_token_budget_sql(),
+        "text_chunks": textstats.oracle_chunk_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

@@ -250,3 +250,62 @@ SELECT grp, n_docs, n_tokens,
          AS token_share
 FROM g
 """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 200,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed word-window chunking with overlap — the pre-tokenization
+    step of a training pipeline (long docs → model-context-sized
+    pieces; overlap preserves cross-boundary context). Chunk i covers
+    words [i*step, i*step + chunk_words), step = chunk_words - overlap.
+    Row-local explode, no shuffle; rows with NULL text produce no
+    chunks. The word array is lambda-bound (computed once per row, not
+    once per chunk — the CollapseProject/no-CSE trap). Output
+    (doc_id, chunk_idx, chunk_text, n_chunk_words)."""
+    assert 0 <= overlap < chunk_words
+    step = chunk_words - overlap
+    n_chunks = (
+        f"greatest(1, cast(ceil(cast(size(ws) - {overlap} as double) "
+        f"/ {step}) as int))"
+    )
+    chunks = (
+        f"element_at(transform(array(split({text_col}, ' ')), ws -> "
+        f"transform(sequence(0, {n_chunks} - 1), i -> named_struct("
+        "'chunk_idx', cast(i as bigint), "
+        f"'chunk_text', array_join(slice(ws, i * {step} + 1, {chunk_words}), ' '), "
+        f"'n_chunk_words', cast(size(slice(ws, i * {step} + 1, {chunk_words})) "
+        "as bigint)))), 1)"
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_words")
+    )
+
+
+def oracle_chunk_sql(
+    table: str = "documents", chunk_words: int = 200, overlap: int = 20
+) -> str:
+    step = chunk_words - overlap
+    return f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM {table}
+  WHERE text IS NOT NULL
+),
+e AS (
+  SELECT doc_id, ws, unnest(generate_series(0,
+           greatest(1, ceil((len(ws) - {overlap}) / {step})::INT) - 1)) AS i
+  FROM w
+)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       array_to_string(ws[i * {step} + 1 : i * {step} + {chunk_words}], ' ')
+         AS chunk_text,
+       len(ws[i * {step} + 1 : i * {step} + {chunk_words}])::BIGINT
+         AS n_chunk_words
+FROM e
+"""

@@ -343,3 +343,39 @@ def test_keep_longest_policy(spark):
     assert rows[1].keep and not rows[0].keep and not rows[2].keep
     # null-text singleton keeps itself
     assert rows[3].keep and rows[3].cluster_id == 3
+
+
+def test_chunk_documents_overlap_and_oracle(spark, tmp_path):
+    from html5ever_elixir_spark.operators.textstats import (
+        chunk_documents,
+        oracle_chunk_sql,
+    )
+
+    words = [f"w{i}" for i in range(450)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words)), (1, "short doc"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_words=200, overlap=20)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_text, r.n_chunk_words)
+         for r in out.collect())
+    )
+    doc0 = [r for r in rows if r[0] == 0]
+    # 450 words, step 180: chunks at 0/180/360 → 3 chunks
+    assert [r[1] for r in doc0] == [0, 1, 2]
+    assert doc0[0][2].split(" ")[:2] == ["w0", "w1"]
+    # overlap: chunk 1 starts at word 180, chunk 0 ends at word 199
+    assert doc0[1][2].split(" ")[0] == "w180"
+    assert doc0[0][2].split(" ")[-1] == "w199"
+    assert doc0[2][3] == 450 - 360  # tail chunk is short
+    assert [r for r in rows if r[0] == 1][0][3] == 2
+    assert not [r for r in rows if r[0] == 2]  # null text → no chunks
+
+    pq = tmp_path / "documents.parquet"
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    want = sorted(tuple(r) for r in con.execute(
+        oracle_chunk_sql(chunk_words=200, overlap=20)).fetchall())
+    assert rows == want
