@@ -52,10 +52,14 @@ def _decode_image_stub(payload: bytes, n_dims: int = 8) -> list[float]:
     return [round(a / total, 6) for a in acc]
 
 
-class CorruptRasterError(ValueError):
-    """Recognized raster magic but unparseable body: a row-level decode
+class CorruptMediaError(ValueError):
+    """Recognized media magic but unparseable body: a row-level decode
     error (must NOT fall through to the stub — silent fake features for
-    a corrupt image are worse than an error column)."""
+    a corrupt payload are worse than an error column)."""
+
+
+class CorruptRasterError(CorruptMediaError):
+    """Recognized raster magic, unparseable body."""
 
 
 def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
@@ -135,6 +139,52 @@ def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
                 px[y * w + c] = (r_ * 299 + g_ * 587 + b_ * 114) // 1000
         return w, h, px
     raise ValueError("unrecognized raster magic")
+
+
+def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Pure-Python decode of RIFF/WAVE PCM16: per-window mean absolute
+    amplitude (n_dims contiguous windows, normalized to [0,1]) — the
+    real audio-feature branch, running without any media library.
+    ValueError on non-RIFF magic (caller falls through to the stub),
+    CorruptMediaError on a recognized-but-bad container."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio magic")
+    pos, n = 12, len(payload)
+    fmt_ok = False
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body_at = pos + 8
+        if body_at + clen > n:
+            raise CorruptMediaError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise CorruptMediaError("short fmt chunk")
+            audio_format, _ch = struct.unpack_from("<HH", payload, body_at)
+            bits = struct.unpack_from("<H", payload, body_at + 14)[0]
+            if audio_format != 1 or bits != 16:
+                raise CorruptMediaError(
+                    f"only PCM16 WAV (got format={audio_format}, bits={bits})"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            data = payload[body_at : body_at + clen]
+        pos = body_at + clen + (clen & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise CorruptMediaError("missing fmt/data chunk")
+    if len(data) < 2:
+        raise CorruptMediaError("empty PCM data")
+    samples = [abs(v[0]) for v in struct.iter_unpack("<h", data[: len(data) & ~1])]
+    k = len(samples)
+    out = []
+    for i in range(n_dims):
+        lo, hi = i * k // n_dims, (i + 1) * k // n_dims
+        win = samples[lo:hi]
+        out.append(round(sum(win) / (len(win) * 32768.0), 6) if win else 0.0)
+    return out
 
 
 def _pool_features(px: list[int], n_dims: int) -> list[float]:
@@ -222,12 +272,22 @@ def extract_media_features(
     mapInPandas with Arrow batches: payloads stay binary end-to-end
     (no base64/utf8 round trip); one Python call per batch.
 
-    ``decoder`` defaults to :func:`_decode_image` (PIL when installed,
-    deterministic stub otherwise). Pass :func:`_decode_image_stub`
-    explicitly for environment-independent output — the driver-gated
+    Default decoding dispatches per ``kind``: audio → pure-Python
+    RIFF/PCM16 WAV features, everything else → :func:`_decode_image`
+    (pure-Python PNM/BMP, then PIL when installed, then the stub).
+    Pass ``decoder`` (e.g. :func:`_decode_image_stub`) to override for
+    environment-independent output — the driver-gated
     ``media_features`` query does, so its decode_error column stays
     NULL whether or not the runtime has Pillow."""
-    decode = decoder or _decode_image
+    def _by_kind(kind, payload, n_dims_):
+        if kind == "audio":
+            try:
+                return _decode_audio(payload, n_dims_)
+            except CorruptMediaError:
+                raise
+            except ValueError:
+                return _decode_image_stub(payload, n_dims_)
+        return _decode_image(payload, n_dims_)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -243,9 +303,12 @@ def extract_media_features(
             }
             feats = []
             errs = []
-            for p in pdf["payload"]:
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
                 try:
-                    feats.append(decode(p, n_dims))
+                    if decoder is not None:
+                        feats.append(decoder(p, n_dims))
+                    else:
+                        feats.append(_by_kind(kind, p, n_dims))
                     errs.append(None)
                 except Exception as e:  # decode failures are row-level
                     feats.append(None)

@@ -379,3 +379,56 @@ def test_chunk_documents_overlap_and_oracle(spark, tmp_path):
     want = sorted(tuple(r) for r in con.execute(
         oracle_chunk_sql(chunk_words=200, overlap=20)).fetchall())
     assert rows == want
+
+
+def _make_wav(samples, channels=1, rate=8000):
+    import struct
+
+    data = b"".join(struct.pack("<h", v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_wav_decode_and_kind_dispatch(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptMediaError,
+        _decode_audio,
+        _decode_image_stub,
+        extract_media_features,
+    )
+
+    # 8 windows of 10 samples each at known amplitudes
+    samples = [s for i in range(8) for s in [i * 1000] * 10]
+    wav = _make_wav(samples)
+    feats = _decode_audio(wav)
+    assert feats == [round(i * 1000 / 32768.0, 6) for i in range(8)]
+    with pytest.raises(CorruptMediaError):
+        _decode_audio(wav[:-5])  # truncated data chunk
+    with pytest.raises(CorruptMediaError):
+        _decode_audio(_make_wav(samples)[:20])  # header only
+    with pytest.raises(ValueError):
+        _decode_audio(b"not riff at all!")
+
+    rows = [
+        (0, "audio", bytearray(wav), (0, 0, "audio/wav")),
+        (1, "audio", bytearray(b"opaque-nonwav-payload"), (0, 0, "binary")),
+        (2, "audio", bytearray(wav[:-5]), (0, 0, "audio/wav")),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, mime:string>",
+    )
+    out = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert out[0].decode_error is None
+    # feature column is array<float> (float32): compare approximately
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[0].feature, feats))
+    # unrecognized audio payload → deterministic stub, no error
+    assert out[1].decode_error is None
+    stub = _decode_image_stub(b"opaque-nonwav-payload")
+    assert all(abs(a - b) < 1e-6 for a, b in zip(out[1].feature, stub))
+    # corrupt recognized WAV → row-level error
+    assert out[2].decode_error is not None and out[2].feature is None
