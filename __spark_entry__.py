@@ -24,6 +24,7 @@ from html5ever_elixir_spark.operators import (
     textstats,
 )
 from html5ever_elixir_spark.operators.parse import flat_parse_nodes, parse_and_extract
+from html5ever_elixir_spark.plans import curation
 from html5ever_elixir_spark.sources.pages import pages_from_documents, pages_select_sql
 
 
@@ -426,6 +427,10 @@ def _q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_curation_chunks(spark, sf_dir):
+    return curation.run_curation(_docs(spark, sf_dir))
+
+
 def _q_text_chunks(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir))
 
@@ -608,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
+        "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
@@ -782,6 +788,7 @@ FROM w
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_token_budget": textstats.oracle_token_budget_sql(),
         "text_chunks": textstats.oracle_chunk_sql(),
+        "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

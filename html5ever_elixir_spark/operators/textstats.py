@@ -136,6 +136,7 @@ def quality_filter(
     min_stopword_ratio: float = 0.05,
     min_alpha_ratio: float = 0.6,
     lang: str = "en",
+    project: bool = True,
 ) -> DataFrame:
     """The composed training-data keep/drop gate (what the individual
     scores exist FOR): keep docs that are long enough, stopword-bearing
@@ -145,11 +146,13 @@ def quality_filter(
     scan, zero joins, zero shuffles (the r2 version joined
     quality_score ⋈ lang_id, which physically planned as 2 scans + a
     hash join). Output (doc_id, n_words, stopword_ratio, alpha_ratio,
-    lang_pred) for the surviving docs."""
+    lang_pred) for the surviving docs; with ``project=False`` the
+    ORIGINAL columns of the surviving rows instead (for composing the
+    gate into a pipeline without a re-join — still one scan)."""
     words = f"split({text_col}, ' ')"
     stop = _arr(LANG_MARKERS["en"])
     scored = docs.select(
-        F.col(id_col),
+        *(docs.columns if not project else [id_col]),
         F.expr(f"cast(size({words}) as bigint)").alias("n_words"),
         F.expr(
             f"round(cast(size(filter({words}, w -> array_contains({stop}, w))) "
@@ -161,12 +164,13 @@ def quality_filter(
         ).alias("alpha_ratio"),
         F.expr(_lang_pred_expr(text_col)).alias("lang_pred"),
     )
-    return scored.where(
+    out = scored.where(
         (F.col("n_words") >= min_words)
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("alpha_ratio") >= min_alpha_ratio)
         & (F.col("lang_pred") == lang)
     )
+    return out if project else out.select(*docs.columns)
 
 
 def oracle_quality_filter_sql(

@@ -432,3 +432,20 @@ def test_real_wav_decode_and_kind_dispatch(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(out[1].feature, stub))
     # corrupt recognized WAV → row-level error
     assert out[2].decode_error is not None and out[2].feature is None
+
+
+def test_curation_pipeline_composition(spark):
+    # survivors = quality ∩ sample ∩ canonical — verified stage-by-stage
+    from html5ever_elixir_spark.operators.dedup import keep_longest
+    from html5ever_elixir_spark.operators.sampling import stratified_sample
+    from html5ever_elixir_spark.operators.textstats import quality_filter
+    from html5ever_elixir_spark.plans.curation import run_curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"en": 0.9}
+    got = {r.doc_id for r in run_curation(docs, rates).collect()}
+    q = {r.doc_id for r in quality_filter(docs).collect()}
+    s_ = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    k = {r.doc_id for r in keep_longest(docs).where("keep").collect()}
+    assert got == (q & s_ & k)
+    assert got  # non-degenerate at sf0.001
