@@ -435,6 +435,10 @@ def _q_text_chunks(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_text_token_budget(spark, sf_dir):
     return textstats.token_budget(_docs(spark, sf_dir))
 
@@ -612,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
         "text_token_budget": _q_text_token_budget,
+        "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
@@ -787,6 +792,7 @@ FROM w
 """,
         "text_token_count": textstats.oracle_token_count_sql(),
         "text_token_budget": textstats.oracle_token_budget_sql(),
+        "text_repetition": textstats.oracle_repetition_sql(),
         "text_chunks": textstats.oracle_chunk_sql(),
         "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(

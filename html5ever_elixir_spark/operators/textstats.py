@@ -313,3 +313,60 @@ SELECT doc_id, i::BIGINT AS chunk_idx,
          AS n_chunk_words
 FROM e
 """
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition / diversity signals — the template-spam and gibberish
+    detectors of a curation stack: distinct-word ratio (low = repeated
+    boilerplate), top-word ratio (high = keyword stuffing), word-level
+    Shannon entropy in bits (low = degenerate text). Row-local; the
+    per-distinct-word count array is lambda-bound and NUMERICALLY
+    SORTED before the entropy fold so both engines sum in the same
+    order (float associativity — unsorted, DuckDB's list_distinct
+    ordering differs from Spark's first-occurrence order and the 6dp
+    round can flip). O(distinct × words) per row.
+    Output (doc_id, distinct_ratio, top_word_ratio, word_entropy)."""
+    ws = f"split({text_col}, ' ')"
+    counts = (
+        f"array_sort(transform(array_distinct(ws), "
+        "w -> size(filter(ws, x -> x = w))))"
+    )
+    inner = (
+        "named_struct("
+        "'distinct_ratio', round(cast(size(cs) as double) / size(ws), 6), "
+        "'top_word_ratio', round(cast(element_at(cs, -1) as double) "
+        "/ size(ws), 6), "
+        "'word_entropy', round(-aggregate(cs, cast(0.0 as double), "
+        "(a, c) -> a + (cast(c as double) / size(ws)) "
+        "* log2(cast(c as double) / size(ws))), 6))"
+    )
+    expr = (
+        f"element_at(transform(array({ws}), ws -> "
+        f"element_at(transform(array({counts}), cs -> {inner}), 1)), 1)"
+    )
+    return docs.select(F.col(id_col), F.expr(expr).alias("r")).select(
+        id_col, "r.distinct_ratio", "r.top_word_ratio", "r.word_entropy"
+    )
+
+
+def oracle_repetition_sql(table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM {table}
+),
+c AS (
+  SELECT doc_id, ws,
+         list_sort(list_transform(list_distinct(ws),
+             w -> len(list_filter(ws, x -> x = w)))) AS cs
+  FROM w
+)
+SELECT doc_id,
+  round(cast(len(cs) as double) / len(ws), 6) AS distinct_ratio,
+  round(cast(cs[-1] as double) / len(ws), 6) AS top_word_ratio,
+  round(-list_sum(list_transform(cs,
+      c -> (cast(c as double) / len(ws))
+           * log2(cast(c as double) / len(ws)))), 6) AS word_entropy
+FROM c
+"""

@@ -449,3 +449,23 @@ def test_curation_pipeline_composition(spark):
     k = {r.doc_id for r in keep_longest(docs).where("keep").collect()}
     assert got == (q & s_ & k)
     assert got  # non-degenerate at sf0.001
+
+
+def test_repetition_stats_signals(spark):
+    import math
+
+    from html5ever_elixir_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "all words here are different"),
+         (2, "a a a b")],
+        "doc_id bigint, text string",
+    )
+    r = {x.doc_id: x for x in repetition_stats(docs).collect()}
+    assert r[0].distinct_ratio == 0.25 and r[0].top_word_ratio == 1.0
+    assert r[0].word_entropy == 0.0
+    assert r[1].distinct_ratio == 1.0 and r[1].top_word_ratio == 0.2
+    assert r[1].word_entropy == round(math.log2(5), 6)
+    # 3/4 'a': H = -(0.75*log2(0.75) + 0.25*log2(0.25))
+    want = round(-(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25)), 6)
+    assert r[2].word_entropy == want
