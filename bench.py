@@ -111,6 +111,11 @@ def run_suite(spark, sf_dir: str):
     timed("window_latest_event", lambda: _noop(
         relational.latest_event_per_user(relational.load(spark, sf_dir, "events"))
     ))
+    # the composed curation pipeline (quality ∩ sample ∩ canonical → chunks):
+    # fused scan-side gates + the LSH keep-longest chain + chunk explode
+    from html5ever_elixir_spark.plans.curation import run_curation
+
+    timed("curation_chunks", lambda: _noop(run_curation(docs)))
     return n_docs, timings
 
 
