@@ -41,6 +41,60 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: rows of ``new_docs`` whose exact text
+    hash does not already appear in ``seen`` (the running corpus /
+    its hash manifest — only a ``text_hash`` column is required if the
+    full rows aren't at hand). LEFT ANTI join on md5: one shuffle on a
+    uniform key, or a broadcast when the manifest is small; at corpus
+    scale the manifest side is a bucketed hash table and the join
+    co-locates. Within-batch duplicates are also collapsed (min id
+    kept) so the output is ingest-safe on its own."""
+    seen_hashes = (
+        seen.select(F.col("text_hash"))
+        if "text_hash" in seen.columns
+        else seen.select(F.md5(F.col(text_col)).alias("text_hash"))
+    ).distinct()
+    hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    firsts = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return firsts.join(seen_hashes, "text_hash", "anti").drop("text_hash")
+
+
+def oracle_incremental_dedup_sql(
+    table: str = "documents",
+    new_pred: str = "doc_id % 5 <> 0",
+    seen_pred: str = "doc_id % 5 = 0",
+    select: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    """Mirror over a deterministic split of one table (the driver has a
+    single documents table; new = 4/5 of it, seen = 1/5)."""
+    return f"""
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM {table} WHERE {seen_pred}
+),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+    AS _rn
+  FROM {table} WHERE {new_pred}
+)
+SELECT {select} FROM firsts
+WHERE _rn = 1
+  AND md5(text) NOT IN (SELECT text_hash FROM seen)
+"""
+
+
 def oracle_exact_dedup_sql(table: str = "documents") -> str:
     return (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "

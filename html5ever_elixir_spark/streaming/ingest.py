@@ -198,3 +198,41 @@ def stream_host_window_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Exactly-once streaming dedup ingest: fingerprint each page's raw
+    payload (md5 of the html bytes) and suppress repeats across
+    micro-batches via ``dropDuplicatesWithinWatermark`` — the state
+    store holds one entry per fingerprint and EXPIRES it once the
+    watermark passes (bounded state at crawl scale; a duplicate
+    arriving later than the watermark horizon slips through, and the
+    batch dedup layer is the backstop — the standard lambda split).
+    State survives restarts via the checkpoint, like the sessionizer.
+    Returns the StreamingQuery."""
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    deduped = (
+        pages.withColumn("fp", F.md5(F.col("html")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

@@ -198,3 +198,32 @@ def test_stream_host_sessions_kill_and_resume_state_recovery(spark, tmp_path):
     # state recovered: counts include the pre-kill rows, not just the
     # post-restart batch
     assert final == inp_counts
+
+
+def test_stream_dedup_ingest_suppresses_repeats_across_batches(spark, tmp_path):
+    # same html payloads landed twice (urls differ): the second landing
+    # must be suppressed by the fingerprint state store, including
+    # across a query restart from the checkpoint
+    from html5ever_elixir_spark.streaming.ingest import stream_dedup_ingest
+
+    inp = str(tmp_path / "landing6")
+    out = str(tmp_path / "dedup6")
+    ck = str(tmp_path / "ck6")
+
+    _land_pages(spark, inp, 30)  # offset 0
+    n_distinct = (
+        spark.read.parquet(inp).select(F.md5("html")).distinct().count()
+    )
+    q = stream_dedup_ingest(spark, inp, out, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    # within-batch dupes collapsed too (synth corpus repeats payloads)
+    assert first.count() == n_distinct
+    assert first.select(F.md5("html")).distinct().count() == n_distinct
+
+    # identical htmls again under new urls → all suppressed, across a
+    # query restart from the checkpointed state store
+    _land_pages(spark, inp, 30, offset=1)
+    q2 = stream_dedup_ingest(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_distinct
