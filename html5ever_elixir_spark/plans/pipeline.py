@@ -190,6 +190,7 @@ def run_extraction_pipeline(
     # records (same as completed_groups) and ignore stale records from a
     # previous run with a different n_groups.
     total = 0
+    records = []
     for name in os.listdir(_lineage_path(output_dir)):
         if name.startswith("group-") and name.endswith(".json"):
             try:
@@ -199,6 +200,32 @@ def run_extraction_pipeline(
                 continue
             if rec.get("status") == "complete" and rec.get("group", -1) < n_groups:
                 total += rec.get("n_docs", 0)
+                records.append(rec)
+    # lineage as a queryable metadata TABLE (Iceberg identifier on a
+    # real cluster via the catalog shim; parquet path here) alongside
+    # the per-group JSON manifests the resume logic reads
+    if records:
+        from ..sources.catalog import write_table
+
+        lineage_df = spark.createDataFrame(
+            [
+                (
+                    r["group"], r["buckets"][0], r["buckets"][1],
+                    r.get("n_docs", 0), r.get("n_errors", 0),
+                    r.get("n_nodes", 0), float(r.get("wall_sec", 0.0)),
+                    str(r.get("extract_version", "")),
+                )
+                for r in sorted(records, key=lambda x: x["group"])
+            ],
+            "group int, bucket_lo int, bucket_hi int, n_docs bigint, "
+            "n_errors bigint, n_nodes bigint, wall_sec double, "
+            "extract_version string",
+        )
+        write_table(
+            lineage_df,
+            os.path.join(output_dir, "metrics", "lineage"),
+            mode="overwrite",
+        )
     return {
         "groups_run": ran,
         "groups_skipped": sorted(done),

@@ -29,12 +29,17 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
         return spark.read.parquet(source)
 
 
-def write_pages(df: DataFrame, target: str, mode: str = "append") -> None:
-    """Write to an Iceberg table identifier (``writeTo`` v2 API) or a
-    parquet path."""
+def write_table(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Write any frame to an Iceberg table identifier (``writeTo`` v2
+    API) or a parquet path — used for the pages sink AND the
+    lineage/metrics metadata tables the north rule names."""
     if "://" in target or target.startswith("/"):
         df.write.mode(mode).parquet(target)
     elif mode == "append":
         df.writeTo(target).append()
     else:
         df.writeTo(target).createOrReplace()
+
+
+# pages-specific alias kept for callers/readability
+write_pages = write_table

@@ -91,3 +91,32 @@ def test_catalog_source_abstraction(spark, tmp_path):
     with pytest.raises(AnalysisException):
         # relative fallback also fails -> surfaced, not swallowed
         read_pages(spark, "no_such_catalog.db.pages").count()
+
+
+def test_lineage_metadata_table(spark, tmp_path):
+    # the lineage manifest is ALSO written as a queryable table, kept
+    # consistent across resume
+    import json
+    import os
+
+    from html5ever_elixir_spark.plans.pipeline import run_extraction_pipeline
+    from html5ever_elixir_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "lineage_out")
+    pages = synth_pages(spark, 40).drop("case_name")
+    summary = run_extraction_pipeline(spark, pages, out, n_buckets=8, n_groups=2)
+    tbl = {r.group: r for r in
+           spark.read.parquet(os.path.join(out, "metrics", "lineage")).collect()}
+    assert sorted(tbl) == [0, 1]
+    for g in (0, 1):
+        with open(os.path.join(out, "_lineage", f"group-{g}.json")) as f:
+            rec = json.load(f)
+        assert tbl[g].n_docs == rec["n_docs"]
+        assert (tbl[g].bucket_lo, tbl[g].bucket_hi) == tuple(rec["buckets"])
+    assert sum(r.n_docs for r in tbl.values()) == summary["total_docs"]
+
+    # resume run rewrites the same consistent table
+    summary2 = run_extraction_pipeline(spark, pages, out, n_buckets=8, n_groups=2)
+    assert summary2["groups_run"] == []
+    tbl2 = spark.read.parquet(os.path.join(out, "metrics", "lineage"))
+    assert tbl2.count() == 2
