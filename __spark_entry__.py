@@ -314,6 +314,50 @@ def _q_html_flat_error_rows(spark, sf_dir):
     )
 
 
+# shared variant template (identical SQL both engines); normalization
+# is INDEPENDENTLY implemented on each side — the differential gate
+_URL_VARIANTS = [
+    "'http://h' || cast({m} as string) || '.example.com/a/' || cast({i} as string)",
+    "'HTTP://H' || cast({m} as string) || '.EXAMPLE.COM:80/a/' || cast({i} as string) || '#frag'",
+    "'http://user:pw@h' || cast({m} as string) || '.example.com/a/' || cast({i} as string) || '/'",
+]
+
+
+def _q_url_dedup(spark, sf_dir):
+    from html5ever_elixir_spark.functions.url import normalize_url
+
+    docs = _docs(spark, sf_dir)
+    vs = [v.format(m="doc_id % 50", i="doc_id") for v in _URL_VARIANTS]
+    urls = docs.select(
+        F.explode(F.expr("array(" + ", ".join(vs) + ")")).alias("url")
+    )
+    return (
+        urls.select(normalize_url("url").alias("canon"), "url")
+        .groupBy("canon")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("url").alias("first_seen"),
+        )
+    )
+
+
+def _oracle_url_dedup_sql():
+    from html5ever_elixir_spark.functions.url import duck_normalize_url_sql
+
+    vs = [
+        v.replace("cast({m} as string)", "cast(doc_id % 50 as varchar)")
+        .replace("cast({i} as string)", "cast(doc_id as varchar)")
+        for v in _URL_VARIANTS
+    ]
+    return (
+        "WITH urls AS (SELECT unnest([" + ", ".join(vs) + "]) AS url "
+        "FROM documents) "
+        f"SELECT {duck_normalize_url_sql('url')} AS canon, "
+        "count(*)::BIGINT AS n_variants, min(url) AS first_seen "
+        "FROM urls GROUP BY 1"
+    )
+
+
 def _q_url_host_counts(spark, sf_dir):
     from html5ever_elixir_spark.functions import host_of
 
@@ -594,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_error_rows": _q_html_error_rows,
         "html_flat_error_rows": _q_html_flat_error_rows,
         "url_host_counts": _q_url_host_counts,
+        "url_dedup": _q_url_dedup,
         "html_titles": _q_html_titles,
         "html_links": _q_html_links,
         "html_node_histogram": _q_html_node_histogram,
@@ -695,6 +740,7 @@ SELECT url,
   'cannot transform bytes from binary to a valid UTF8 string' AS error
 FROM pages WHERE doc_id % 97 = 0
 """,
+        "url_dedup": _oracle_url_dedup_sql(),
         "url_host_counts": (
             "SELECT 'host' || cast(doc_id % 50 as string) || '.example' AS "
             "host, count(*) AS n FROM documents GROUP BY host ORDER BY host"

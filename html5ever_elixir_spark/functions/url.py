@@ -54,3 +54,33 @@ def normalize_url(url) -> Column:
     return F.when(scheme == "", url).otherwise(
         F.concat(scheme, F.lit("://"), hostpart, path)
     )
+
+
+def duck_normalize_url_sql(col: str) -> str:
+    """DuckDB mirror of :func:`normalize_url` (independent
+    implementation, same contract — the differential gate for URL
+    canonicalization). Anchored patterns, so first-match replace
+    semantics equal Spark's replace-all."""
+    nofrag = f"regexp_replace({col}, '#.*$', '')"
+    scheme = (
+        f"lower(regexp_extract({nofrag}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    )
+    rest = f"regexp_replace({nofrag}, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')"
+    host0 = (
+        f"regexp_replace(lower(regexp_extract({rest}, '^([^/]*)', 1)), "
+        "'^[^@]*@', '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END"
+    )
+    path0 = f"regexp_replace({rest}, '^[^/]*', '')"
+    path = (
+        f"regexp_replace(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END, "
+        "'^(/.+?)/$', '\\1')"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {col} "
+        f"ELSE {scheme} || '://' || {host} || {path} END"
+    )
