@@ -473,6 +473,12 @@ def _q_text_quality_filter(spark, sf_dir):
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.1}
 
 
+def _q_sample_cap_per_source(spark, sf_dir):
+    return sampling.cap_per_group(_docs(spark, sf_dir), k=15).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     return sampling.stratified_sample(
         _docs(spark, sf_dir), _STRAT_RATES
@@ -674,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
+        "sample_cap_per_source": _q_sample_cap_per_source,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -853,6 +860,9 @@ FROM w
         "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
+        ),
+        "sample_cap_per_source": sampling.oracle_cap_per_group_sql(
+            15, select="doc_id, source, n_chars"
         ),
         "dedup_minhash_jaccard": dedup.oracle_minhash_jaccard_sql(),
         "text_quality": textstats.oracle_quality_sql(),

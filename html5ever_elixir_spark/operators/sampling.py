@@ -71,3 +71,45 @@ def oracle_stratified_sample_sql(
     )
     rate = f"case {branches} else cast({default_rate} as double) end"
     return f"SELECT {select} FROM {table} WHERE ({u}) < ({rate})"
+
+
+def cap_per_group(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bound any one group's contribution (the host-bias control of a
+    crawl pipeline): keep at most ``k`` rows per group, preferring the
+    largest ``order_col`` (ties → smallest id, fully deterministic).
+    One shuffle on the group key; the window is O(group size) per
+    group — hot hosts cost their own size, never a cross-group sort.
+    Output = input columns of the surviving rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last(order_col), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def oracle_cap_per_group_sql(
+    k: int,
+    table: str = "documents",
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    select: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    return f"""
+SELECT {select} FROM (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}
+            ORDER BY {order_col} DESC NULLS LAST, doc_id) AS _rn
+  FROM {table}
+) WHERE _rn <= {k}
+"""
