@@ -396,6 +396,14 @@ def _q_dedup_lsh_clusters(spark, sf_dir):
     return dedup.lsh_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_decontaminate(spark, sf_dir):
+    # deterministic split: benchmark = doc_id%5==0, training = the rest
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # deterministic split of the one driver table: seen = doc_id%5==0
     docs = _docs(spark, sf_dir)
@@ -660,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_cc": _q_dedup_lsh_cc,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
@@ -803,6 +812,7 @@ SELECT * FROM (
         "dedup_lsh_cc": dedup.oracle_lsh_cc_sql(max_iter=5),
         "dedup_keep_longest": dedup.oracle_keep_longest_sql(),
         "dedup_incremental": dedup.oracle_incremental_dedup_sql(),
+        "dedup_decontaminate": dedup.oracle_decontaminate_sql(),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),
         "dedup_simhash64": dedup.oracle_simhash64_sql(),

@@ -95,6 +95,82 @@ WHERE _rn = 1
 """
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any word
+    ``n``-gram with an evaluation set (the standard 13-gram overlap
+    rule from GPT-3's appendix; exact-match grams, md5-keyed). The
+    benchmark side reduces to DISTINCT gram hashes (small: eval sets
+    are thousands of docs) so the join broadcasts; the docs side
+    explodes per-doc DISTINCT grams, bounding rows at unique grams per
+    doc. Output (doc_id, n_hits, contaminated) for ALL docs — the
+    keep/drop decision stays with the caller."""
+    sh = _spark_shingles(text_col, n)
+    bench_grams = benchmark.select(
+        F.explode(
+            F.expr(f"array_distinct(transform({sh}, s -> md5(s)))")
+        ).alias("gram_hash")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct(transform({sh}, s -> md5(s)))")
+        ).alias("gram_hash"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def oracle_decontaminate_sql(
+    table: str = "documents",
+    docs_pred: str = "doc_id % 5 <> 0",
+    bench_pred: str = "doc_id % 5 = 0",
+    n: int = 13,
+) -> str:
+    """Mirror over a deterministic split of the one driver table
+    (training = 4/5, benchmark = 1/5)."""
+    sh = _duck_shingles("text", n)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform({sh}, s -> md5(s))))
+    AS gram_hash
+  FROM {table} WHERE {bench_pred}
+),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform({sh}, s -> md5(s))))
+    AS gram_hash
+  FROM {table} WHERE {docs_pred}
+),
+hits AS (
+  SELECT dg.doc_id, count(*)::BIGINT AS n_hits
+  FROM dg JOIN bench ON dg.gram_hash = bench.gram_hash
+  GROUP BY dg.doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_hits, 0)::BIGINT AS n_hits,
+       coalesce(n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM {table} WHERE {docs_pred}) t
+LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""
+
+
 def oracle_exact_dedup_sql(table: str = "documents") -> str:
     return (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "

@@ -469,3 +469,23 @@ def test_repetition_stats_signals(spark):
     # 3/4 'a': H = -(0.75*log2(0.75) + 0.25*log2(0.25))
     want = round(-(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25)), 6)
     assert r[2].word_entropy == want
+
+
+def test_decontaminate_flags_overlap(spark):
+    from html5ever_elixir_spark.operators.dedup import decontaminate
+
+    leak = ("the exact thirteen word benchmark sentence that must be "
+            "detected in training data verbatim")
+    docs = spark.createDataFrame(
+        [(0, "clean document with completely original content " * 5),
+         (1, f"prefix text {leak} suffix text"),
+         (2, None)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"eval question: {leak}")], "doc_id bigint, text string"
+    )
+    r = {x.doc_id: x for x in decontaminate(docs, bench).collect()}
+    assert r[1].contaminated and r[1].n_hits > 0
+    assert not r[0].contaminated and r[0].n_hits == 0
+    assert not r[2].contaminated  # null text → no grams
