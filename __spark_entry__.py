@@ -497,6 +497,15 @@ def _q_curation_chunks(spark, sf_dir):
     return curation.run_curation(_docs(spark, sf_dir))
 
 
+def _q_text_pack(spark, sf_dir):
+    # small chunk/seq sizes so the sf docs actually produce multi-chunk
+    # packing (sf0.01 docs are short)
+    chunks = textstats.chunk_documents(
+        _docs(spark, sf_dir), chunk_words=20, overlap=5
+    )
+    return textstats.pack_sequences(chunks, seq_len=40)
+
+
 def _q_text_chunks(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir))
 
@@ -687,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": _q_text_token_budget,
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
+        "text_pack_sequences": _q_text_pack,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
@@ -867,6 +877,9 @@ FROM w
         "text_token_budget": textstats.oracle_token_budget_sql(),
         "text_repetition": textstats.oracle_repetition_sql(),
         "text_chunks": textstats.oracle_chunk_sql(),
+        "text_pack_sequences": textstats.oracle_pack_sql(
+            chunk_words=20, overlap=5, seq_len=40
+        ),
         "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"

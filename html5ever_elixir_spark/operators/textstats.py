@@ -370,3 +370,56 @@ SELECT doc_id,
            * log2(cast(c as double) / len(ws)))), 6) AS word_entropy
 FROM c
 """
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-batch assembly: pack a doc's chunks (from
+    :func:`chunk_documents`) into fixed-budget sequences — chunk c goes
+    to sequence floor(words_before_c / seq_len), so sequences fill
+    greedily in chunk order and never cross documents (the common
+    packing choice: no cross-doc attention contamination). One window
+    + one aggregation, both partitioned by doc — scale-safe (no global
+    order). Output (doc_id, seq_id, n_chunks, n_words)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_chunk_words").over(w), F.lit(0))
+    return (
+        chunks.withColumn(
+            "seq_id", F.floor(prev / F.lit(seq_len)).cast("bigint")
+        )
+        .groupBy(id_col, "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_words").cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def oracle_pack_sql(
+    table: str = "documents",
+    chunk_words: int = 200,
+    overlap: int = 20,
+    seq_len: int = 2048,
+) -> str:
+    return f"""
+WITH chunks AS ({oracle_chunk_sql(table, chunk_words, overlap)}),
+c AS (
+  SELECT doc_id, chunk_idx, n_chunk_words,
+         coalesce(sum(n_chunk_words) OVER (
+           PARTITION BY doc_id ORDER BY chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM chunks
+)
+SELECT doc_id, floor(prev / {seq_len})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_chunks, sum(n_chunk_words)::BIGINT AS n_words
+FROM c GROUP BY doc_id, floor(prev / {seq_len})
+"""

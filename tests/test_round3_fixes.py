@@ -489,3 +489,23 @@ def test_decontaminate_flags_overlap(spark):
     assert r[1].contaminated and r[1].n_hits > 0
     assert not r[0].contaminated and r[0].n_hits == 0
     assert not r[2].contaminated  # null text → no grams
+
+
+def test_pack_sequences_greedy_within_doc(spark):
+    from html5ever_elixir_spark.operators.textstats import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(100)))],
+        "doc_id bigint, text string",
+    )
+    # chunks of 30 words, overlap 0 → 4 chunks (30,30,30,10)
+    chunks = chunk_documents(docs, chunk_words=30, overlap=0)
+    packed = {r.seq_id: r for r in
+              pack_sequences(chunks, seq_len=60).collect()}
+    # prev-cumsum buckets: chunk0@0, chunk1@30 → seq 0; chunk2@60,
+    # chunk3@90 → seq 1
+    assert packed[0].n_chunks == 2 and packed[0].n_words == 60
+    assert packed[1].n_chunks == 2 and packed[1].n_words == 40
