@@ -650,24 +650,23 @@ def _q_event_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
+    # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
+    # round rotates which entries sit past the window (see COVERAGE.md
+    # "Driver-window rotation").  Round 4 leads with the 8 entries that had
+    # no CORRECTNESS_r03 row (text_fingerprint + the 7 relational ones) and
+    # pushes long-stable html_* parity queries to the tail — every tail
+    # entry still passes tools/oracle_check.py (the driver-exact compare).
     return {
-        # HTML engine (parse + extract, end-to-end vs SQL-reconstructed oracle)
-        "html_tree_json": _q_html_tree_json,
-        "html_tree_json_maps": _q_html_tree_json_maps,
-        "html_attrs_map_merge": _q_html_attrs_map_merge,
-        "html_text_nodes": _q_html_text_nodes,
-        "html_extract_text": _q_html_extract,
-        "html_extract_text_v2": _q_html_extract_v2,
-        "html_error_rows": _q_html_error_rows,
-        "html_flat_error_rows": _q_html_flat_error_rows,
-        "url_host_counts": _q_url_host_counts,
-        "url_dedup": _q_url_dedup,
-        "html_titles": _q_html_titles,
-        "html_links": _q_html_links,
-        "html_node_histogram": _q_html_node_histogram,
-        "html_node_histogram_fast": _q_html_node_histogram_fast,
-        "html_max_depth": _q_html_max_depth,
-        "html_attrs_by_tag": _q_html_attrs_by_tag,
+        # previously past the driver window (r3) — now first
+        "text_fingerprint": _q_fingerprint,
+        "agg_pricing_summary": _q_pricing,
+        "join_revenue_nation": _q_revenue,
+        "join_supplier_volume": _q_supplier_volume,
+        "window_latest_event": _q_latest_event,
+        "topk_largest_docs": _q_topk_docs,
+        "filter_project_docs": _q_filter_project,
+        "agg_event_type_stats": _q_event_stats,
         # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "dedup_dom_normalized": _q_dedup_dom,
@@ -703,15 +702,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
-        "text_fingerprint": _q_fingerprint,
-        # relational categories
-        "agg_pricing_summary": _q_pricing,
-        "join_revenue_nation": _q_revenue,
-        "join_supplier_volume": _q_supplier_volume,
-        "window_latest_event": _q_latest_event,
-        "topk_largest_docs": _q_topk_docs,
-        "filter_project_docs": _q_filter_project,
-        "agg_event_type_stats": _q_event_stats,
+        "url_host_counts": _q_url_host_counts,
+        "url_dedup": _q_url_dedup,
+        # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
+        # the load-bearing encoders stay inside the 50-row window …
+        "html_tree_json": _q_html_tree_json,
+        "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
+        "html_extract_text": _q_html_extract,
+        "html_error_rows": _q_html_error_rows,
+        # … and these long-stable parity queries rotate past it in r4
+        # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
+        "html_text_nodes": _q_html_text_nodes,
+        "html_extract_text_v2": _q_html_extract_v2,
+        "html_flat_error_rows": _q_html_flat_error_rows,
+        "html_titles": _q_html_titles,
+        "html_links": _q_html_links,
+        "html_node_histogram": _q_html_node_histogram,
+        "html_node_histogram_fast": _q_html_node_histogram_fast,
+        "html_max_depth": _q_html_max_depth,
+        "html_attrs_by_tag": _q_html_attrs_by_tag,
     }
 
 
