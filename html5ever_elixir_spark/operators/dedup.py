@@ -79,7 +79,13 @@ def oracle_incremental_dedup_sql(
     select: str = "doc_id, text, lang, source, n_chars",
 ) -> str:
     """Mirror over a deterministic split of one table (the driver has a
-    single documents table; new = 4/5 of it, seen = 1/5)."""
+    single documents table; new = 4/5 of it, seen = 1/5).
+
+    NOT EXISTS, not NOT IN: with any NULL seen-side hash (NULL text →
+    md5 NULL) a NOT IN predicate evaluates NULL for *every* row and the
+    oracle would return 0 rows, and a NULL-text new doc would be dropped
+    while Spark's anti-join retains null-key rows. NOT EXISTS has
+    anti-join semantics on both engines (ADVICE r3)."""
     return f"""
 WITH seen AS (
   SELECT DISTINCT md5(text) AS text_hash FROM {table} WHERE {seen_pred}
@@ -91,7 +97,7 @@ firsts AS (
 )
 SELECT {select} FROM firsts
 WHERE _rn = 1
-  AND md5(text) NOT IN (SELECT text_hash FROM seen)
+  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.text_hash = md5(firsts.text))
 """
 
 
@@ -101,15 +107,25 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    broadcast_manifest: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — flag training docs sharing any word
     ``n``-gram with an evaluation set (the standard 13-gram overlap
     rule from GPT-3's appendix; exact-match grams, md5-keyed). The
-    benchmark side reduces to DISTINCT gram hashes (small: eval sets
-    are thousands of docs) so the join broadcasts; the docs side
+    benchmark side reduces to DISTINCT gram hashes; the docs side
     explodes per-doc DISTINCT grams, bounding rows at unique grams per
     doc. Output (doc_id, n_hits, contaminated) for ALL docs — the
-    keep/drop decision stays with the caller."""
+    keep/drop decision stays with the caller.
+
+    ``broadcast_manifest``: ``True`` forces a broadcast hint — only
+    assert this when the caller KNOWS the eval manifest is small (a
+    single benchmark suite: thousands of docs → ~1e6 gram hashes).
+    Default ``None`` adds no hint and lets AQE choose from runtime
+    stats: small manifests still broadcast-join, but a union of many
+    benchmark suites (tens of millions of distinct 13-gram hashes)
+    degrades to a shuffle join instead of OOMing the driver or tripping
+    the broadcast size limit. The gram_hash key is md5-uniform, so the
+    shuffle fallback is skew-free (r3 verdict "What's wrong" #1)."""
     sh = _spark_shingles(text_col, n)
     bench_grams = benchmark.select(
         F.explode(
@@ -122,8 +138,10 @@ def decontaminate(
             F.expr(f"array_distinct(transform({sh}, s -> md5(s)))")
         ).alias("gram_hash"),
     )
+    if broadcast_manifest:
+        bench_grams = F.broadcast(bench_grams)
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        doc_grams.join(bench_grams, "gram_hash")
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )

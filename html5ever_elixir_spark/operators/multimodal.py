@@ -94,9 +94,19 @@ def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
             raise CorruptRasterError("non-numeric PNM header") from None
         if maxval != 255 or w <= 0 or h <= 0:
             raise CorruptRasterError(f"unsupported PNM geometry {w}x{h}/{maxval}")
-        i += 1  # exactly one whitespace byte after maxval (spec)
         nchan = 3 if payload[:2] == b"P6" else 1
         need = w * h * nchan
+        # exactly one whitespace byte after maxval (spec) — verify it IS
+        # whitespace so a truncated header errors instead of shifting the
+        # pixel data (ADVICE r3); tolerate the non-spec CRLF writers seen
+        # in the wild only when consuming both bytes makes the remaining
+        # payload length exactly match the pixel count (unambiguous).
+        ws = payload[i : i + 1]
+        if not ws.isspace():
+            raise CorruptRasterError("PNM: byte after maxval is not whitespace")
+        i += 1
+        if ws == b"\r" and payload[i : i + 1] == b"\n" and n - (i + 1) == need:
+            i += 1
         raw = payload[i : i + need]
         if len(raw) < need:
             raise CorruptRasterError("truncated PNM pixel data")

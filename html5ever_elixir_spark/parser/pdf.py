@@ -473,7 +473,33 @@ def _content_stream(body: bytes) -> bytes:
     return raw
 
 
-_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
+_PARMS_OPEN_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<")
+
+
+def _extract_parms(stream_dict: bytes) -> bytes | None:
+    """Extract the /DecodeParms (or /DP) inline dictionary body with
+    balanced ``<< >>`` scanning — a non-greedy regex truncates at the
+    first ``>>`` of any *nested* dict, silently dropping predictor keys
+    that follow it (ADVICE r3). Returns None when the stream has no
+    inline DecodeParms dict; raises PdfError on an unterminated one."""
+    m = _PARMS_OPEN_RE.search(stream_dict)
+    if m is None:
+        return None
+    depth, i, n = 1, m.end(), len(stream_dict)
+    start = i
+    while i < n and depth:
+        two = stream_dict[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    if depth:
+        raise PdfError("unterminated DecodeParms dictionary")
+    return stream_dict[start : i - 2]
 
 
 def _dict_int(d: bytes, key: bytes, default: int) -> int:
@@ -487,10 +513,9 @@ def _apply_predictor(raw: bytes, stream_dict: bytes) -> bytes:
     spec §9) and TIFF horizontal differencing (predictor 2, 8-bit
     components only). Truncated rows / unknown filter bytes raise
     PdfError (row-level error, never a silent wrong answer)."""
-    pm = _PARMS_RE.search(stream_dict)
-    if pm is None:
+    parms = _extract_parms(stream_dict)
+    if parms is None:
         return raw
-    parms = pm.group(1)
     predictor = _dict_int(parms, b"Predictor", 1)
     if predictor <= 1:
         return raw
