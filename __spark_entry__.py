@@ -506,6 +506,15 @@ def _q_text_pack(spark, sf_dir):
     return textstats.pack_sequences(chunks, seq_len=40)
 
 
+def _q_text_pack_strict(spark, sf_dir):
+    # hard trainer budget: no sequence exceeds seq_len (unless a single
+    # chunk alone does); oracle is the same recurrence as a recursive CTE
+    chunks = textstats.chunk_documents(
+        _docs(spark, sf_dir), chunk_words=20, overlap=5
+    )
+    return textstats.pack_sequences(chunks, seq_len=40, strict=True)
+
+
 def _q_text_chunks(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir))
 
@@ -696,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
+        "text_pack_strict": _q_text_pack_strict,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
@@ -888,6 +898,9 @@ FROM w
         "text_repetition": textstats.oracle_repetition_sql(),
         "text_chunks": textstats.oracle_chunk_sql(),
         "text_pack_sequences": textstats.oracle_pack_sql(
+            chunk_words=20, overlap=5, seq_len=40
+        ),
+        "text_pack_strict": textstats.oracle_pack_strict_sql(
             chunk_words=20, overlap=5, seq_len=40
         ),
         "curation_chunks": curation.oracle_curation_sql(),

@@ -122,6 +122,10 @@ def run_suite(spark, sf_dir: str):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # co-tenant load is the dominant noise source on this shared host:
+    # stamp 1-min loadavg at start/end so driver-vs-repo timing deltas
+    # are machine-checkable (r3 verdict ask #5)
+    loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     n_docs, timings = run_suite(spark, sf_dir)
@@ -138,6 +142,8 @@ def main():
         "docs_per_sec_extract": docs_per_sec,
         "cpus": cpus,
         "replicate": REPLICATE,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     spark.stop()
     print(json.dumps(out))

@@ -376,6 +376,7 @@ def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 2048,
     id_col: str = "doc_id",
+    strict: bool = False,
 ) -> DataFrame:
     """Training-batch assembly: pack a doc's chunks (from
     :func:`chunk_documents`) into fixed-budget sequences — chunk c goes
@@ -383,8 +384,21 @@ def pack_sequences(
     greedily in chunk order and never cross documents (the common
     packing choice: no cross-doc attention contamination). One window
     + one aggregation, both partitioned by doc — scale-safe (no global
-    order). Output (doc_id, seq_id, n_chunks, n_words)."""
+    order). Output (doc_id, seq_id, n_chunks, n_words).
+
+    ``strict=False`` (default): a sequence may overflow ``seq_len`` by
+    up to one chunk (floor-of-prefix-sum assignment — documented r3
+    packing variant). ``strict=True`` enforces the hard trainer budget:
+    a chunk that would push the running fill past ``seq_len`` opens a
+    new sequence (a chunk alone larger than ``seq_len`` still gets its
+    own sequence). The recurrence is sequential per doc, so strict mode
+    folds the doc's weight array with one ``aggregate`` lambda after a
+    single groupBy-doc shuffle — per-doc arrays are bounded by doc
+    length, no window, no global order."""
     from pyspark.sql import Window
+
+    if strict:
+        return _pack_sequences_strict(chunks, seq_len, id_col)
 
     w = (
         Window.partitionBy(id_col)
@@ -402,6 +416,79 @@ def pack_sequences(
             F.sum("n_chunk_words").cast("bigint").alias("n_words"),
         )
     )
+
+
+def _pack_sequences_strict(
+    chunks: DataFrame, seq_len: int, id_col: str
+) -> DataFrame:
+    """Hard-budget packing: sequential first-fit in chunk order via an
+    ``aggregate`` fold over the doc's (ordered) weight array. The fold
+    carries (current seq, current fill, per-chunk seq ids); the per-seq
+    rollup then stays row-local (no second shuffle)."""
+    g = chunks.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(chunk_idx, n_chunk_words))), c -> c.n_chunk_words)"
+        ).alias("ws")
+    )
+    ids_fold = (
+        "aggregate(ws, named_struct("
+        "'seq', cast(0 as bigint), 'fill', cast(0 as bigint), "
+        "'ids', array_repeat(cast(0 as bigint), 0)), "
+        f"(a, w) -> if(a.fill > 0 AND a.fill + w > {seq_len}, "
+        "named_struct('seq', a.seq + 1, 'fill', w, "
+        "'ids', concat(a.ids, array(a.seq + 1))), "
+        "named_struct('seq', a.seq, 'fill', a.fill + w, "
+        "'ids', concat(a.ids, array(a.seq)))), "
+        "a -> a.ids)"
+    )
+    # bind the fold result once (CollapseProject would otherwise inline
+    # the whole fold into every reference — the repo's no-CSE trap)
+    per_seq = (
+        f"element_at(transform(array({ids_fold}), ids -> "
+        "transform(sequence(cast(0 as bigint), element_at(ids, -1)), "
+        "s -> named_struct("
+        "'seq_id', s, "
+        "'n_chunks', cast(size(filter(ids, x -> x = s)) as bigint), "
+        "'n_words', aggregate(zip_with(ids, ws, "
+        "(i, w) -> if(i = s, w, cast(0 as bigint))), "
+        "cast(0 as bigint), (a, x) -> a + x)))), 1)"
+    )
+    return (
+        g.select(F.col(id_col), F.explode(F.expr(per_seq)).alias("s"))
+        .select(id_col, "s.seq_id", "s.n_chunks", "s.n_words")
+    )
+
+
+def oracle_pack_strict_sql(
+    table: str = "documents",
+    chunk_words: int = 200,
+    overlap: int = 20,
+    seq_len: int = 2048,
+) -> str:
+    """Strict-budget mirror: the per-doc recurrence as a recursive CTE
+    stepping chunk_idx → chunk_idx + 1 (ANSI recursion, exact same
+    first-fit rule as the Spark fold — CLAUDE.md fixed-iteration rule,
+    recursive form)."""
+    return f"""
+WITH RECURSIVE chunks AS ({oracle_chunk_sql(table, chunk_words, overlap)}),
+pack AS (
+  SELECT doc_id, chunk_idx, n_chunk_words,
+         0::BIGINT AS seq_id, n_chunk_words AS fill
+  FROM chunks WHERE chunk_idx = 0
+  UNION ALL
+  SELECT c.doc_id, c.chunk_idx, c.n_chunk_words,
+         CASE WHEN p.fill > 0 AND p.fill + c.n_chunk_words > {seq_len}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill > 0 AND p.fill + c.n_chunk_words > {seq_len}
+              THEN c.n_chunk_words ELSE p.fill + c.n_chunk_words END
+  FROM pack p
+  JOIN chunks c ON c.doc_id = p.doc_id AND c.chunk_idx = p.chunk_idx + 1
+)
+SELECT doc_id, seq_id, count(*)::BIGINT AS n_chunks,
+       sum(n_chunk_words)::BIGINT AS n_words
+FROM pack GROUP BY doc_id, seq_id
+"""
 
 
 def oracle_pack_sql(

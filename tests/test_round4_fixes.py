@@ -177,3 +177,48 @@ def test_decontaminate_forced_hint_still_available(spark):
     assert len(rows) == 10 and not any(r.contaminated for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- pack_sequences strict mode: hard seq_len budget ------------------------
+
+def test_pack_strict_opens_new_sequence_on_overflow(spark):
+    from html5ever_elixir_spark.operators.textstats import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(0, i, f"c{i}", 30) for i in range(3)],
+        "doc_id bigint, chunk_idx bigint, chunk_text string, n_chunk_words bigint",
+    )
+    greedy = {(r.seq_id, r.n_chunks, r.n_words)
+              for r in pack_sequences(chunks, seq_len=40).collect()}
+    strict = {(r.seq_id, r.n_chunks, r.n_words)
+              for r in pack_sequences(chunks, seq_len=40, strict=True).collect()}
+    # greedy floor(prev/40): chunk1 lands in seq 0 → 60-word overflow
+    assert greedy == {(0, 2, 60), (1, 1, 30)}
+    # strict: every chunk would overflow → one sequence per chunk
+    assert strict == {(0, 1, 30), (1, 1, 30), (2, 1, 30)}
+
+
+def test_pack_strict_oversized_chunk_gets_own_sequence(spark):
+    from html5ever_elixir_spark.operators.textstats import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(7, 0, "big", 50), (7, 1, "small", 10), (7, 2, "small2", 20)],
+        "doc_id bigint, chunk_idx bigint, chunk_text string, n_chunk_words bigint",
+    )
+    strict = {(r.seq_id, r.n_chunks, r.n_words)
+              for r in pack_sequences(chunks, seq_len=40, strict=True).collect()}
+    assert strict == {(0, 1, 50), (1, 2, 30)}
+
+
+def test_pack_strict_budget_holds_on_corpus(spark):
+    # property over real sf data: no multi-chunk sequence exceeds seq_len
+    from html5ever_elixir_spark.operators.textstats import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_words=20, overlap=5)
+    out = pack_sequences(chunks, seq_len=40, strict=True)
+    bad = out.where("n_words > 40 AND n_chunks > 1").count()
+    assert bad == 0

@@ -119,8 +119,12 @@ def main():
     t8: list[float] = []
     t32: list[float] = []
     effs: list[float] = []
+    loadavgs: list[float] = []
     n_docs = 0
     for _ in range(rounds):
+        # 1-min loadavg at pair start: the machine-checkable calm/loaded
+        # marker (>~2 ⇒ co-tenant drag, treat the pair as contaminated)
+        loadavgs.append(round(os.getloadavg()[0], 2))
         n_docs, a = _spawn_level(N_SMALL)
         _, b = _spawn_level(N_BIG)
         m8_r = statistics.median(a)
@@ -145,13 +149,16 @@ def main():
         "per_round_efficiency": [round(e, 3) for e in effs],
         "all_times_local8": [round(t, 3) for t in t8],
         "all_times_local32": [round(t, 3) for t in t32],
+        "loadavg_at_pair_start": loadavgs,
     }
     print(json.dumps(result))
     if os.environ.get("SCALING_APPEND", "1") == "1" and os.path.exists("BENCH.md"):
         # BENCH.md is a curated multi-run record: append this run's row
         # under the protocol-runs table instead of rewriting the file
+        la = "/".join(f"{v:.1f}" for v in loadavgs)
         stamp = (
-            f"| run ({rounds} pairs) | see JSON | {thr8:,.0f} | {thr32:,.0f} "
+            f"| run ({rounds} pairs, loadavg {la}) | see JSON "
+            f"| {thr8:,.0f} | {thr32:,.0f} "
             f"| {eff:.3f} | {', '.join(f'{e:.2f}' for e in effs)} |\n"
         )
         with open("BENCH.md") as f:
