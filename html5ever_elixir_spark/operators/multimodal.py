@@ -14,6 +14,7 @@ row-level decode errors, never silently stubbed.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -62,15 +63,118 @@ class CorruptRasterError(CorruptMediaError):
     """Recognized raster magic, unparseable body."""
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# pixel-count cap for untrusted web payloads: a crafted IHDR + zlib bomb
+# must not allocate unbounded memory inside an executor (128 Mpx-channel)
+_PNG_MAX_SAMPLES = 1 << 27
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python PNG decode (stdlib only): chunk walk with CRC
+    verification, concatenated-IDAT zlib inflate, per-scanline unfilter
+    (types 0-4 — the same predictor math parser/pdf.py applies for PNG
+    predictors), 8-bit gray / gray+alpha / RGB / RGBA. Interlaced,
+    paletted, and non-8-bit images raise CorruptRasterError (recognized
+    magic, unsupported body — a row-level error, never stub features).
+    Returns (w, h, grayscale via BT.601 integer luma, alpha ignored)."""
+    import struct
+
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= n:
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen or pos + 12 + clen > n:
+            raise CorruptRasterError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise CorruptRasterError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise CorruptRasterError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise CorruptRasterError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if interlace:
+        raise CorruptRasterError("interlaced PNG unsupported")
+    if comp or filt:
+        raise CorruptRasterError(f"PNG compression/filter method {comp}/{filt}")
+    if depth != 8:
+        raise CorruptRasterError(f"PNG bit depth {depth} unsupported")
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if nchan is None:
+        raise CorruptRasterError(f"PNG color type {color} unsupported")
+    if w <= 0 or h <= 0 or w * h * nchan > _PNG_MAX_SAMPLES:
+        raise CorruptRasterError(f"PNG geometry {w}x{h}x{nchan} out of bounds")
+    rowlen = w * nchan
+    want = h * (rowlen + 1)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), want)
+    except zlib.error as e:
+        raise CorruptRasterError(f"PNG inflate failed: {e}") from None
+    if len(raw) != want or not (d.eof or d.flush(1) == b""):
+        raise CorruptRasterError("PNG pixel data length mismatch")
+    px: list[int] = []
+    prev = bytearray(rowlen)
+    for r in range(h):
+        base = r * (rowlen + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + rowlen])
+        if ft == 1:  # Sub
+            for j in range(nchan, rowlen):
+                row[j] = (row[j] + row[j - nchan]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - nchan] if j >= nchan else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - nchan] if j >= nchan else 0
+                b = prev[j]
+                c = prev[j - nchan] if j >= nchan else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[j] = (
+                    row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise CorruptRasterError(f"PNG filter type {ft}")
+        prev = row
+        if nchan == 1:
+            px.extend(row)
+        elif nchan == 2:  # gray + alpha
+            px.extend(row[0::2])
+        else:  # RGB / RGBA
+            for k in range(0, rowlen, nchan):
+                px.append(
+                    (row[k] * 299 + row[k + 1] * 587 + row[k + 2] * 114) // 1000
+                )
+    return w, h, px
+
+
 def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
-    """Pure-Python decode of uncompressed raster formats — the REAL
-    decode branch that runs without PIL: binary PNM (P5 gray / P6 RGB,
-    maxval 255) and 24-bit uncompressed BI_RGB BMP (top-down or
-    bottom-up, row padding honored). Returns (width, height, grayscale
-    pixels 0-255 row-major top-down; RGB via the BT.601 integer luma).
-    Raises plain ValueError when the magic is unrecognized (caller
-    falls through to PIL/stub) and CorruptRasterError when the magic
-    matched but the body is bad."""
+    """Pure-Python decode of raster formats — the REAL decode branch
+    that runs without PIL: PNG (8-bit gray/GA/RGB/RGBA, see
+    :func:`_decode_png`), binary PNM (P5 gray / P6 RGB, maxval 255) and
+    24-bit uncompressed BI_RGB BMP (top-down or bottom-up, row padding
+    honored). Returns (width, height, grayscale pixels 0-255 row-major
+    top-down; RGB via the BT.601 integer luma). Raises plain ValueError
+    when the magic is unrecognized (caller falls through to PIL/stub)
+    and CorruptRasterError when the magic matched but the body is bad."""
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] in (b"P5", b"P6"):
         toks: list[bytes] = []
         i, n = 2, len(payload)

@@ -222,3 +222,165 @@ def test_pack_strict_budget_holds_on_corpus(spark):
     out = pack_sequences(chunks, seq_len=40, strict=True)
     bad = out.where("n_words > 40 AND n_chunks > 1").count()
     assert bad == 0
+
+
+# -- PNG: pure-Python decode (zlib + unfilter), the dominant web format ------
+
+def _make_png(w, h, pixels, color_type, filters=None):
+    """Minimal PNG encoder for tests: 8-bit, forward-applies the given
+    per-row filter types (defaults to all-0/None)."""
+    import struct
+
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    filters = filters or [0] * h
+    rowlen = w * nchan
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = bytearray(rowlen)
+    flat = bytes(pixels)
+    assert len(flat) == rowlen * h
+    for r in range(h):
+        row = bytearray(flat[r * rowlen : (r + 1) * rowlen])
+        ft = filters[r]
+        out = bytearray(row)
+        if ft == 1:
+            for j in range(rowlen - 1, nchan - 1, -1):
+                out[j] = (row[j] - row[j - nchan]) & 0xFF
+        elif ft == 2:
+            for j in range(rowlen):
+                out[j] = (row[j] - prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(rowlen):
+                left = row[j - nchan] if j >= nchan else 0
+                out[j] = (row[j] - ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:
+            for j in range(rowlen):
+                a = row[j - nchan] if j >= nchan else 0
+                b, c = prev[j], (prev[j - nchan] if j >= nchan else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                out[j] = (row[j] - pr) & 0xFF
+        raw += bytes([ft]) + out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_gray_all_filter_types_roundtrip():
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    w, h = 6, 5
+    pixels = [(x * 37 + y * 11) % 256 for y in range(h) for x in range(w)]
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _make_png(w, h, pixels, 0, filters)
+        got = _decode_raster(png)
+        assert got == (w, h, pixels), f"filters={filters}"
+
+
+def test_png_rgb_rgba_and_gray_alpha_luma():
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    # one pixel (r,g,b) = (40, 0, 10) → BT.601 luma as in the PNM branch
+    rgb = _make_png(1, 1, [40, 0, 10], 2, [4])
+    assert _decode_raster(rgb)[2] == [(40 * 299 + 0 * 587 + 10 * 114) // 1000]
+    rgba = _make_png(1, 1, [40, 0, 10, 255], 6, [1])
+    assert _decode_raster(rgba)[2] == _decode_raster(rgb)[2]  # alpha ignored
+    ga = _make_png(2, 1, [7, 255, 9, 0], 4)
+    assert _decode_raster(ga)[2] == [7, 9]
+
+
+def test_png_same_image_as_ppm_same_features():
+    from tests.test_round3_fixes import _make_ppm
+    from html5ever_elixir_spark.operators.multimodal import _decode_image
+
+    rgb_fn = lambda x, y: ((x * 40) % 256, (y * 60) % 256, (x + y) * 10 % 256)
+    w, h = 5, 3
+    flat = [c for y in range(h) for x in range(w) for c in rgb_fn(x, y)]
+    png = _make_png(w, h, flat, 2, [2] * h)
+    assert _decode_image(png) == _decode_image(_make_ppm(w, h, rgb_fn))
+
+
+def test_png_corrupt_variants_are_row_errors():
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_image,
+    )
+    import struct
+
+    good = _make_png(4, 4, list(range(16)), 0)
+    # flipped CRC byte
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF
+    with pytest.raises(CorruptRasterError):
+        _decode_image(bytes(bad_crc))
+    # truncated IDAT
+    with pytest.raises(CorruptRasterError):
+        _decode_image(good[:-20])
+    # interlaced flag set (Adam7 unsupported → typed error, not garbage)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + struct.pack(">I", 13) + b"IHDR" + ihdr
+                  + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(CorruptRasterError):
+        _decode_image(interlaced + good[8 + 25:])
+    # 16-bit depth unsupported
+    with pytest.raises(CorruptRasterError):
+        _decode_image(_make_png_depth16())
+
+
+def _make_png_depth16():
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b""))
+
+
+def test_png_zlib_bomb_geometry_rejected():
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_raster,
+    )
+    import struct
+
+    # absurd IHDR geometry must be rejected BEFORE any inflate allocation
+    ihdr = struct.pack(">IIBBBBB", 1 << 24, 1 << 24, 8, 6, 0, 0, 0)
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+            + chunk(b"IEND", b""))
+    with pytest.raises(CorruptRasterError):
+        _decode_raster(bomb)
+
+
+def test_png_through_spark_media_features(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    good = _make_png(6, 4, [(x + y) % 256 for _ in range(1)
+                            for y in range(4) for x in range(6)], 0)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(good), (6, 4, "image/png")),
+         (1, "image", bytes(bad), (6, 4, "image/png"))],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int, height:int, mime:string>",
+    )
+    out = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert out[0].decode_error is None and len(out[0].feature) == 8
+    assert out[1].decode_error is not None and out[1].feature is None
