@@ -476,19 +476,13 @@ def _content_stream(body: bytes) -> bytes:
 _PARMS_OPEN_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<")
 
 
-def _extract_parms(stream_dict: bytes) -> bytes | None:
-    """Extract the /DecodeParms (or /DP) inline dictionary body with
-    balanced ``<< >>`` scanning — a non-greedy regex truncates at the
-    first ``>>`` of any *nested* dict, silently dropping predictor keys
-    that follow it (ADVICE r3). Returns None when the stream has no
-    inline DecodeParms dict; raises PdfError on an unterminated one."""
-    m = _PARMS_OPEN_RE.search(stream_dict)
-    if m is None:
-        return None
-    depth, i, n = 1, m.end(), len(stream_dict)
-    start = i
+def _balanced_dict(data: bytes, start: int, what: str = "dictionary") -> bytes:
+    """``data[start:]`` is just past an opening ``<<``; return the dict
+    body up to (not including) the matching ``>>``, balancing nested
+    dicts. Raises PdfError when unterminated."""
+    depth, i, n = 1, start, len(data)
     while i < n and depth:
-        two = stream_dict[i : i + 2]
+        two = data[i : i + 2]
         if two == b"<<":
             depth += 1
             i += 2
@@ -498,8 +492,20 @@ def _extract_parms(stream_dict: bytes) -> bytes | None:
         else:
             i += 1
     if depth:
-        raise PdfError("unterminated DecodeParms dictionary")
-    return stream_dict[start : i - 2]
+        raise PdfError(f"unterminated {what}")
+    return data[start : i - 2]
+
+
+def _extract_parms(stream_dict: bytes) -> bytes | None:
+    """Extract the /DecodeParms (or /DP) inline dictionary body with
+    balanced ``<< >>`` scanning — a non-greedy regex truncates at the
+    first ``>>`` of any *nested* dict, silently dropping predictor keys
+    that follow it (ADVICE r3). Returns None when the stream has no
+    inline DecodeParms dict; raises PdfError on an unterminated one."""
+    m = _PARMS_OPEN_RE.search(stream_dict)
+    if m is None:
+        return None
+    return _balanced_dict(stream_dict, m.end(), "DecodeParms dictionary")
 
 
 def _dict_int(d: bytes, key: bytes, default: int) -> int:
@@ -575,26 +581,39 @@ def _apply_predictor(raw: bytes, stream_dict: bytes) -> bytes:
 _TYPE_RE = re.compile(rb"/Type\s*/(Pages|Page)\b")
 
 
-def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
-    """Content-stream object ids in document page order (catalog →
-    pages tree → /Contents). Falls back to every stream-bearing object
-    in id order when the page tree is missing/broken. The walk is
-    iterative with a visited set — a corrupt/malicious /Kids cycle must
-    become an error row, never a hung executor task."""
+def _page_content_entries(
+    objs: dict[int, bytes],
+) -> list[tuple[int, dict[str, dict[int, str] | None]]]:
+    """(content-stream object id, that page's font resource-name →
+    byte-map) in document page order (catalog → pages tree →
+    /Contents; /Resources inherited down the tree per §7.8.3). Falls
+    back to every stream-bearing object in id order (empty font dict)
+    when the page tree is missing/broken. The walk is iterative with a
+    visited set — a corrupt/malicious /Kids cycle must become an error
+    row, never a hung executor task."""
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
     )
-    page_ids: list[int] = []
+    entries: list[tuple[int, dict[str, dict[int, str] | None]]] = []
     visited: set[int] = set()
+    font_cache: dict[int, dict[int, str] | None] = {}
+    font_sets: dict[bytes, dict[str, dict[int, str] | None]] = {}
+
+    def fonts_for(res: bytes | None) -> dict[str, dict[int, str] | None]:
+        key = res or b""
+        if key not in font_sets:
+            font_sets[key] = _fonts_from_resources(objs, res, font_cache)
+        return font_sets[key]
 
     def walk(node_id: int):
-        stack = [node_id]
+        stack: list[tuple[int, bytes | None]] = [(node_id, None)]
         while stack:
-            nid = stack.pop()
+            nid, inherited_res = stack.pop()
             if nid in visited or nid not in objs:
                 continue
             visited.add(nid)
             body = objs[nid]
+            res = _resources_of(objs, body, inherited_res)
             tm = _TYPE_RE.search(body)
             node_type = tm.group(1) if tm else None
             km = _KIDS_RE.search(body)
@@ -604,34 +623,354 @@ def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
                         int(rm.group(1))
                         for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1))
                     ]
-                    stack.extend(reversed(kids))  # preserve document order
+                    stack.extend(
+                        (k, res) for k in reversed(kids)
+                    )  # preserve document order
             elif node_type == b"Page":
+                fonts = fonts_for(res)
                 # /Contents is a single ref or an array of refs
                 am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
                 if am:
                     for rm in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1)):
-                        page_ids.append(int(rm.group(1)))
+                        entries.append((int(rm.group(1)), fonts))
                 else:
                     for name, ref in _REF_RE.findall(body):
                         if name == b"Contents":
-                            page_ids.append(int(ref))
+                            entries.append((int(ref), fonts))
 
     if catalog is not None:
         for name, ref in _REF_RE.findall(catalog):
             if name == b"Pages":
                 walk(int(ref))
-    if not page_ids:
+    if not entries:
         # heuristic salvage: every stream-bearing object EXCEPT
         # structural streams (xref / object streams are never page
         # content, and a corrupt one must not fail the salvage)
-        page_ids = [
-            oid
+        entries = [
+            (oid, {})
             for oid in sorted(objs)
             if (sm := _STREAM_RE.search(objs[oid])) is not None
             and b"/XRef" not in objs[oid][: sm.start()]
             and b"/ObjStm" not in objs[oid][: sm.start()]
         ]
-    return page_ids
+    return entries
+
+
+def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
+    """Content-stream object ids in document page order (see
+    :func:`_page_content_entries`)."""
+    return [cid for cid, _ in _page_content_entries(objs)]
+
+
+# ---------------------------------------------------------------------------
+# Simple-font decoding: /Encoding (+ /Differences) and /ToUnicode CMaps
+# (ISO 32000-1 §9.6.6, §9.10.3, Appendix D). Composite/CID fonts remain
+# out of scope (module docstring); a font with no explicit encoding
+# info keeps the legacy Latin-1 passthrough so the deterministic
+# writer→reader roundtrip stays byte-identical.
+
+
+def _win_ansi_table() -> list[str | None]:
+    # WinAnsiEncoding is cp1252 (Appendix D.2); the five cp1252 holes
+    # (81 8D 8F 90 9D) are undefined → None → caller fallback
+    out: list[str | None] = []
+    for i in range(256):
+        try:
+            out.append(bytes([i]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(None)
+    return out
+
+
+def _mac_roman_table() -> list[str | None]:
+    # MacRomanEncoding via the stdlib mac_roman codec. Known divergence:
+    # Apple's post-1998 codec maps 0xDB to U+20AC (euro) where PDF's
+    # table keeps U+00A4 (currency) — patched to match Appendix D.2.
+    out: list[str | None] = [bytes([i]).decode("mac_roman") for i in range(256)]
+    out[0xDB] = "¤"
+    return out
+
+
+# Adobe StandardEncoding (Appendix D.2): printable ASCII with the two
+# quote substitutions, plus the defined 0xA1-0xFB range; holes → None.
+_STANDARD_HIGH = {
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ", 0xB1: "–",
+    0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB6: "¶",
+    0xB7: "•", 0xB8: "‚", 0xB9: "„", 0xBA: "”",
+    0xBB: "»", 0xBC: "…", 0xBD: "‰", 0xBF: "¿",
+    0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜",
+    0xC5: "¯", 0xC6: "˘", 0xC7: "˙", 0xC8: "¨",
+    0xCA: "˚", 0xCB: "¸", 0xCD: "˝", 0xCE: "˛",
+    0xCF: "ˇ", 0xD0: "—", 0xE1: "Æ", 0xE3: "ª",
+    0xE8: "Ł", 0xE9: "Ø", 0xEA: "Œ", 0xEB: "º",
+    0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø",
+    0xFA: "œ", 0xFB: "ß",
+}
+
+
+def _standard_table() -> list[str | None]:
+    out: list[str | None] = [None] * 256
+    for i in range(0x20, 0x7F):
+        out[i] = chr(i)
+    out[0x27] = "’"  # quoteright
+    out[0x60] = "‘"  # quoteleft
+    for k, v in _STANDARD_HIGH.items():
+        out[k] = v
+    return out
+
+
+_BASE_ENCODINGS: dict[bytes, list[str | None]] = {}
+
+
+def _base_encoding(name: bytes) -> list[str | None]:
+    if not _BASE_ENCODINGS:
+        _BASE_ENCODINGS[b"WinAnsiEncoding"] = _win_ansi_table()
+        _BASE_ENCODINGS[b"MacRomanEncoding"] = _mac_roman_table()
+        _BASE_ENCODINGS[b"StandardEncoding"] = _standard_table()
+    return _BASE_ENCODINGS.get(name, _BASE_ENCODINGS[b"StandardEncoding"])
+
+
+# Adobe Glyph List subset (AGL is a public Adobe specification): the
+# names /Differences arrays use in practice for Latin-script web PDFs.
+# Single-letter names (A-Z, a-z) resolve to themselves; uniXXXX / uXXXX
+# resolve algorithmically; anything else → U+FFFD (lossy marker).
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß", "agrave": "à", "aacute": "á",
+    "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+    "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê",
+    "edieresis": "ë", "igrave": "ì", "iacute": "í",
+    "icircumflex": "î", "idieresis": "ï", "eth": "ð",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Ydieresis": "Ÿ", "Zcaron": "Ž",
+    "zcaron": "ž", "florin": "ƒ", "Lslash": "Ł",
+    "lslash": "ł", "dotlessi": "ı", "circumflex": "ˆ",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "tilde": "˜",
+    "hungarumlaut": "˝", "endash": "–", "emdash": "—",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblleft": "“",
+    "quotedblright": "”", "quotedblbase": "„",
+    "dagger": "†", "daggerdbl": "‡", "bullet": "•",
+    "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "Euro": "€", "trademark": "™",
+    "minus": "−", "fi": "ﬁ", "fl": "ﬂ",
+}
+
+_UNI_NAME_RE = re.compile(r"^uni((?:[0-9A-Fa-f]{4})+)$")
+_U_NAME_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if len(name) == 1 and " " <= name <= "~":
+        return name
+    got = _GLYPH_NAMES.get(name)
+    if got is not None:
+        return got
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        hexs = m.group(1)
+        return "".join(
+            chr(int(hexs[i : i + 4], 16)) for i in range(0, len(hexs), 4)
+        )
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else "�"
+    return "�"
+
+
+def _utf16_hex(h: bytes) -> str:
+    raw = bytes.fromhex(h.decode("ascii")) if h else b""
+    return raw.decode("utf-16-be", errors="replace")
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """bfchar/bfrange entries of a ToUnicode CMap → byte → str (simple
+    fonts: one-byte codes; wider source codes are ignored). Both
+    bfrange destination forms handled (base hex string with increment,
+    and explicit array)."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", m.group(1)
+        ):
+            src = int(sm.group(1), 16)
+            if src <= 0xFF:
+                out[src] = _utf16_hex(sm.group(2))
+    for m in _BFRANGE_RE.finditer(cmap):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(\[[^\]]*\]|<[0-9A-Fa-f]*>)",
+            m.group(1),
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if lo > 0xFF:
+                continue
+            hi = min(hi, 0xFF)
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]*)>", dst)
+                for i, d in enumerate(dsts):
+                    if lo + i <= hi:
+                        out[lo + i] = _utf16_hex(d)
+            else:
+                base = _utf16_hex(dst[1:-1])
+                for c in range(lo, hi + 1):
+                    out[c] = (
+                        base[:-1] + chr(ord(base[-1]) + (c - lo))
+                        if base
+                        else ""
+                    )
+    return out
+
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]()<>]+)")
+
+
+def _encoding_map(objs: dict[int, bytes], font: bytes) -> dict[int, str] | None:
+    """byte → str map from the font's /Encoding entry, or None when the
+    font names no encoding (builtin-encoding fonts keep the legacy
+    Latin-1 passthrough)."""
+    m = re.search(rb"/Encoding\s*/(\w+)", font)
+    if m:
+        table = _base_encoding(m.group(1))
+        return {i: c for i, c in enumerate(table) if c is not None}
+    enc_body = None
+    m = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font)
+    if m:
+        enc_body = objs.get(int(m.group(1)))
+    else:
+        m = re.search(rb"/Encoding\s*<<", font)
+        if m:
+            enc_body = _balanced_dict(font, m.end(), "Encoding dictionary")
+    if enc_body is None:
+        return None
+    bm = re.search(rb"/BaseEncoding\s*/(\w+)", enc_body)
+    table = list(_base_encoding(bm.group(1) if bm else b"StandardEncoding"))
+    dm = _DIFF_RE.search(enc_body)
+    if dm:
+        code = 0
+        for num, name in _DIFF_TOK_RE.findall(dm.group(1)):
+            if num:
+                code = int(num)
+            elif 0 <= code <= 255:
+                table[code] = _glyph_to_unicode(name.decode("latin-1"))
+                code += 1
+    return {i: c for i, c in enumerate(table) if c is not None}
+
+
+def _font_byte_map(
+    objs: dict[int, bytes], ref: int, cache: dict[int, dict[int, str] | None]
+) -> dict[int, str] | None:
+    """Resolve one font object to a byte → str map (or None: no
+    explicit encoding info — legacy passthrough). /ToUnicode wins over
+    /Encoding per code; /Encoding fills the CMap's gaps."""
+    if ref in cache:
+        return cache[ref]
+    body = objs.get(ref)
+    result: dict[int, str] | None = None
+    if body is not None:
+        result = _encoding_map(objs, body)
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if tm and int(tm.group(1)) in objs:
+            try:
+                cmap = _content_stream(objs[int(tm.group(1))])
+            except PdfError:
+                cmap = b""
+            tou = _parse_tounicode(cmap)
+            if tou:
+                result = {**(result or {}), **tou}
+    cache[ref] = result
+    return result
+
+
+_FONT_REF_RE = re.compile(rb"/([^\s/\[\]()<>]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _fonts_from_resources(
+    objs: dict[int, bytes],
+    res: bytes | None,
+    cache: dict[int, dict[int, str] | None],
+) -> dict[str, dict[int, str] | None]:
+    """Resource-name → byte-map for the /Font entries of one page's
+    /Resources (inline or indirect dict)."""
+    if not res:
+        return {}
+    m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+    if m:
+        fdict = objs.get(int(m.group(1)), b"")
+    else:
+        m = re.search(rb"/Font\s*<<", res)
+        if m is None:
+            return {}
+        fdict = _balanced_dict(res, m.end(), "Font dictionary")
+    return {
+        nm.group(1).decode("latin-1"): _font_byte_map(
+            objs, int(nm.group(2)), cache
+        )
+        for nm in _FONT_REF_RE.finditer(fdict)
+    }
+
+
+def _resources_of(
+    objs: dict[int, bytes], body: bytes, inherited: bytes | None
+) -> bytes | None:
+    """A node's /Resources dict body (indirect or inline), else the
+    inherited one (/Resources is an inheritable page attribute)."""
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    if m:
+        return objs.get(int(m.group(1)), inherited)
+    m = re.search(rb"/Resources\s*<<", body)
+    if m:
+        return _balanced_dict(body, m.end(), "Resources dictionary")
+    return inherited
 
 
 _TOKEN_RE = re.compile(
@@ -663,7 +1002,11 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
                 while p < n and len(oct_digits) < 3 and 0x30 <= data[p] <= 0x37:
                     oct_digits += chr(data[p])
                     p += 1
-                out.append(chr(int(oct_digits, 8)))
+                # "high-order overflow shall be ignored" (§7.3.4.2):
+                # \777 is byte 0xFF, and keeping every char < 256 also
+                # makes the string losslessly re-encodable to the raw
+                # bytes for font-map decoding
+                out.append(chr(int(oct_digits, 8) & 0xFF))
             elif e in (0x0A, 0x0D):  # line continuation (spec 7.3.4.2):
                 # backslash-EOL drops BOTH the backslash and the EOL
                 p += 1
@@ -687,12 +1030,25 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
     raise PdfError("unterminated literal string")
 
 
-def _extract_stream_text(content: bytes) -> list[str]:
-    """Text lines from one content stream's BT/ET blocks."""
+def _extract_stream_text(
+    content: bytes,
+    fonts: dict[str, dict[int, str] | None] | None = None,
+) -> list[str]:
+    """Text lines from one content stream's BT/ET blocks. ``fonts``
+    maps the page's font resource names to byte→str maps; ``Tf``
+    selects the active font, and show operators decode their string
+    bytes through it. Fonts without explicit encoding info (map None)
+    and pages without resources keep the legacy Latin-1 passthrough —
+    the deterministic writer emits no /Font, so the byte-exact
+    roundtrip gate is untouched."""
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
-    pending_strings: list[str] = []
+    # (decoded-passthrough text, raw bytes or None when pre-decoded)
+    pending_strings: list[tuple[str, bytes | None]] = []
+    fonts = fonts or {}
+    cur_font: dict[int, str] | None = None
+    last_name: str | None = None
     p = 0
     n = len(content)
 
@@ -700,6 +1056,20 @@ def _extract_stream_text(content: bytes) -> list[str]:
         if cur:
             lines.append("".join(cur))
             cur.clear()
+
+    def show():
+        for text, raw in pending_strings:
+            if cur_font is not None and raw is not None:
+                cur.append(
+                    "".join(
+                        cur_font.get(b)
+                        or (chr(b) if 0x20 <= b <= 0x7E else "�")
+                        for b in raw
+                    )
+                )
+            else:
+                cur.append(text)
+        pending_strings.clear()
 
     while p < n:
         m = _TOKEN_RE.search(content, p)
@@ -709,7 +1079,9 @@ def _extract_stream_text(content: bytes) -> list[str]:
         p = m.end()
         if tok == b"(":
             s, p = _parse_literal_string(content, p)
-            pending_strings.append(s)
+            # chars are all < 256 (octal overflow masked), so latin-1
+            # re-encoding recovers the exact string bytes for font maps
+            pending_strings.append((s, s.encode("latin-1")))
             continue
         if tok.startswith(b"<") and tok.endswith(b">"):
             hexs = re.sub(rb"\s", b"", tok[1:-1])
@@ -721,10 +1093,13 @@ def _extract_stream_text(content: bytes) -> list[str]:
                 # surrogate) must degrade to U+FFFD, not escape as a
                 # non-PdfError exception from the extraction contract
                 pending_strings.append(
-                    raw[2:].decode("utf-16-be", errors="replace")
+                    (raw[2:].decode("utf-16-be", errors="replace"), None)
                 )
             else:
-                pending_strings.append(raw.decode("latin-1"))
+                pending_strings.append((raw.decode("latin-1"), raw))
+            continue
+        if tok.startswith(b"/"):
+            last_name = tok[1:].decode("latin-1")
             continue
         if tok == b"BT":
             in_text = True
@@ -734,15 +1109,18 @@ def _extract_stream_text(content: bytes) -> list[str]:
             break_line()
             in_text = False
             continue
+        if tok == b"Tf":
+            # text-state operator: legal outside BT/ET too (§9.3.1)
+            if last_name is not None:
+                cur_font = fonts.get(last_name)
+            continue
         if not in_text:
             continue
         if tok in (b"Tj", b"TJ"):
-            cur.extend(pending_strings)
-            pending_strings.clear()
+            show()
         elif tok in (b"'", b'"'):  # move-to-next-line + show
             break_line()
-            cur.extend(pending_strings)
-            pending_strings.clear()
+            show()
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             break_line()
             pending_strings.clear()
@@ -764,12 +1142,12 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
     if b"/Encrypt" in data:
         raise PdfError("encrypted PDF not supported")
     objs = _objects(data)
-    content_ids = _page_content_ids(objs)
-    if not content_ids:
+    entries = _page_content_entries(objs)
+    if not entries:
         raise PdfError("no page content streams")
     lines: list[str] = []
-    for cid in content_ids:
+    for cid, fonts in entries:
         if cid not in objs:
             raise PdfError(f"dangling /Contents ref {cid}")
-        lines.extend(_extract_stream_text(_content_stream(objs[cid])))
-    return "\n".join(lines), len(content_ids)
+        lines.extend(_extract_stream_text(_content_stream(objs[cid]), fonts))
+    return "\n".join(lines), len(entries)

@@ -1,0 +1,219 @@
+"""Simple-font glyph→text fidelity: /Encoding base encodings (WinAnsi,
+MacRoman, Standard), /Differences overrides, and ToUnicode CMaps
+(bfchar + both bfrange forms) — the round-4 coverage for crawled-PDF
+text extraction (ISO 32000-1 §9.6.6 / §9.10.3 / Appendix D). The
+reference repo has no PDF path; this is north-rule "PDF/layout parse"
+surface."""
+
+import zlib
+
+import pytest
+
+from html5ever_elixir_spark.parser.pdf import extract_pdf_text
+
+
+def _obj(num, body):
+    return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _stream_obj(num, payload, extra=b""):
+    return _obj(
+        num,
+        b"<< /Length " + str(len(payload)).encode() + extra
+        + b" >>\nstream\n" + payload + b"\nendstream",
+    )
+
+
+def _font_pdf(content, font_objs, font_refs, extra_objs=b"",
+              resources_inline=True, page_extra=b""):
+    """One-page PDF: content stream (obj 4), /Font resources pointing at
+    ``font_refs`` (e.g. b"/F1 5 0 R"), plus ``font_objs`` bytes."""
+    res = b"<< /Font << " + font_refs + b" >> >>"
+    page_res = b" /Resources " + res if resources_inline else b""
+    return (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R" + page_res + page_extra + b" >>")
+        + _stream_obj(4, content)
+        + font_objs
+        + extra_objs
+        + b"%%EOF"
+    )
+
+
+def test_winansi_encoding_decodes_cp1252_range():
+    # 0x93/0x94 are cp1252 curly quotes, 0x85 ellipsis — latin-1 would
+    # produce C1 control characters here
+    content = b"BT /F1 12 Tf (\x93q\x94 \x85 \xe9) Tj ET"
+    fonts = _obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    b" /Encoding /WinAnsiEncoding >>")
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "“q” … é"
+
+
+def test_macroman_encoding():
+    # mac_roman: 0x8E = é, 0xD0 = en dash, 0xA5 = bullet
+    content = b"BT /F1 12 Tf (caf\x8e \xd0 \xa5) Tj ET"
+    fonts = _obj(5, b"<< /Type /Font /Subtype /TrueType /BaseFont /Times"
+                    b" /Encoding /MacRomanEncoding >>")
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "café – •"
+
+
+def test_differences_override_with_winansi_base():
+    # remap 0x41→eacute, 0x42→uni0153 (œ), 0x43 consecutive → Zcaron;
+    # unmapped glyph name → U+FFFD marker; bytes outside Differences
+    # keep the base encoding
+    enc = (b"<< /BaseEncoding /WinAnsiEncoding"
+           b" /Differences [65 /eacute /uni0153 /Zcaron 70 /nosuchglyph] >>")
+    fonts = _obj(5, b"<< /Type /Font /Subtype /Type1 /Encoding " + enc + b" >>")
+    content = b"BT /F1 10 Tf (ABC dF \x93) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "éœŽ d� “"
+
+
+def test_differences_default_base_is_standard_encoding():
+    # no /BaseEncoding → StandardEncoding: 0xA4 fraction, 0x27 quoteright
+    enc = b"<< /Differences [66 /bullet] >>"
+    fonts = _obj(5, b"<< /Type /Font /Encoding " + enc + b" >>")
+    content = b"BT /F1 10 Tf (A'B\xa4) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "A’•⁄"
+
+
+def test_indirect_encoding_dict():
+    fonts = _obj(5, b"<< /Type /Font /Encoding 6 0 R >>") + _obj(
+        6, b"<< /BaseEncoding /WinAnsiEncoding /Differences [88 /Euro] >>"
+    )
+    content = b"BT /F1 10 Tf (X = \x80) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "€ = €"  # 88='X'→Euro via Differences; 0x80 cp1252 Euro
+
+
+def test_tounicode_bfchar_and_bfrange_forms():
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar\n<41> <0634>\n<42> <00660069>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<61> <63> <03B1>\n"                     # a,b,c → α,β,γ (increment)
+        b"<64> <65> [<2192> <21D2>]\n"            # d,e → →,⇒ (array form)
+        b"endbfrange\nendcmap\n"
+    )
+    flate = zlib.compress(cmap)
+    fonts = _obj(5, b"<< /Type /Font /ToUnicode 6 0 R >>") + _stream_obj(
+        6, flate, b" /Filter /FlateDecode"
+    )
+    content = b"BT /F1 10 Tf (AB abcde) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    # A→ش, B→"fi" (multi-char dst), space unmapped → ASCII passthrough
+    assert text == "شfi αβγ→⇒"
+
+
+def test_tounicode_wins_over_encoding_and_fills_from_it():
+    cmap = b"1 beginbfchar <41> <0041> endbfchar\n"  # only 'A' mapped
+    fonts = _obj(
+        5,
+        b"<< /Type /Font /Encoding << /Differences [65 /bullet 66 /Euro] >>"
+        b" /ToUnicode 6 0 R >>",
+    ) + _stream_obj(6, cmap)
+    content = b"BT /F1 10 Tf (AB) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    # A: ToUnicode says U+0041 (overriding Differences' bullet);
+    # B: CMap gap filled by the Encoding map (Euro)
+    assert text == "A€"
+
+
+def test_two_fonts_switch_mid_page():
+    fonts = _obj(5, b"<< /Type /Font /Encoding /WinAnsiEncoding >>") + _obj(
+        6, b"<< /Type /Font /Encoding /MacRomanEncoding >>"
+    )
+    content = (b"BT /F1 12 Tf (\x8e) Tj ET"      # cp1252 0x8E = Ž
+               b" BT /F2 12 Tf (\x8e) Tj ET")    # mac_roman 0x8E = é
+    text, _ = extract_pdf_text(
+        _font_pdf(content, fonts, b"/F1 5 0 R /F2 6 0 R")
+    )
+    assert text == "Ž\né"
+
+
+def test_resources_inherited_from_pages_node():
+    fonts = _obj(5, b"<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                  b" /Resources << /Font << /F1 5 0 R >> >> >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R >>")  # no own Resources
+        + _stream_obj(4, b"BT /F1 12 Tf (\x93ok\x94) Tj ET")
+        + fonts
+        + b"%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "“ok”"
+
+
+def test_indirect_resources_dict():
+    fonts = _obj(5, b"<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R /Resources 7 0 R >>")
+        + _stream_obj(4, b"BT /F1 12 Tf (\x85) Tj ET")
+        + fonts
+        + _obj(7, b"<< /Font << /F1 5 0 R >> >>")
+        + b"%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "…"
+
+
+def test_no_font_info_keeps_latin1_passthrough():
+    # font without /Encoding or /ToUnicode → legacy behavior (builtin
+    # encoding unknowable) — the writer-roundtrip invariant
+    fonts = _obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>")
+    content = b"BT /F1 12 Tf (caf\xe9 \x93) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "caf\xe9 \x93"
+
+
+def test_octal_overflow_masks_to_byte():
+    # \777 overflows: spec says ignore high-order overflow → 0xFF
+    fonts = _obj(5, b"<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    content = b"BT /F1 12 Tf (\\777) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "ÿ"  # cp1252 0xFF
+
+
+def test_hex_string_decoded_through_font():
+    fonts = _obj(5, b"<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    content = b"BT /F1 12 Tf <93 6F 6B 94> Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "“ok”"
+
+
+def test_font_encoding_tables_sane():
+    from html5ever_elixir_spark.parser.pdf import (
+        _base_encoding,
+        _glyph_to_unicode,
+    )
+
+    win = _base_encoding(b"WinAnsiEncoding")
+    assert win[0x80] == "€" and win[0x81] is None and win[0xE9] == "é"
+    mac = _base_encoding(b"MacRomanEncoding")
+    assert mac[0xDB] == "¤"  # PDF table, not Apple's euro revision
+    std = _base_encoding(b"StandardEncoding")
+    assert std[0x27] == "’" and std[0xA9] == "'" and std[0xAE] == "ﬁ"
+    assert _glyph_to_unicode("uni00E90041") == "é" + "A"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("g123") == "�"
+
+
+def test_writer_roundtrip_untouched_by_font_layer():
+    from html5ever_elixir_spark.parser.pdf import make_simple_pdf
+
+    lines = ["plain writer line one", "and (two) with \\ escapes"]
+    text, n_pages = extract_pdf_text(make_simple_pdf(lines))
+    assert text == "\n".join(lines) and n_pages == 1
