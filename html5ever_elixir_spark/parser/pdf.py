@@ -874,25 +874,32 @@ _DIFF_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]", re.S)
 _DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]()<>]+)")
 
 
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(\w+)")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_INLINE_RE = re.compile(rb"/Encoding\s*<<")
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
 def _encoding_map(objs: dict[int, bytes], font: bytes) -> dict[int, str] | None:
     """byte → str map from the font's /Encoding entry, or None when the
     font names no encoding (builtin-encoding fonts keep the legacy
     Latin-1 passthrough)."""
-    m = re.search(rb"/Encoding\s*/(\w+)", font)
+    m = _ENC_NAME_RE.search(font)
     if m:
         table = _base_encoding(m.group(1))
         return {i: c for i, c in enumerate(table) if c is not None}
     enc_body = None
-    m = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", font)
+    m = _ENC_REF_RE.search(font)
     if m:
         enc_body = objs.get(int(m.group(1)))
     else:
-        m = re.search(rb"/Encoding\s*<<", font)
+        m = _ENC_INLINE_RE.search(font)
         if m:
             enc_body = _balanced_dict(font, m.end(), "Encoding dictionary")
     if enc_body is None:
         return None
-    bm = re.search(rb"/BaseEncoding\s*/(\w+)", enc_body)
+    bm = _BASEENC_RE.search(enc_body)
     table = list(_base_encoding(bm.group(1) if bm else b"StandardEncoding"))
     dm = _DIFF_RE.search(enc_body)
     if dm:
@@ -917,8 +924,8 @@ def _font_byte_map(
     body = objs.get(ref)
     result: dict[int, str] | None = None
     if body is not None:
-        result = _encoding_map(objs, body)
-        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        result = _encoding_map(objs, body) if b"/Encoding" in body else None
+        tm = _TOUNI_RE.search(body) if b"/ToUnicode" in body else None
         if tm and int(tm.group(1)) in objs:
             try:
                 cmap = _content_stream(objs[int(tm.group(1))])
@@ -932,6 +939,10 @@ def _font_byte_map(
 
 
 _FONT_REF_RE = re.compile(rb"/([^\s/\[\]()<>]+)\s+(\d+)\s+\d+\s+R")
+_FONTDICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_FONTDICT_INLINE_RE = re.compile(rb"/Font\s*<<")
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_RES_INLINE_RE = re.compile(rb"/Resources\s*<<")
 
 
 def _fonts_from_resources(
@@ -941,13 +952,13 @@ def _fonts_from_resources(
 ) -> dict[str, dict[int, str] | None]:
     """Resource-name → byte-map for the /Font entries of one page's
     /Resources (inline or indirect dict)."""
-    if not res:
+    if not res or b"/Font" not in res:
         return {}
-    m = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+    m = _FONTDICT_REF_RE.search(res)
     if m:
         fdict = objs.get(int(m.group(1)), b"")
     else:
-        m = re.search(rb"/Font\s*<<", res)
+        m = _FONTDICT_INLINE_RE.search(res)
         if m is None:
             return {}
         fdict = _balanced_dict(res, m.end(), "Font dictionary")
@@ -964,10 +975,12 @@ def _resources_of(
 ) -> bytes | None:
     """A node's /Resources dict body (indirect or inline), else the
     inherited one (/Resources is an inheritable page attribute)."""
-    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+    if b"/Resources" not in body:
+        return inherited
+    m = _RES_REF_RE.search(body)
     if m:
         return objs.get(int(m.group(1)), inherited)
-    m = re.search(rb"/Resources\s*<<", body)
+    m = _RES_INLINE_RE.search(body)
     if m:
         return _balanced_dict(body, m.end(), "Resources dictionary")
     return inherited
@@ -1044,9 +1057,14 @@ def _extract_stream_text(
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
-    # (decoded-passthrough text, raw bytes or None when pre-decoded)
+    # (decoded-passthrough text, raw bytes or None when pre-decoded);
+    # raw tracking + Tf dispatch only engage when the page HAS fonts —
+    # font-less pages (every writer-roundtrip PDF) keep the r3 fast path
     pending_strings: list[tuple[str, bytes | None]] = []
-    fonts = fonts or {}
+    # only fonts WITH a byte map can ever change the decode — pages
+    # whose fonts all lack encoding info (the writer's /F1 Helvetica)
+    # take the fast path too
+    has_fonts = any(m is not None for m in (fonts or {}).values())
     cur_font: dict[int, str] | None = None
     last_name: str | None = None
     p = 0
@@ -1081,7 +1099,9 @@ def _extract_stream_text(
             s, p = _parse_literal_string(content, p)
             # chars are all < 256 (octal overflow masked), so latin-1
             # re-encoding recovers the exact string bytes for font maps
-            pending_strings.append((s, s.encode("latin-1")))
+            pending_strings.append(
+                (s, s.encode("latin-1") if has_fonts else None)
+            )
             continue
         if tok.startswith(b"<") and tok.endswith(b">"):
             hexs = re.sub(rb"\s", b"", tok[1:-1])
@@ -1098,7 +1118,7 @@ def _extract_stream_text(
             else:
                 pending_strings.append((raw.decode("latin-1"), raw))
             continue
-        if tok.startswith(b"/"):
+        if has_fonts and tok.startswith(b"/"):
             last_name = tok[1:].decode("latin-1")
             continue
         if tok == b"BT":
@@ -1109,7 +1129,7 @@ def _extract_stream_text(
             break_line()
             in_text = False
             continue
-        if tok == b"Tf":
+        if has_fonts and tok == b"Tf":
             # text-state operator: legal outside BT/ET too (§9.3.1)
             if last_name is not None:
                 cur_font = fonts.get(last_name)
