@@ -73,15 +73,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python PNG decode (stdlib only): chunk walk with CRC
     verification, concatenated-IDAT zlib inflate, per-scanline unfilter
     (types 0-4 — the same predictor math parser/pdf.py applies for PNG
-    predictors), 8-bit gray / gray+alpha / RGB / RGBA. Interlaced,
-    paletted, and non-8-bit images raise CorruptRasterError (recognized
-    magic, unsupported body — a row-level error, never stub features).
-    Returns (w, h, grayscale via BT.601 integer luma, alpha ignored)."""
+    predictors), 8-bit gray / gray+alpha / RGB / RGBA / paletted
+    (PLTE). Interlaced and non-8-bit images raise CorruptRasterError
+    (recognized magic, unsupported body — a row-level error, never stub
+    features). Returns (w, h, grayscale via BT.601 integer luma, alpha
+    ignored)."""
     import struct
 
     pos, n = 8, len(payload)
     ihdr = None
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 12 <= n:
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -95,6 +97,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             if clen != 13:
                 raise CorruptRasterError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if clen == 0 or clen % 3:
+                raise CorruptRasterError("bad PLTE length")
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -109,9 +115,18 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         raise CorruptRasterError(f"PNG compression/filter method {comp}/{filt}")
     if depth != 8:
         raise CorruptRasterError(f"PNG bit depth {depth} unsupported")
-    nchan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nchan is None:
         raise CorruptRasterError(f"PNG color type {color} unsupported")
+    palette: list[int] | None = None
+    if color == 3:
+        if plte is None:
+            raise CorruptRasterError("paletted PNG missing PLTE")
+        # pre-resolve each palette index to its BT.601 luma
+        palette = [
+            (plte[k] * 299 + plte[k + 1] * 587 + plte[k + 2] * 114) // 1000
+            for k in range(0, len(plte), 3)
+        ]
     if w <= 0 or h <= 0 or w * h * nchan > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"PNG geometry {w}x{h}x{nchan} out of bounds")
     rowlen = w * nchan
@@ -152,7 +167,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         elif ft != 0:
             raise CorruptRasterError(f"PNG filter type {ft}")
         prev = row
-        if nchan == 1:
+        if palette is not None:
+            try:
+                px.extend(palette[b] for b in row)
+            except IndexError:
+                raise CorruptRasterError("PNG palette index out of range") from None
+        elif nchan == 1:
             px.extend(row)
         elif nchan == 2:  # gray + alpha
             px.extend(row[0::2])

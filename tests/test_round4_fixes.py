@@ -384,3 +384,39 @@ def test_png_through_spark_media_features(spark):
     out = {r.media_id: r for r in extract_media_features(media).collect()}
     assert out[0].decode_error is None and len(out[0].feature) == 8
     assert out[1].decode_error is not None and out[1].feature is None
+
+
+def test_png_paletted_decodes_via_plte_luma():
+    import struct
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_raster,
+    )
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # palette: idx0=(40,0,10), idx1=(255,255,255)
+    plte = bytes([40, 0, 10, 255, 255, 255])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1])  # filter 0, pixels idx0 idx1
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    w, h, px = _decode_raster(png)
+    assert (w, h) == (2, 1)
+    assert px == [(40 * 299 + 0 * 587 + 10 * 114) // 1000, 255]
+
+    # missing PLTE → typed error
+    no_plte = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(CorruptRasterError):
+        _decode_raster(no_plte)
+
+    # out-of-range palette index → typed error
+    bad_idx = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(bytes([0, 7, 1])))
+               + chunk(b"IEND", b""))
+    with pytest.raises(CorruptRasterError):
+        _decode_raster(bad_idx)
