@@ -412,6 +412,15 @@ def _q_dedup_incremental(spark, sf_dir):
     )
 
 
+def _q_dedup_bloom(spark, sf_dir):
+    # bounded-manifest bloom screen over the same seen/new split as
+    # dedup_incremental: manifest <= m rows at ANY corpus size
+    docs = _docs(spark, sf_dir)
+    return dedup.bloom_incremental(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )
+
+
 def _q_dedup_keep_longest(spark, sf_dir):
     return dedup.keep_longest(_docs(spark, sf_dir))
 
@@ -685,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_cc": _q_dedup_lsh_cc,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_bloom_incremental": _q_dedup_bloom,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
@@ -842,6 +852,7 @@ SELECT * FROM (
         "dedup_lsh_cc": dedup.oracle_lsh_cc_sql(max_iter=5),
         "dedup_keep_longest": dedup.oracle_keep_longest_sql(),
         "dedup_incremental": dedup.oracle_incremental_dedup_sql(),
+        "dedup_bloom_incremental": dedup.oracle_bloom_incremental_sql(),
         "dedup_decontaminate": dedup.oracle_decontaminate_sql(),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),

@@ -189,6 +189,140 @@ LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 
+def _bloom_positions(text_col: str, k: int, m: int) -> str:
+    """k bloom bit positions from disjoint 8-hex windows of ONE md5 of
+    the text (one hash per row; k <= 4). 8 hex chars < 2^32 fit bigint
+    exactly on both engines."""
+    assert 1 <= k <= 4
+    return (
+        f"array_distinct(transform(sequence(0, {k - 1}), "
+        f"j -> cast(conv(substring(md5({text_col}), j * 8 + 1, 8), 16, 10) "
+        f"as bigint) % {m}))"
+    )
+
+
+def bloom_manifest(
+    seen: DataFrame, text_col: str = "text", k: int = 4, m: int = 1 << 20
+) -> DataFrame:
+    """The set-bit rows of a Bloom filter over ``seen`` texts: DISTINCT
+    bit positions, **bounded at m rows no matter the corpus size** —
+    the compact "have I seen this doc" manifest for incremental ingest
+    at 10^12-doc scale (the md5 manifest of :func:`incremental_dedup`
+    grows with the corpus; this one saturates at m). Output column
+    ``bloom_pos``."""
+    return (
+        seen.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.expr(_bloom_positions(text_col, k, m))).alias(
+                "bloom_pos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_incremental(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filter incremental dedup screen: flag each new doc as
+    possibly-seen (ALL k bit positions present in the manifest) or
+    definitely-new (no false negatives — the safe side for ingest; the
+    false-positive rate is the standard (1 - e^(-kn/m))^k, so callers
+    route possibly-seen docs to the exact md5 check instead of dropping
+    them blind). ``seen`` may be the raw corpus or a precomputed
+    :func:`bloom_manifest` (column ``bloom_pos``). The manifest join
+    key is hash-uniform and the manifest is <= m rows — always
+    broadcastable, zero skew. Output (doc_id, n_pos, n_hit,
+    possibly_seen) for ALL new docs; NULL-text docs get n_pos = 0 and
+    possibly_seen = false."""
+    manifest = (
+        seen.select("bloom_pos")
+        if "bloom_pos" in seen.columns
+        else bloom_manifest(seen, text_col, k, m)
+    )
+    exploded = (
+        new_docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.expr(_bloom_positions(text_col, k, m)).alias("ps")
+        )
+        .select(
+            id_col,
+            F.size("ps").cast("bigint").alias("n_pos"),
+            F.explode("ps").alias("p"),
+        )
+    )
+    hits = (
+        exploded.join(
+            manifest.withColumnRenamed("bloom_pos", "p").withColumn(
+                "hit", F.lit(1)
+            ),
+            "p",
+            "left",
+        )
+        .groupBy(id_col, "n_pos")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                (F.coalesce(F.col("n_pos"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("n_hit"), F.lit(0))
+                   == F.coalesce(F.col("n_pos"), F.lit(0)))
+            ).alias("possibly_seen"),
+        )
+    )
+
+
+def oracle_bloom_incremental_sql(
+    table: str = "documents",
+    new_pred: str = "doc_id % 5 <> 0",
+    seen_pred: str = "doc_id % 5 = 0",
+    k: int = 4,
+    m: int = 1 << 20,
+) -> str:
+    """DuckDB mirror: identical md5-window bit positions (the repo's
+    proven ('0x'||hex)::BIGINT conversion), same all-k membership
+    rule."""
+    pos = (
+        f"list_distinct(list_transform(range(0, {k}), "
+        f"j -> ('0x' || substr(md5(text), j * 8 + 1, 8))::BIGINT % {m}))"
+    )
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT unnest({pos}) AS p
+  FROM {table} WHERE ({seen_pred}) AND text IS NOT NULL
+),
+np AS (
+  SELECT doc_id, {pos} AS ps
+  FROM {table} WHERE ({new_pred}) AND text IS NOT NULL
+),
+e AS (SELECT doc_id, len(ps) AS n_pos, unnest(ps) AS p FROM np),
+hits AS (
+  SELECT e.doc_id, e.n_pos,
+         sum(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM e LEFT JOIN bits ON e.p = bits.p
+  GROUP BY e.doc_id, e.n_pos
+)
+SELECT t.doc_id,
+       coalesce(n_pos, 0)::BIGINT AS n_pos,
+       coalesce(n_hit, 0)::BIGINT AS n_hit,
+       coalesce(n_pos, 0) > 0 AND coalesce(n_hit, 0) = coalesce(n_pos, 0)
+         AS possibly_seen
+FROM (SELECT doc_id FROM {table} WHERE {new_pred}) t
+LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""
+
+
 def oracle_exact_dedup_sql(table: str = "documents") -> str:
     return (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "

@@ -420,3 +420,68 @@ def test_png_paletted_decodes_via_plte_luma():
                + chunk(b"IEND", b""))
     with pytest.raises(CorruptRasterError):
         _decode_raster(bad_idx)
+
+
+# -- bloom-manifest incremental dedup ---------------------------------------
+
+def test_bloom_incremental_semantics_and_oracle(spark):
+    from html5ever_elixir_spark.operators.dedup import (
+        bloom_incremental,
+        bloom_manifest,
+        oracle_bloom_incremental_sql,
+    )
+
+    rows = [
+        (0, "shared text one", "en", "web", 10),     # seen
+        (5, "shared text two", "en", "web", 10),     # seen
+        (10, None, "en", "web", 0),                  # seen, NULL
+        (1, "shared text one", "en", "web", 10),     # new, dup → possibly_seen
+        (2, "totally fresh text", "en", "web", 12),  # new → definitely new
+        (3, None, "en", "web", 0),                   # new, NULL → n_pos 0
+        (4, "shared text two", "en", "web", 10),     # new, dup → possibly_seen
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    docs = spark.createDataFrame(rows, schema)
+    new = docs.where("doc_id % 5 <> 0")
+    seen = docs.where("doc_id % 5 = 0")
+    got = {r.doc_id: r for r in bloom_incremental(new, seen).collect()}
+    # no false negatives: every truly-seen text flags possibly_seen
+    assert got[1].possibly_seen and got[4].possibly_seen
+    assert not got[2].possibly_seen  # fresh (fp prob ~ (nk/m)^k, ~1e-19 here)
+    assert got[3].n_pos == 0 and not got[3].possibly_seen
+    assert all(r.n_hit <= r.n_pos <= 4 for r in got.values())
+
+    # precomputed-manifest path gives the identical answer
+    man = bloom_manifest(seen)
+    got2 = {r.doc_id: (r.n_pos, r.n_hit, r.possibly_seen)
+            for r in bloom_incremental(new, man).collect()}
+    assert got2 == {k: (r.n_pos, r.n_hit, r.possibly_seen)
+                    for k, r in got.items()}
+
+    # DuckDB oracle agreement on the same rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(oracle_bloom_incremental_sql()).fetchall()
+    }
+    assert oracle == {k: (r.n_pos, r.n_hit, bool(r.possibly_seen))
+                      for k, r in got.items()}
+
+
+def test_bloom_manifest_bounded_at_m(spark):
+    from html5ever_elixir_spark.operators.dedup import bloom_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    m = 64  # tiny filter: 200 docs x 4 positions must saturate below m
+    man = bloom_manifest(docs, k=4, m=m)
+    n = man.count()
+    assert n <= m
+    assert man.where(f"bloom_pos < 0 OR bloom_pos >= {m}").count() == 0
