@@ -13,11 +13,17 @@ walked newest-first) and falls back to a full linear scan otherwise —
 crawled PDFs routinely carry slightly-off offsets. PDF 1.5+ layouts
 are supported: cross-reference STREAMS (W-field rows, Flate +
 predictor) and compressed object streams (/ObjStm type-2 entries,
-where modern PDFs keep their catalog/pages dicts). Explicitly NOT
-handled: encrypted files, CID / composite fonts, ToUnicode CMaps — a
-corpus job routes those rows to the error column rather than failing
-(same row-level error contract as the HTML parser's invalid-UTF-8
-path).
+where modern PDFs keep their catalog/pages dicts). Text decoding
+covers simple-font /Encoding (WinAnsi / MacRoman / Standard bases,
+/Differences with AGL-subset glyph names), ToUnicode CMaps
+(bfchar/bfrange, both destination forms), and composite Type0 fonts
+with /Identity-H(-V) CMaps decoded through their 2-byte ToUnicode —
+the dominant layout for crawled non-Latin PDFs. Explicitly NOT
+handled: encrypted files, non-Identity CID CMaps (GBK-EUC-H etc.),
+and fonts whose only text mapping is embedded glyph programs — a
+corpus job routes those rows to the error column / U+FFFD rather than
+failing (same row-level error contract as the HTML parser's
+invalid-UTF-8 path).
 
 The companion :func:`make_simple_pdf` produces deterministic
 single-font PDFs used by the oracle roundtrip gate and tests; its
@@ -583,7 +589,7 @@ _TYPE_RE = re.compile(rb"/Type\s*/(Pages|Page)\b")
 
 def _page_content_entries(
     objs: dict[int, bytes],
-) -> list[tuple[int, dict[str, dict[int, str] | None]]]:
+) -> list[tuple[int, dict[str, tuple[int, dict[int, str]] | None]]]:
     """(content-stream object id, that page's font resource-name →
     byte-map) in document page order (catalog → pages tree →
     /Contents; /Resources inherited down the tree per §7.8.3). Falls
@@ -594,12 +600,12 @@ def _page_content_entries(
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
     )
-    entries: list[tuple[int, dict[str, dict[int, str] | None]]] = []
+    entries: list[tuple[int, dict[str, tuple[int, dict[int, str]] | None]]] = []
     visited: set[int] = set()
-    font_cache: dict[int, dict[int, str] | None] = {}
-    font_sets: dict[bytes, dict[str, dict[int, str] | None]] = {}
+    font_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
+    font_sets: dict[bytes, dict[str, tuple[int, dict[int, str]] | None]] = {}
 
-    def fonts_for(res: bytes | None) -> dict[str, dict[int, str] | None]:
+    def fonts_for(res: bytes | None) -> dict[str, tuple[int, dict[int, str]] | None]:
         key = res or b""
         if key not in font_sets:
             font_sets[key] = _fonts_from_resources(objs, res, font_cache)
@@ -830,18 +836,19 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 
 
-def _parse_tounicode(cmap: bytes) -> dict[int, str]:
-    """bfchar/bfrange entries of a ToUnicode CMap → byte → str (simple
-    fonts: one-byte codes; wider source codes are ignored). Both
-    bfrange destination forms handled (base hex string with increment,
-    and explicit array)."""
+def _parse_tounicode(cmap: bytes, max_code: int = 0xFF) -> dict[int, str]:
+    """bfchar/bfrange entries of a ToUnicode CMap → code → str. Simple
+    fonts use one-byte codes (max_code 0xFF); Identity-H Type0 fonts
+    two-byte codes (max_code 0xFFFF); wider source codes are ignored.
+    Both bfrange destination forms handled (base hex string with
+    increment, and explicit array)."""
     out: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(cmap):
         for sm in re.finditer(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", m.group(1)
         ):
             src = int(sm.group(1), 16)
-            if src <= 0xFF:
+            if src <= max_code:
                 out[src] = _utf16_hex(sm.group(2))
     for m in _BFRANGE_RE.finditer(cmap):
         for rm in re.finditer(
@@ -850,9 +857,9 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
             m.group(1),
         ):
             lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
-            if lo > 0xFF:
+            if lo > max_code:
                 continue
-            hi = min(hi, 0xFF)
+            hi = min(hi, max_code)
             dst = rm.group(3)
             if dst.startswith(b"["):
                 dsts = re.findall(rb"<([0-9A-Fa-f]*)>", dst)
@@ -913,27 +920,49 @@ def _encoding_map(objs: dict[int, bytes], font: bytes) -> dict[int, str] | None:
     return {i: c for i, c in enumerate(table) if c is not None}
 
 
+# a resolved font is (code_bytes, code → str): 1-byte simple fonts,
+# 2-byte Identity-H/V Type0 fonts
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+
+
 def _font_byte_map(
-    objs: dict[int, bytes], ref: int, cache: dict[int, dict[int, str] | None]
-) -> dict[int, str] | None:
-    """Resolve one font object to a byte → str map (or None: no
-    explicit encoding info — legacy passthrough). /ToUnicode wins over
-    /Encoding per code; /Encoding fills the CMap's gaps."""
+    objs: dict[int, bytes],
+    ref: int,
+    cache: dict[int, tuple[int, dict[int, str]] | None],
+) -> tuple[int, dict[int, str]] | None:
+    """Resolve one font object to (code_bytes, code → str), or None: no
+    explicit encoding info — legacy passthrough. Simple fonts:
+    /ToUnicode wins over /Encoding per code, /Encoding fills the CMap's
+    gaps. Type0 + /Identity-H(-V): two-byte codes through the 2-byte
+    ToUnicode ({} when absent — every code decodes to U+FFFD, which is
+    honest: Identity CIDs are glyph ids, not characters). Type0 with a
+    non-Identity CMap stays None (out of scope, module docstring)."""
     if ref in cache:
         return cache[ref]
     body = objs.get(ref)
-    result: dict[int, str] | None = None
+    result: tuple[int, dict[int, str]] | None = None
     if body is not None:
-        result = _encoding_map(objs, body) if b"/Encoding" in body else None
-        tm = _TOUNI_RE.search(body) if b"/ToUnicode" in body else None
-        if tm and int(tm.group(1)) in objs:
-            try:
-                cmap = _content_stream(objs[int(tm.group(1))])
-            except PdfError:
-                cmap = b""
-            tou = _parse_tounicode(cmap)
+        def tounicode(max_code: int) -> dict[int, str]:
+            tm = _TOUNI_RE.search(body) if b"/ToUnicode" in body else None
+            if tm and int(tm.group(1)) in objs:
+                try:
+                    cmap = _content_stream(objs[int(tm.group(1))])
+                except PdfError:
+                    return {}
+                return _parse_tounicode(cmap, max_code)
+            return {}
+
+        if _TYPE0_RE.search(body):
+            if _IDENTITY_RE.search(body):
+                result = (2, tounicode(0xFFFF))
+        else:
+            enc = _encoding_map(objs, body) if b"/Encoding" in body else None
+            tou = tounicode(0xFF)
             if tou:
-                result = {**(result or {}), **tou}
+                result = (1, {**(enc or {}), **tou})
+            elif enc is not None:
+                result = (1, enc)
     cache[ref] = result
     return result
 
@@ -948,8 +977,8 @@ _RES_INLINE_RE = re.compile(rb"/Resources\s*<<")
 def _fonts_from_resources(
     objs: dict[int, bytes],
     res: bytes | None,
-    cache: dict[int, dict[int, str] | None],
-) -> dict[str, dict[int, str] | None]:
+    cache: dict[int, tuple[int, dict[int, str]] | None],
+) -> dict[str, tuple[int, dict[int, str]] | None]:
     """Resource-name → byte-map for the /Font entries of one page's
     /Resources (inline or indirect dict)."""
     if not res or b"/Font" not in res:
@@ -1045,7 +1074,7 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
 
 def _extract_stream_text(
     content: bytes,
-    fonts: dict[str, dict[int, str] | None] | None = None,
+    fonts: dict[str, tuple[int, dict[int, str]] | None] | None = None,
 ) -> list[str]:
     """Text lines from one content stream's BT/ET blocks. ``fonts``
     maps the page's font resource names to byte→str maps; ``Tf``
@@ -1065,7 +1094,7 @@ def _extract_stream_text(
     # whose fonts all lack encoding info (the writer's /F1 Helvetica)
     # take the fast path too
     has_fonts = any(m is not None for m in (fonts or {}).values())
-    cur_font: dict[int, str] | None = None
+    cur_font: tuple[int, dict[int, str]] | None = None
     last_name: str | None = None
     p = 0
     n = len(content)
@@ -1078,13 +1107,23 @@ def _extract_stream_text(
     def show():
         for text, raw in pending_strings:
             if cur_font is not None and raw is not None:
-                cur.append(
-                    "".join(
-                        cur_font.get(b)
-                        or (chr(b) if 0x20 <= b <= 0x7E else "�")
-                        for b in raw
+                nb, fmap = cur_font
+                if nb == 1:
+                    cur.append(
+                        "".join(
+                            fmap.get(b)
+                            or (chr(b) if 0x20 <= b <= 0x7E else "�")
+                            for b in raw
+                        )
                     )
-                )
+                else:  # 2-byte Identity codes; odd trailing byte → U+FFFD
+                    cur.append(
+                        "".join(
+                            fmap.get((raw[i] << 8) | raw[i + 1]) or "�"
+                            for i in range(0, len(raw) - 1, 2)
+                        )
+                        + ("�" if len(raw) % 2 else "")
+                    )
             else:
                 cur.append(text)
         pending_strings.clear()

@@ -217,3 +217,50 @@ def test_writer_roundtrip_untouched_by_font_layer():
     lines = ["plain writer line one", "and (two) with \\ escapes"]
     text, n_pages = extract_pdf_text(make_simple_pdf(lines))
     assert text == "\n".join(lines) and n_pages == 1
+
+
+def test_type0_identity_h_with_tounicode():
+    # 2-byte Identity-H codes through a 2-byte ToUnicode: the dominant
+    # crawled-PDF layout for CJK / non-Latin text
+    cmap = (
+        b"2 beginbfchar\n<0105> <4F60>\n<0106> <597D>\nendbfchar\n"
+        b"1 beginbfrange\n<0200> <0202> <0041>\nendbfrange\n"
+    )
+    fonts = _obj(
+        5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Noto"
+           b" /Encoding /Identity-H /ToUnicode 6 0 R >>"
+    ) + _stream_obj(6, cmap)
+    content = b"BT /F1 12 Tf <0105 0106 0200 0201 0202> Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "你好ABC"
+
+
+def test_type0_identity_h_literal_string_and_odd_tail():
+    cmap = b"1 beginbfchar <0041> <0058> endbfchar\n"
+    fonts = _obj(
+        5, b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H"
+           b" /ToUnicode 6 0 R >>"
+    ) + _stream_obj(6, cmap)
+    # literal string bytes \x00 A = code 0x0041 → X; trailing odd byte → �
+    content = b"BT /F1 12 Tf (\x00A\x00) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "X�"
+
+
+def test_type0_identity_without_tounicode_is_lossy_not_garbage():
+    fonts = _obj(
+        5, b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"
+    )
+    content = b"BT /F1 12 Tf <00410042> Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    # Identity CIDs are glyph ids, not characters: U+FFFD, never "AB"
+    assert text == "��"
+
+
+def test_type0_non_identity_cmap_stays_passthrough():
+    fonts = _obj(
+        5, b"<< /Type /Font /Subtype /Type0 /Encoding /GBK-EUC-H >>"
+    )
+    content = b"BT /F1 12 Tf (ab) Tj ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "ab"  # documented out-of-scope: legacy passthrough
