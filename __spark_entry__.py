@@ -580,6 +580,53 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_raster_features(spark, sf_dir):
+    # the REAL raster-decode path, driver-gated: each doc's text becomes
+    # a binary P5 gray image (1×len, pixel bytes = the ASCII codes), the
+    # default decoder actually parses the PNM container, and the pooled
+    # features are pure integer arithmetic over the bytes — so DuckDB
+    # predicts the decode output in SQL (scalar f0..f7 columns; no
+    # arrays in driver output per contract)
+    from html5ever_elixir_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    media = _docs(spark, sf_dir).where("length(text) > 0").selectExpr(
+        "doc_id AS media_id",
+        "'image' AS kind",
+        "cast('P5 ' || cast(length(text) as string) || ' 1 255\\n' || text"
+        " as binary) AS payload",
+        "named_struct('width', length(text), 'height', 1,"
+        " 'mime', 'image/x-portable-graymap') AS meta",
+    )
+    out = extract_media_features(media)
+    sel = [F.col("media_id"), F.col("decode_error")]
+    for d in range(8):
+        sel.append(
+            F.expr(f"round(element_at(feature, {d + 1}), 6)").alias(f"f{d}")
+        )
+    return out.select(*sel)
+
+
+def _oracle_media_raster_sql() -> str:
+    fcols = ", ".join(
+        "round(cast(list_sum(list_transform(range(0, len(px)), "
+        f"i -> CASE WHEN i % 8 = {d} THEN px[i + 1] ELSE 0 END)) as double) "
+        f"/ greatest(list_sum(px), 1), 6) AS f{d}"
+        for d in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ord(substr(text, i, 1))) AS px
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id AS media_id, cast(NULL as varchar) AS decode_error, {fcols}
+FROM b
+"""
+
+
 def _q_media_frame_sample(spark, sf_dir):
     # frame sampling over binary payloads built from documents.text;
     # the text is ASCII at every SF (asserted by the corpus generator's
@@ -708,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
         "media_features": _q_media_features,
+        "media_raster_features": _q_media_raster_features,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_count": _q_token_count,
@@ -722,7 +770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
-        "url_host_counts": _q_url_host_counts,
         "url_dedup": _q_url_dedup,
         # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
         # the load-bearing encoders stay inside the 50-row window …
@@ -733,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_error_rows": _q_html_error_rows,
         # … and these long-stable parity queries rotate past it in r4
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
+        "url_host_counts": _q_url_host_counts,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text_v2": _q_html_extract_v2,
         "html_flat_error_rows": _q_html_flat_error_rows,
@@ -879,6 +927,7 @@ SELECT * FROM (
             "cast(NULL as varchar) AS decode_error "
             "FROM documents"
         ),
+        "media_raster_features": _oracle_media_raster_sql(),
         # balanced 4-way byte split; text is ASCII so varchar slicing
         # equals the operator's byte slicing
         "media_frame_sample": """

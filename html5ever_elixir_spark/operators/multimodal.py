@@ -27,7 +27,10 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, sha256 string, "
-    "feature array<float>, decode_error string"
+    # double, not float: the media_raster_features driver gate compares
+    # feature values against DuckDB float64 arithmetic — float32 would
+    # quantize before the shared SQL rounding and hash-mismatch
+    "feature array<double>, decode_error string"
 )
 
 
@@ -322,11 +325,14 @@ def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
 
 
 def _pool_features(px: list[int], n_dims: int) -> list[float]:
+    # full-precision doubles on purpose: the driver-gated query rounds
+    # in Spark SQL so both engines round with identical SQL semantics
+    # (Python round() and DuckDB round() differ at the ulp level)
     total = max(sum(px), 1)
     acc = [0] * n_dims
     for i, v in enumerate(px):
         acc[i % n_dims] += v
-    return [round(a / total, 6) for a in acc]
+    return [a / total for a in acc]
 
 
 def _decode_image(payload: bytes, n_dims: int = 8) -> list[float]:
