@@ -549,6 +549,14 @@ def _q_ann_srp_multiprobe(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def _q_emb_neardup_clusters(spark, sf_dir):
+    # semantic dedup clustering: CC over the near-dup pair graph;
+    # fixed max_iter → unrolled-CTE oracle (CLAUDE.md rule)
+    return similarity.neardup_clusters(
+        _emb(spark, sf_dir), threshold=0.35, max_iter=4
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
     # pair set (real corpora would use ~0.95)
@@ -752,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_bucket": _q_ann_srp,
         "ann_srp_multiprobe": _q_ann_srp_multiprobe,
         "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
         "media_features": _q_media_features,
@@ -769,7 +778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_cap_per_source": _q_sample_cap_per_source,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "text_quality": _q_quality,
-        "text_lang_id": _q_lang_id,
         "url_dedup": _q_url_dedup,
         # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
         # the load-bearing encoders stay inside the 50-row window …
@@ -781,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # … and these long-stable parity queries rotate past it in r4
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
         "url_host_counts": _q_url_host_counts,
+        "text_lang_id": _q_lang_id,
         "html_text_nodes": _q_html_text_nodes,
         "html_extract_text_v2": _q_html_extract_v2,
         "html_flat_error_rows": _q_html_flat_error_rows,
@@ -913,6 +922,9 @@ SELECT * FROM (
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "ann_srp_multiprobe": similarity.oracle_srp_sql(multiprobe=True),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
+        "emb_neardup_clusters": similarity.oracle_neardup_clusters_sql(
+            threshold=0.35, max_iter=4
+        ),
         "emb_normalize": (
             "SELECT vec_id, norm, round(unit[1], 6) AS u0, "
             "round(list_sum(unit), 6) AS unit_sum "

@@ -317,3 +317,93 @@ FROM {table} a JOIN {table} b
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) >= {threshold}
 """
+
+
+def neardup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    max_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Semantic near-dup clustering: connected components over the
+    :func:`neardup_pairs` edge list via neighbor-min label propagation
+    (one hop per round). Output (vec_id, cluster_id) for ALL vectors —
+    pairless vectors label themselves. Same oracle contract as
+    lsh_connected_components (CLAUDE.md fixed-iteration rule): the
+    Spark loop early-stops only when converged and otherwise runs
+    exactly ``max_iter`` rounds, so the fixed-depth unrolled CTE
+    (oracle_neardup_clusters_sql) produces identical labels. Edges
+    shuffle on uniform vector ids; per-round cost is one edge join +
+    one group-by — O(diameter) rounds, and real near-dup graphs are
+    tiny diameter (dup sets are near-cliques)."""
+    pairs = neardup_pairs(emb, threshold, id_col, vec_col, block_col)
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .persist()
+    )
+    labels = emb.select(F.col(id_col), F.col(id_col).alias("lbl")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col(id_col).alias("_d"), "lbl"),
+                F.col("d") == F.col("_d"),
+            )
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min["s"], "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col(id_col), F.col("lbl").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    labels.unpersist()
+    return out
+
+
+def oracle_neardup_clusters_sql(
+    table: str = "embeddings", threshold: float = 0.95, max_iter: int = 4
+) -> str:
+    """Unrolled neighbor-min propagation over the pair edges — one CTE
+    per round, mirroring :func:`neardup_clusters` exactly."""
+    rounds = [f"l0 AS (SELECT vec_id, vec_id AS lbl FROM {table})"]
+    for i in range(1, max_iter + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT p.vec_id, least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
+  FROM l{i - 1} p
+  LEFT JOIN edges ON edges.s = p.vec_id
+  LEFT JOIN l{i - 1} n ON n.vec_id = edges.d
+  GROUP BY p.vec_id, p.lbl
+)"""
+        )
+    return (
+        f"""WITH pairs AS ({oracle_neardup_sql(table, threshold)}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT vec_id, lbl AS cluster_id FROM l{max_iter}"
+    )

@@ -485,3 +485,40 @@ def test_bloom_manifest_bounded_at_m(spark):
     n = man.count()
     assert n <= m
     assert man.where(f"bloom_pos < 0 OR bloom_pos >= {m}").count() == 0
+
+
+# -- embedding near-dup clustering: CC over the pair graph ------------------
+
+def test_neardup_clusters_match_union_find(spark):
+    from html5ever_elixir_spark.operators.similarity import (
+        neardup_clusters,
+        neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = neardup_pairs(emb, threshold=0.35).collect()
+    got = {r.vec_id: r.cluster_id
+           for r in neardup_clusters(emb, threshold=0.35, max_iter=4).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs:
+        union(r.id_a, r.id_b)
+    expected = {v: find(v) for v in got}
+    # canonical rep per component = min id; union-find min-root by
+    # construction (always parent to the smaller root)
+    assert got == expected
+    # pairless vectors label themselves
+    in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert all(got[v] == v for v in got if v not in in_pairs)
