@@ -522,3 +522,41 @@ def test_neardup_clusters_match_union_find(spark):
     # pairless vectors label themselves
     in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert all(got[v] == v for v in got if v not in in_pairs)
+
+
+# -- plan audits for the round-4 operators ----------------------------------
+
+def test_pack_strict_plan_single_shuffle(spark):
+    from html5ever_elixir_spark.operators.textstats import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 100) for i in range(50)], "doc_id bigint, text string"
+    )
+    out = pack_sequences(chunk_documents(docs, 20, 5), seq_len=40, strict=True)
+    out.collect()
+    # AdaptiveSparkPlan.toString echoes the pre-AQE plan under
+    # "== Initial Plan ==" — count exchanges in the FINAL plan only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # one groupBy-doc exchange; per-seq rollup is row-local (no window,
+    # no second shuffle)
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "Window" not in final, final
+
+
+def test_bloom_incremental_plan_broadcasts_manifest(spark):
+    from html5ever_elixir_spark.operators.dedup import bloom_incremental
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(60)], "doc_id bigint, text string"
+    )
+    out = bloom_incremental(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the <= m-row manifest side must broadcast (AQE from runtime stats)
+    assert "BroadcastHashJoin" in plan, plan
