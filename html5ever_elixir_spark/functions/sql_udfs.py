@@ -80,6 +80,22 @@ def _udf_parse_error(html):
     return html.map(err)
 
 
+def _udf_pdf_text(payload):
+    """Scalar PDF text extraction (binary column → extracted text;
+    NULL on the reader's typed row-level errors)."""
+    from ..parser.pdf import PdfError, extract_pdf_text
+
+    def ext(p):
+        if p is None:
+            return None
+        try:
+            return extract_pdf_text(bytes(p))[0]
+        except PdfError:
+            return None
+
+    return payload.map(ext)
+
+
 _REGISTRY = [
     ("h5_extract_text", _udf_extract_text, "string"),
     ("h5_extract_text_v2", _udf_extract_text_v2, "string"),
@@ -87,6 +103,7 @@ _REGISTRY = [
     ("h5_tree_json", _udf_tree_json, "string"),
     ("h5_n_nodes", _udf_n_nodes, "bigint"),
     ("h5_parse_error", _udf_parse_error, "string"),
+    ("h5_pdf_text", _udf_pdf_text, "string"),
 ]
 
 

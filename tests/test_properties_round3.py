@@ -69,3 +69,37 @@ def test_chunking_covers_all_words_exactly(n_words, chunk, overlap):
         seen.extend(range(lo, hi))
         prev_hi = hi
     assert set(seen) == set(range(n_words))  # complete coverage
+
+
+# -- round 4: PNG encode→decode roundtrip over arbitrary images --------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([0, 2, 4, 6]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, color_type, seed):
+    import random
+
+    from tests.test_round4_fixes import _make_png
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    rng = random.Random(seed)
+    nchan = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    flat = [rng.randrange(256) for _ in range(w * h * nchan)]
+    filters = [rng.randrange(5) for _ in range(h)]
+    gw, gh, px = _decode_raster(_make_png(w, h, flat, color_type, filters))
+    assert (gw, gh) == (w, h)
+    # expected luma, mirroring the decoder's channel handling
+    if nchan == 1:
+        exp = flat
+    elif nchan == 2:
+        exp = flat[0::2]
+    else:
+        exp = [
+            (flat[k] * 299 + flat[k + 1] * 587 + flat[k + 2] * 114) // 1000
+            for k in range(0, len(flat), nchan)
+        ]
+    assert px == exp
