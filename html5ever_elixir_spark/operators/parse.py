@@ -70,12 +70,17 @@ def parse_and_extract(
     with_tree_json: bool = False,
     max_nodes: int = DEFAULT_MAX_NODES,
     max_depth: int = DEFAULT_MAX_DEPTH,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(url, html, ...) → parsed(url, error, text, title, links,
     metrics..., tree_json?).
 
     ``with_tree_json=False`` (default) skips the nested-tree JSON encode
-    on the hot path; the column is emitted as null."""
+    on the hot path; the column is emitted as null.
+    ``passthrough_cols`` names extra input columns to carry through the
+    Python stage verbatim (they ride the same Arrow batch — no rejoin;
+    e.g. ``("warc_ts",)`` for event-time streaming downstream). The
+    default stays the 2-column pruned boundary."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -119,7 +124,7 @@ def parse_and_extract(
                     builder.parse_errors + builder.tokenizer.parse_errors
                 )
                 out["tree_json"].append(tree_to_json(doc) if with_tree_json else None)
-            yield pa.RecordBatch.from_pydict(
+            rb = pa.RecordBatch.from_pydict(
                 out,
                 schema=pa.schema(
                     [
@@ -134,9 +139,26 @@ def parse_and_extract(
                     ]
                 ),
             )
+            for j, name in enumerate(passthrough_cols):
+                rb = rb.append_column(
+                    pa.field(name, batch.schema.field(2 + j).type),
+                    batch.column(2 + j),
+                )
+            yield rb
 
-    pruned = df.select(F.col(url_col).alias("url"), F.col(html_col).alias("html"))
-    return pruned.mapInArrow(fn, PARSED_FIELDS)
+    pruned = df.select(
+        F.col(url_col).alias("url"),
+        F.col(html_col).alias("html"),
+        *[F.col(c) for c in passthrough_cols],
+    )
+    out_fields = PARSED_FIELDS
+    if passthrough_cols:
+        pass_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*passthrough_cols).schema.fields
+        )
+        out_fields = PARSED_FIELDS + ", " + pass_schema
+    return pruned.mapInArrow(fn, out_fields)
 
 
 def flat_parse_nodes(

@@ -236,3 +236,53 @@ def stream_dedup_ingest(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_extract_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    min_words: int = 10,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """The composed streaming curation ingest — the continuous-mode
+    analog of ``plans/curation.py``: landing pages → UTF-8 gate +
+    WHATWG parse + extraction (stateless mapInArrow, unchanged inside
+    micro-batches) → the row-local quality gate on the EXTRACTED text
+    (``textstats.quality_filter(project=False)`` — one projection, no
+    joins, so it fuses into the batch scan exactly like batch mode) →
+    fingerprint dedup across batches via ``dropDuplicatesWithinWatermark``
+    (bounded state, same eviction contract as
+    :func:`stream_dedup_ingest`) → parquet sink, exactly-once via the
+    checkpoint. Returns the StreamingQuery."""
+    from ..operators.textstats import quality_filter
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    extracted = parse_and_extract(pages, passthrough_cols=("warc_ts",)).where(
+        "error IS NULL AND text IS NOT NULL AND length(text) > 0"
+    )
+    gated = quality_filter(
+        extracted.withColumn("doc_id", F.xxhash64("url")),
+        min_words=min_words,
+        project=False,
+    )
+    deduped = (
+        gated.withColumn("fp", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp", "doc_id")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

@@ -281,3 +281,34 @@ def test_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
     # ...but the store holds at most the post-day-1 fingerprints: the 30
     # day-1 entries were evicted when the watermark passed them
     assert st3 and st3[-1]["numRowsTotal"] <= 20, st3
+
+
+def test_stream_extract_curate_composition(spark, tmp_path):
+    # the streaming curation analog of plans/curation.py: parse/extract
+    # + quality gate + cross-batch fingerprint dedup in ONE query.
+    # synth corpus rows: invalid-UTF8 must vanish (error gate), repeated
+    # payloads collapse (dedup), link-farm/short rows drop (quality).
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.streaming.ingest import stream_extract_curate
+
+    inp = str(tmp_path / "landing8")
+    out = str(tmp_path / "curated8")
+    ck = str(tmp_path / "ck8")
+    _land_pages(spark, inp, 40)
+    q = stream_extract_curate(spark, inp, out, ck, min_words=5)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+    # curated rows carry the extracted text + event time, are distinct
+    # by fingerprint, and passed the quality gate
+    assert {"url", "text", "warc_ts"} <= set(first.columns)
+    assert first.select(F.md5("text")).distinct().count() == n1
+    assert first.where("error IS NOT NULL").count() == 0
+
+    # second drain of the SAME payloads under new urls: all suppressed
+    _land_pages(spark, inp, 40, offset=1)
+    q2 = stream_extract_curate(spark, inp, out, ck, min_words=5)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
