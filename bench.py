@@ -116,6 +116,16 @@ def run_suite(spark, sf_dir: str):
     from html5ever_elixir_spark.plans.curation import run_curation
 
     timed("curation_chunks", lambda: _noop(run_curation(docs)))
+    # round-4 ops: bounded-manifest bloom screen; hard-budget packing
+    from html5ever_elixir_spark.operators import textstats
+
+    timed("dedup_bloom", lambda: _noop(dedup.bloom_incremental(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )))
+    timed("text_pack_strict", lambda: _noop(textstats.pack_sequences(
+        textstats.chunk_documents(docs, chunk_words=20, overlap=5),
+        seq_len=40, strict=True,
+    )))
     return n_docs, timings
 
 
