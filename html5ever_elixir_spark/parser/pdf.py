@@ -1086,6 +1086,7 @@ def _extract_stream_text(
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
+    in_tj_array = False
     # (decoded-passthrough text, raw bytes or None when pre-decoded);
     # raw tracking + Tf dispatch only engage when the page HAS fonts —
     # font-less pages (every writer-roundtrip PDF) keep the r3 fast path
@@ -1177,14 +1178,27 @@ def _extract_stream_text(
             continue
         if tok in (b"Tj", b"TJ"):
             show()
+            in_tj_array = False
         elif tok in (b"'", b'"'):  # move-to-next-line + show
             break_line()
             show()
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             break_line()
             pending_strings.clear()
-        elif tok in (b"[", b"]"):
-            continue  # TJ array brackets; numbers are kerning, ignored
+        elif tok == b"[":
+            in_tj_array = True
+        elif tok == b"]":
+            in_tj_array = False
+        elif in_tj_array and tok[:1] in b"-0123456789+.":
+            # TJ kerning: a large negative adjustment (thousandths of an
+            # em) is how justified text encodes WORD SPACES without a
+            # space glyph — the standard extractor heuristic (≈-180
+            # threshold). Small kerning (letter fitting) adds nothing.
+            try:
+                if float(tok) <= -180 and pending_strings:
+                    pending_strings.append((" ", None))
+            except ValueError:
+                pass
     break_line()
     return lines
 

@@ -264,3 +264,19 @@ def test_type0_non_identity_cmap_stays_passthrough():
     content = b"BT /F1 12 Tf (ab) Tj ET"
     text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
     assert text == "ab"  # documented out-of-scope: legacy passthrough
+
+
+def test_tj_kerning_inserts_word_spaces():
+    # justified text: [-250] between strings is a word space; small
+    # kerning (letter fitting) is not
+    fonts = _obj(5, b"<< /Type /Font /Subtype /Type1 >>")
+    content = (b"BT /F1 12 Tf [(Hello) -250 (world) -40 (!) ] TJ ET")
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "Hello world!"
+
+
+def test_tj_kerning_leading_number_adds_nothing():
+    fonts = _obj(5, b"<< /Type /Font /Subtype /Type1 >>")
+    content = b"BT /F1 12 Tf [ -900 (x) ] TJ ET"
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "x"
