@@ -412,6 +412,23 @@ def _q_dedup_incremental(spark, sf_dir):
     )
 
 
+# shared multi-line synthesis for the boilerplate-line gate: one
+# universal line (all docs), one 1/3-frequency line, one unique tail —
+# the 400-doc threshold removes only the universal one at sf0.01
+_BOILER_LINES_EXPR = (
+    "'NEWSLETTER SIGNUP' || chr(10) || text || chr(10) || "
+    "case when doc_id % 3 = 0 then 'SHARED FOOTER' "
+    "else 'tail ' || cast(doc_id as string) end"
+)
+
+
+def _q_dedup_boilerplate(spark, sf_dir):
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_BOILER_LINES_EXPR} AS text"
+    )
+    return dedup.remove_boilerplate_lines(docs, min_docs=400)
+
+
 def _q_dedup_bloom(spark, sf_dir):
     # bounded-manifest bloom screen over the same seen/new split as
     # dedup_incremental: manifest <= m rows at ANY corpus size
@@ -750,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_longest": _q_dedup_keep_longest,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_bloom_incremental": _q_dedup_bloom,
+        "dedup_boilerplate_lines": _q_dedup_boilerplate,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
@@ -910,6 +928,9 @@ SELECT * FROM (
         "dedup_keep_longest": dedup.oracle_keep_longest_sql(),
         "dedup_incremental": dedup.oracle_incremental_dedup_sql(),
         "dedup_bloom_incremental": dedup.oracle_bloom_incremental_sql(),
+        "dedup_boilerplate_lines": dedup.oracle_boilerplate_lines_sql(
+            400, _BOILER_LINES_EXPR
+        ),
         "dedup_decontaminate": dedup.oracle_decontaminate_sql(),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),
         "dedup_simhash": dedup.oracle_simhash_sql(),

@@ -323,6 +323,104 @@ LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet/RefinedWeb
+    boilerplate rule: a line occurring in >= ``min_docs`` DISTINCT
+    documents is boilerplate (cookie banners, newsletter prompts,
+    shared footers) and is stripped from EVERY document, preserving
+    the order of surviving lines. ``min_docs`` is the caller's
+    threshold (typically a fraction of the corpus size from a prior
+    count). Output (doc_id, text_clean, n_lines_kept,
+    n_lines_removed) for all docs; NULL text → empty text_clean.
+
+    Plan shape: one posexplode (row-local) → one groupBy on the line
+    value with a map-side-partial distinct-doc count, filtered to the
+    FREQUENT lines only — the manifest is tiny (only boilerplate
+    survives the HAVING), so the anti-join broadcasts; reassembly is
+    one per-doc groupBy, sorting each doc's own lines by position
+    (never a global order)."""
+    lines = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
+    )
+    freq = (
+        lines.groupBy("ln")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("ln")
+    )
+    kept = lines.join(F.broadcast(freq), "ln", "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws('" + sep.replace("\n", "\\n") + "', "
+            "transform(array_sort(collect_list(struct(pos, ln))), s -> s.ln))"
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_lines_kept"),
+    )
+    n_lines = docs.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.size(F.split(F.col(text_col), sep)),
+        ).otherwise(F.lit(0)).cast("bigint").alias("n_lines"),
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias(
+                "n_lines_kept"
+            ),
+            (F.col("n_lines") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+def oracle_boilerplate_lines_sql(
+    min_docs: int,
+    lines_expr: str,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror over a synthesized multi-line text (``lines_expr``
+    must be the same SQL both engines evaluate). chr(10) line sep."""
+    return f"""
+WITH src AS (SELECT doc_id, {lines_expr} AS text FROM {table}),
+l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM src),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS ln
+  FROM l
+),
+freq AS (
+  SELECT ln FROM lines GROUP BY ln
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT lines.* FROM lines
+  WHERE NOT EXISTS (SELECT 1 FROM freq WHERE freq.ln = lines.ln)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT src.doc_id,
+       coalesce(text_clean, '') AS text_clean,
+       coalesce(n_kept, 0)::BIGINT AS n_lines_kept,
+       (len(str_split(src.text, chr(10))) - coalesce(n_kept, 0))::BIGINT
+         AS n_lines_removed
+FROM src LEFT JOIN rebuilt ON src.doc_id = rebuilt.doc_id
+"""
+
+
 def oracle_exact_dedup_sql(table: str = "documents") -> str:
     return (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "

@@ -560,3 +560,27 @@ def test_bloom_incremental_plan_broadcasts_manifest(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the <= m-row manifest side must broadcast (AQE from runtime stats)
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- corpus-level boilerplate line removal ----------------------------------
+
+def test_remove_boilerplate_lines_semantics(spark):
+    from html5ever_elixir_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (0, "COOKIE BANNER\nreal content zero\nCOOKIE BANNER"),
+        (1, "COOKIE BANNER\nreal content one"),
+        (2, "COOKIE BANNER\nreal content two\nrare footer"),
+        (3, "COOKIE BANNER"),            # all-boilerplate doc
+        (4, None),                        # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+    assert got[0].text_clean == "real content zero"
+    assert got[0].n_lines_removed == 2  # both occurrences stripped
+    assert got[1].text_clean == "real content one"
+    # rare footer (1 doc) survives, order preserved
+    assert got[2].text_clean == "real content two\nrare footer"
+    assert got[3].text_clean == "" and got[3].n_lines_kept == 0
+    assert got[4].text_clean == "" and got[4].n_lines_removed == 0
