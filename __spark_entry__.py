@@ -429,6 +429,17 @@ def _q_dedup_boilerplate(spark, sf_dir):
     return dedup.remove_boilerplate_lines(docs, min_docs=400)
 
 
+def _q_dedup_norm_exact(spark, sf_dir):
+    # case/punct/whitespace-insensitive exact dedup: perturb the corpus
+    # deterministically so normalization has real work to undo
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "case when doc_id % 2 = 0 then upper(text) || '!!' "
+        "else '  ' || text end AS text",
+    )
+    return dedup.normalized_exact_dedup(docs)
+
+
 def _q_dedup_bloom(spark, sf_dir):
     # bounded-manifest bloom screen over the same seen/new split as
     # dedup_incremental: manifest <= m rows at ANY corpus size
@@ -768,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_bloom_incremental": _q_dedup_bloom,
         "dedup_boilerplate_lines": _q_dedup_boilerplate,
+        "dedup_normalized_exact": _q_dedup_norm_exact,
         "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_duplicate_spans": _q_dedup_duplicate_spans,
         "dedup_simhash": _q_dedup_simhash,
@@ -930,6 +942,11 @@ SELECT * FROM (
         "dedup_bloom_incremental": dedup.oracle_bloom_incremental_sql(),
         "dedup_boilerplate_lines": dedup.oracle_boilerplate_lines_sql(
             400, _BOILER_LINES_EXPR
+        ),
+        "dedup_normalized_exact": dedup.oracle_normalized_exact_dedup_sql(
+            table="(SELECT doc_id, case when doc_id % 2 = 0 "
+            "then upper(text) || '!!' else '  ' || text end AS text "
+            "FROM documents) perturbed"
         ),
         "dedup_decontaminate": dedup.oracle_decontaminate_sql(),
         "dedup_duplicate_spans": dedup.oracle_duplicate_spans_sql(),

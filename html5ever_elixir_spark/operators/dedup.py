@@ -323,6 +323,51 @@ LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 
+def _normalize_text_sql(text_col: str, dialect: str = "spark") -> str:
+    """The canonicalization both engines implement from one template:
+    lowercase, strip non-alphanumeric to spaces, collapse whitespace
+    runs, trim. The standard pre-dedup normalizer (near-identical docs
+    differing in case/punct/spacing collapse to one key). ASCII-scoped
+    regex — both engines agree on the class; the corpus contract is
+    ASCII text. Dialect-split because the regexp_replace signatures
+    differ: Spark replaces globally by default (4th arg is POSITION),
+    DuckDB needs the explicit 'g' option."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + text_col
+        + f"), '[^a-z0-9]+', ' '{g}), ' +', ' '{g}))"
+    )
+
+
+def normalized_exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text (case / punctuation /
+    whitespace-insensitive): one row per normalized-text hash with the
+    keeper id and group size — catches the re-encoded/re-punctuated
+    duplicates md5-exact dedup misses, still one uniform-key shuffle."""
+    norm = _normalize_text_sql(text_col)
+    return (
+        docs.select(
+            F.expr(f"md5({norm})").alias("norm_hash"), F.col(id_col)
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("group_size"),
+        )
+    )
+
+
+def oracle_normalized_exact_dedup_sql(table: str = "documents") -> str:
+    norm = _normalize_text_sql("text", "duckdb")
+    return (
+        f"SELECT md5({norm}) AS norm_hash, min(doc_id) AS keep_id, "
+        f"count(*)::BIGINT AS group_size FROM {table} GROUP BY 1"
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     min_docs: int,

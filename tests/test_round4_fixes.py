@@ -584,3 +584,16 @@ def test_remove_boilerplate_lines_semantics(spark):
     assert got[2].text_clean == "real content two\nrare footer"
     assert got[3].text_clean == "" and got[3].n_lines_kept == 0
     assert got[4].text_clean == "" and got[4].n_lines_removed == 0
+
+
+def test_normalized_exact_dedup_collapses_variants(spark):
+    from html5ever_elixir_spark.operators.dedup import normalized_exact_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "Hello, World!"), (1, "hello   world"), (2, "HELLO-WORLD"),
+         (3, "a different doc")],
+        "doc_id bigint, text string",
+    )
+    got = {r.keep_id: r.group_size
+           for r in normalized_exact_dedup(docs).collect()}
+    assert got == {0: 3, 3: 1}
