@@ -807,8 +807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
-        "text_quality": _q_quality,
-        "url_dedup": _q_url_dedup,
         # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
         # the load-bearing encoders stay inside the 50-row window …
         "html_tree_json": _q_html_tree_json,
@@ -818,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_error_rows": _q_html_error_rows,
         # … and these long-stable parity queries rotate past it in r4
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
+        "url_dedup": _q_url_dedup,
+        "text_quality": _q_quality,
         "url_host_counts": _q_url_host_counts,
         "text_lang_id": _q_lang_id,
         "html_text_nodes": _q_html_text_nodes,
