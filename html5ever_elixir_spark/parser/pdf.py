@@ -587,11 +587,63 @@ def _apply_predictor(raw: bytes, stream_dict: bytes) -> bytes:
 _TYPE_RE = re.compile(rb"/Type\s*/(Pages|Page)\b")
 
 
+_XOBJDICT_REF_RE = re.compile(rb"/XObject\s+(\d+)\s+\d+\s+R")
+_XOBJDICT_INLINE_RE = re.compile(rb"/XObject\s*<<")
+
+
+def _make_xobj_resolver(objs, res, font_cache, visited=frozenset()):
+    """Lazy Form-XObject resolver over one node's /Resources: name →
+    (content bytes, that form's fonts, nested resolver) for
+    /Subtype /Form streams; None for images/unknown names. Cycle-safe
+    (visited object-id set) — a self-referencing form terminates."""
+    if not res or b"/XObject" not in res:
+        return None
+
+    def resolve(name):
+        m = _XOBJDICT_REF_RE.search(res)
+        if m:
+            xdict = objs.get(int(m.group(1)), b"")
+        else:
+            m = _XOBJDICT_INLINE_RE.search(res)
+            if m is None:
+                return None
+            xdict = _balanced_dict(res, m.end(), "XObject dictionary")
+        for nm in _FONT_REF_RE.finditer(xdict):
+            if nm.group(1).decode("latin-1") != name:
+                continue
+            ref = int(nm.group(2))
+            if ref in visited:
+                return None  # cycle
+            body = objs.get(ref)
+            if body is None:
+                return None
+            sm = _STREAM_RE.search(body)
+            if sm is None or b"/Form" not in body[: sm.start()]:
+                return None  # image or non-form XObject
+            try:
+                content = _content_stream(body)
+            except PdfError:
+                return None
+            own_res = _resources_of(objs, body[: sm.start()], res)
+            fonts = _fonts_from_resources(objs, own_res, font_cache)
+            return (
+                content,
+                fonts,
+                _make_xobj_resolver(
+                    objs, own_res, font_cache, visited | {ref}
+                ),
+            )
+        return None
+
+    return resolve
+
+
 def _page_content_entries(
     objs: dict[int, bytes],
-) -> list[tuple[int, dict[str, tuple[int, dict[int, str]] | None]]]:
+) -> list[tuple[int, dict[str, tuple[int, dict[int, str]] | None], object]]:
     """(content-stream object id, that page's font resource-name →
-    byte-map) in document page order (catalog → pages tree →
+    byte-map, Form-XObject resolver) in document page order (catalog →
+    pages tree →
     /Contents; /Resources inherited down the tree per §7.8.3). Falls
     back to every stream-bearing object in id order (empty font dict)
     when the page tree is missing/broken. The walk is iterative with a
@@ -634,15 +686,16 @@ def _page_content_entries(
                     )  # preserve document order
             elif node_type == b"Page":
                 fonts = fonts_for(res)
+                resolver = _make_xobj_resolver(objs, res, font_cache)
                 # /Contents is a single ref or an array of refs
                 am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
                 if am:
                     for rm in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1)):
-                        entries.append((int(rm.group(1)), fonts))
+                        entries.append((int(rm.group(1)), fonts, resolver))
                 else:
                     for name, ref in _REF_RE.findall(body):
                         if name == b"Contents":
-                            entries.append((int(ref), fonts))
+                            entries.append((int(ref), fonts, resolver))
 
     if catalog is not None:
         for name, ref in _REF_RE.findall(catalog):
@@ -653,7 +706,7 @@ def _page_content_entries(
         # structural streams (xref / object streams are never page
         # content, and a corrupt one must not fail the salvage)
         entries = [
-            (oid, {})
+            (oid, {}, None)
             for oid in sorted(objs)
             if (sm := _STREAM_RE.search(objs[oid])) is not None
             and b"/XRef" not in objs[oid][: sm.start()]
@@ -665,7 +718,7 @@ def _page_content_entries(
 def _page_content_ids(objs: dict[int, bytes]) -> list[int]:
     """Content-stream object ids in document page order (see
     :func:`_page_content_entries`)."""
-    return [cid for cid, _ in _page_content_entries(objs)]
+    return [cid for cid, _, _ in _page_content_entries(objs)]
 
 
 # ---------------------------------------------------------------------------
@@ -1075,6 +1128,8 @@ def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
 def _extract_stream_text(
     content: bytes,
     fonts: dict[str, tuple[int, dict[int, str]] | None] | None = None,
+    xobj_resolver=None,
+    depth: int = 0,
 ) -> list[str]:
     """Text lines from one content stream's BT/ET blocks. ``fonts``
     maps the page's font resource names to byte→str maps; ``Tf``
@@ -1082,7 +1137,14 @@ def _extract_stream_text(
     bytes through it. Fonts without explicit encoding info (map None)
     and pages without resources keep the legacy Latin-1 passthrough —
     the deterministic writer emits no /Font, so the byte-exact
-    roundtrip gate is untouched."""
+    roundtrip gate is untouched.
+
+    ``xobj_resolver(name)`` resolves a Form XObject resource name to
+    (content, fonts, nested_resolver) — the ``Do`` operator recurses
+    into it in stream order (crawled PDFs routinely keep their text in
+    Form XObjects); depth-capped, cycle-guarded by the resolver.
+    Inline images (BI … ID <binary> EI) are skipped wholesale so their
+    binary payload can never tokenize into fake text operators."""
     lines: list[str] = []
     cur: list[str] = []
     in_text = False
@@ -1158,8 +1220,37 @@ def _extract_stream_text(
             else:
                 pending_strings.append((raw.decode("latin-1"), raw))
             continue
-        if has_fonts and tok.startswith(b"/"):
+        if tok == b"BI":
+            # inline image: skip to the EI delimiter after the binary
+            # payload (EI must follow whitespace — binary may contain
+            # the two letters by chance)
+            idp = content.find(b"ID", p)
+            q = idp + 3 if idp != -1 else p
+            while True:
+                q = content.find(b"EI", q)
+                if q == -1:
+                    p = n
+                    break
+                if content[q - 1 : q].isspace() and (
+                    q + 2 >= n or content[q + 2 : q + 3].isspace()
+                ):
+                    p = q + 2
+                    break
+                q += 2
+            continue
+        if (has_fonts or xobj_resolver is not None) and tok.startswith(b"/"):
             last_name = tok[1:].decode("latin-1")
+            continue
+        if tok == b"Do" and xobj_resolver is not None and last_name:
+            sub = xobj_resolver(last_name) if depth < 8 else None
+            if sub is not None:
+                break_line()
+                sub_content, sub_fonts, sub_resolver = sub
+                lines.extend(
+                    _extract_stream_text(
+                        sub_content, sub_fonts, sub_resolver, depth + 1
+                    )
+                )
             continue
         if tok == b"BT":
             in_text = True
@@ -1219,8 +1310,10 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
     if not entries:
         raise PdfError("no page content streams")
     lines: list[str] = []
-    for cid, fonts in entries:
+    for cid, fonts, resolver in entries:
         if cid not in objs:
             raise PdfError(f"dangling /Contents ref {cid}")
-        lines.extend(_extract_stream_text(_content_stream(objs[cid]), fonts))
+        lines.extend(
+            _extract_stream_text(_content_stream(objs[cid]), fonts, resolver)
+        )
     return "\n".join(lines), len(entries)

@@ -280,3 +280,73 @@ def test_tj_kerning_leading_number_adds_nothing():
     content = b"BT /F1 12 Tf [ -900 (x) ] TJ ET"
     text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
     assert text == "x"
+
+
+# -- round 4b: Form XObjects + inline images --------------------------------
+
+def test_form_xobject_text_recursed_in_stream_order():
+    form = _stream_obj(6, b"BT /F1 9 Tf (from the form) Tj ET")
+    fonts = _obj(7, b"<< /Type /Font /Encoding /WinAnsiEncoding >>")
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R /Resources << "
+                  b"/Font << /F1 7 0 R >> /XObject << /Fm1 6 0 R >> >> >>")
+        + _stream_obj(4, b"BT /F1 12 Tf (before) Tj ET /Fm1 Do "
+                         b"BT /F1 12 Tf (after) Tj ET")
+        + form.replace(b"<< /Length", b"<< /Subtype /Form /Length")
+        + fonts
+        + b"%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "before\nfrom the form\nafter"
+
+
+def test_form_xobject_own_resources_and_cycle_guard():
+    # the form carries its OWN /Font (MacRoman) and references ITSELF —
+    # the cycle guard must terminate after one level
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R /Resources << "
+                  b"/XObject << /Fm 6 0 R >> >> >>")
+        + _stream_obj(4, b"/Fm Do")
+        + _obj(6, b"<< /Subtype /Form /Length 44 /Resources << "
+                  b"/Font << /G 7 0 R >> /XObject << /Fm 6 0 R >> >> >>"
+                  b"\nstream\nBT /G 8 Tf (\x8e) Tj ET /Fm Do /Fm Do"
+                  b"\nendstream")
+        + _obj(7, b"<< /Type /Font /Encoding /MacRomanEncoding >>")
+        + b"%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "é"  # mac_roman 0x8E; recursion terminated
+
+
+def test_image_xobject_not_recursed():
+    pdf = (
+        b"%PDF-1.4\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Contents 4 0 R /Resources << "
+                  b"/XObject << /Im1 6 0 R >> >> >>")
+        + _stream_obj(4, b"BT (real) Tj ET /Im1 Do")
+        + _obj(6, b"<< /Subtype /Image /Length 20 >>\nstream\n"
+                  b"BT (fake) Tj ET xxx\nendstream")
+        + b"%%EOF"
+    )
+    text, _ = extract_pdf_text(pdf)
+    assert text == "real"
+
+
+def test_inline_image_binary_cannot_inject_text():
+    # the BI..ID binary payload contains a fake text show AND a bare
+    # "EI" without surrounding whitespace — both must be skipped
+    payload = b"\x00\x01EIzz (fake) Tj \xff\xfe"
+    content = (b"BT (one) Tj ET "
+               b"BI /W 2 /H 2 /BPC 8 ID " + payload + b" EI "
+               b"BT (two) Tj ET")
+    fonts = _obj(5, b"<< /Type /Font >>")
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "one\ntwo"
