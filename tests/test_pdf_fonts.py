@@ -350,3 +350,61 @@ def test_inline_image_binary_cannot_inject_text():
     fonts = _obj(5, b"<< /Type /Font >>")
     text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
     assert text == "one\ntwo"
+
+
+def test_fuzz_font_and_xobject_paths_never_escape_error_contract():
+    # same corruption contract as the base fuzz, over PDFs that exercise
+    # the round-4 surfaces: encodings, Differences, ToUnicode CMaps,
+    # Type0/Identity-H, Form XObjects, inline images, TJ kerning
+    import random
+
+    from html5ever_elixir_spark.parser.pdf import PdfError
+
+    cmap = zlib.compress(
+        b"1 beginbfchar <41> <0041> endbfchar\n"
+        b"1 beginbfrange <61> <7A> <03B1> endbfrange\n"
+    )
+    bases = [
+        _font_pdf(
+            b"BT /F1 12 Tf [(kern) -250 (ed)] TJ ET",
+            _obj(5, b"<< /Type /Font /Encoding << /BaseEncoding "
+                    b"/WinAnsiEncoding /Differences [65 /eacute] >> "
+                    b"/ToUnicode 6 0 R >>") + _stream_obj(
+                6, cmap, b" /Filter /FlateDecode"),
+            b"/F1 5 0 R",
+        ),
+        _font_pdf(
+            b"BT /F1 12 Tf <00410042> Tj ET",
+            _obj(5, b"<< /Type /Font /Subtype /Type0 "
+                    b"/Encoding /Identity-H /ToUnicode 6 0 R >>")
+            + _stream_obj(6, b"1 beginbfchar <0041> <0058> endbfchar"),
+            b"/F1 5 0 R",
+        ),
+        (b"%PDF-1.4\n"
+         + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+         + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+         + _obj(3, b"<< /Type /Page /Contents 4 0 R /Resources << "
+                   b"/XObject << /Fm 6 0 R >> >> >>")
+         + _stream_obj(4, b"BI /W 1 ID \x00\xff EI /Fm Do BT (t) Tj ET")
+         + _obj(6, b"<< /Subtype /Form /Length 20 >>\nstream\n"
+                   b"BT (form txt) Tj ET \nendstream")
+         + b"%%EOF"),
+    ]
+    rng = random.Random(7)
+    for base in bases:
+        for trial in range(100):
+            buf = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] = rng.randrange(256)
+            else:
+                at = rng.randrange(len(buf))
+                del buf[at : at + rng.randrange(1, 40)]
+            try:
+                text, n = extract_pdf_text(bytes(buf))
+                assert isinstance(text, str) and n >= 0
+            except PdfError:
+                pass

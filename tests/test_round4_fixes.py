@@ -597,3 +597,32 @@ def test_normalized_exact_dedup_collapses_variants(spark):
     got = {r.keep_id: r.group_size
            for r in normalized_exact_dedup(docs).collect()}
     assert got == {0: 3, 3: 1}
+
+
+def test_fuzz_png_corruption_error_contract():
+    # byte flips / truncation on a valid PNG must produce a decode or a
+    # typed error (CorruptRasterError or unrecognized-magic ValueError)
+    # — never IndexError/struct.error/zlib.error escapes
+    import random
+
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    base = _make_png(6, 5, [(x * 7 + y) % 256 for y in range(5)
+                            for x in range(6)], 0, [4] * 5)
+    rng = random.Random(11)
+    for trial in range(200):
+        buf = bytearray(base)
+        mode = trial % 3
+        if mode == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 5)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+        else:
+            at = rng.randrange(len(buf))
+            del buf[at : at + rng.randrange(1, 20)]
+        try:
+            w, h, px = _decode_raster(bytes(buf))
+            assert len(px) == w * h
+        except ValueError:
+            pass  # CorruptRasterError is a ValueError subclass
