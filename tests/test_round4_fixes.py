@@ -626,3 +626,44 @@ def test_fuzz_png_corruption_error_contract():
             assert len(px) == w * h
         except ValueError:
             pass  # CorruptRasterError is a ValueError subclass
+
+
+# -- temperature-based source mixing ----------------------------------------
+
+def test_temperature_mix_flattens_sources(spark):
+    from html5ever_elixir_spark.operators.sampling import temperature_mix
+
+    # 900 docs from "big", 100 from "small": T=2 must keep a HIGHER
+    # fraction of the small source than the big one
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id bigint, source string",
+    )
+    out = temperature_mix(docs, temperature=2.0, target_frac=0.4)
+    kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    big_rate = kept.get("big", 0) / 900
+    small_rate = kept.get("small", 0) / 100
+    assert small_rate > big_rate
+    # target_frac is approximately honored overall (hash-gate variance)
+    total = sum(kept.values())
+    assert 0.25 < total / 1000 < 0.55
+    # layout independence: repartitioned input keeps the SAME doc ids
+    ids_a = {r.doc_id for r in out.collect()}
+    ids_b = {r.doc_id for r in
+             temperature_mix(docs.repartition(13), temperature=2.0,
+                             target_frac=0.4).collect()}
+    assert ids_a == ids_b
+
+
+def test_temperature_one_preserves_proportions(spark):
+    from html5ever_elixir_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(800)],
+        "doc_id bigint, source string",
+    )
+    # T=1: q_s = p_s → every source rate = target_frac exactly
+    out = temperature_mix(docs, temperature=1.0, target_frac=0.5)
+    kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    for src, n_in in (("a", 600), ("b", 200)):
+        assert abs(kept.get(src, 0) / n_in - 0.5) < 0.12
