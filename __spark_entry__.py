@@ -550,6 +550,10 @@ def _q_text_pack(spark, sf_dir):
     return textstats.pack_sequences(chunks, seq_len=40)
 
 
+def _q_quality_by_source(spark, sf_dir):
+    return textstats.quality_by_source(_docs(spark, sf_dir))
+
+
 def _q_text_pack_strict(spark, sf_dir):
     # hard trainer budget: no sequence exceeds seq_len (unless a single
     # chunk alone does); oracle is the same recurrence as a recursive CTE
@@ -803,12 +807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_raster_features": _q_media_raster_features,
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
-        "text_token_count": _q_token_count,
         "text_token_budget": _q_text_token_budget,
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
+        "text_quality_by_source": _q_quality_by_source,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
@@ -824,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # … and these long-stable queries rotate past it in r4
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
         "dedup_exact": _q_dedup_exact,
+        "text_token_count": _q_token_count,
         "url_dedup": _q_url_dedup,
         "text_quality": _q_quality,
         "url_host_counts": _q_url_host_counts,
@@ -1021,6 +1026,7 @@ FROM w
         "text_pack_strict": textstats.oracle_pack_strict_sql(
             chunk_words=20, overlap=5, seq_len=40
         ),
+        "text_quality_by_source": textstats.oracle_quality_by_source_sql(),
         "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"

@@ -510,3 +510,61 @@ SELECT doc_id, floor(prev / {seq_len})::BIGINT AS seq_id,
        count(*)::BIGINT AS n_chunks, sum(n_chunk_words)::BIGINT AS n_words
 FROM c GROUP BY doc_id, floor(prev / {seq_len})
 """
+
+
+def quality_by_source(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Domain/source-level quality rollup — the curation dashboard that
+    decides which SOURCES (hosts, dumps, registries) to keep, cap, or
+    drop: per source doc/char/word totals plus corpus-level stopword
+    and alpha ratios. The ratios divide INTEGER sums (one division per
+    group, not an avg of per-doc doubles) so the result is
+    summation-order independent — avg(double) would hash-differ across
+    engines/partitionings. One partial-agg groupBy on the source key.
+    Output (source, n_docs, n_chars, n_words, stopword_ratio,
+    alpha_ratio)."""
+    words = f"split({text_col}, ' ')"
+    stop = _arr(LANG_MARKERS["en"])
+    per = docs.select(
+        F.col(group_col),
+        F.length(text_col).alias("_c"),
+        F.expr(f"size({words})").alias("_w"),
+        F.expr(
+            f"size(filter({words}, w -> array_contains({stop}, w)))"
+        ).alias("_s"),
+        F.expr(
+            f"length(regexp_replace({text_col}, '[^a-z]', ''))"
+        ).alias("_a"),
+    )
+    return per.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        F.sum("_w").cast("bigint").alias("n_words"),
+        F.expr(
+            "round(cast(sum(_s) as double) / sum(_w), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "round(cast(sum(_a) as double) / sum(_c), 6)"
+        ).alias("alpha_ratio"),
+    )
+
+
+def oracle_quality_by_source_sql(
+    table: str = "documents", group_col: str = "source"
+) -> str:
+    stop = _lst(LANG_MARKERS["en"])
+    w = "str_split(text, ' ')"
+    return f"""
+WITH per AS (
+  SELECT {group_col}, length(text) AS _c, len({w}) AS _w,
+         len(list_filter({w}, w -> list_contains({stop}, w))) AS _s,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS _a
+  FROM {table}
+)
+SELECT {group_col}, count(*)::BIGINT AS n_docs,
+       sum(_c)::BIGINT AS n_chars, sum(_w)::BIGINT AS n_words,
+       round(cast(sum(_s) as double) / sum(_w), 6) AS stopword_ratio,
+       round(cast(sum(_a) as double) / sum(_c), 6) AS alpha_ratio
+FROM per GROUP BY {group_col}
+"""
