@@ -550,6 +550,22 @@ def _q_text_pack(spark, sf_dir):
     return textstats.pack_sequences(chunks, seq_len=40)
 
 
+# inject deterministic PII into the corpus via ONE expression both
+# engines evaluate (the fixture has none); lpad arg types match both
+_PII_TEXT_EXPR = (
+    "text || ' contact user' || cast(doc_id as string) || '@example.com'"
+    " || ' or 10.0.' || cast(doc_id % 256 as string) || '.7 call'"
+    " || ' +1 (555) 010-' || lpad(cast(doc_id % 10000 as string), 4, '0')"
+)
+
+
+def _q_text_scrub_pii(spark, sf_dir):
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PII_TEXT_EXPR} AS text"
+    )
+    return textstats.scrub_pii(docs)
+
+
 def _q_quality_by_source(spark, sf_dir):
     return textstats.quality_by_source(_docs(spark, sf_dir))
 
@@ -808,11 +824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "pdf_extract_text": _q_pdf_extract_text,
         "text_token_budget": _q_text_token_budget,
-        "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
+        "text_scrub_pii": _q_text_scrub_pii,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
@@ -829,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_token_count,
+        "text_repetition": _q_text_repetition,
         "url_dedup": _q_url_dedup,
         "text_quality": _q_quality,
         "url_host_counts": _q_url_host_counts,
@@ -1027,6 +1044,10 @@ FROM w
             chunk_words=20, overlap=5, seq_len=40
         ),
         "text_quality_by_source": textstats.oracle_quality_by_source_sql(),
+        "text_scrub_pii": textstats.oracle_scrub_pii_sql(
+            table=f"(SELECT doc_id, {_PII_TEXT_EXPR} AS text "
+            "FROM documents) pii"
+        ),
         "curation_chunks": curation.oracle_curation_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"

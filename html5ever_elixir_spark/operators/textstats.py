@@ -568,3 +568,57 @@ SELECT {group_col}, count(*)::BIGINT AS n_docs,
        round(cast(sum(_a) as double) / sum(_c), 6) AS alpha_ratio
 FROM per GROUP BY {group_col}
 """
+
+
+# PII scrubbing patterns — deliberately simple, deterministic, and
+# expressible in BOTH regex engines (Java on Spark, RE2 on DuckDB):
+# the point is the pipeline stage + its oracle, not NER-grade recall.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers to typed placeholders — the standard pre-training PII pass.
+    Counts are measured stage-by-stage on the progressively scrubbed
+    text (email → ip → phone) so the two engines count identically and
+    a phone never double-counts digits inside an already-redacted IP.
+    Patterns are passed as API literals on the Spark side (never
+    through SQL string escaping — Spark SQL drops unknown backslash
+    escapes) and as plain SQL strings on DuckDB (no escape processing).
+    Row-local, zero shuffle. Output (doc_id, text_scrubbed, n_emails,
+    n_ips, n_phones)."""
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "[EMAIL]")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "[IP]")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("text_scrubbed"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ips"),
+        n_phone.cast("bigint").alias("n_phones"),
+    )
+
+
+def oracle_scrub_pii_sql(table: str = "documents") -> str:
+    e, i, p = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM {table}),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{e}', '[EMAIL]', 'g') AS t1 FROM s0),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{i}', '[IP]', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{p}', '[PHONE]', 'g') AS text_scrubbed,
+       len(regexp_extract_all(t0, '{e}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t1, '{i}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '{p}'))::BIGINT AS n_phones
+FROM s2
+"""

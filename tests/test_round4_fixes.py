@@ -667,3 +667,19 @@ def test_temperature_one_preserves_proportions(spark):
     kept = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
     for src, n_in in (("a", 600), ("b", 200)):
         assert abs(kept.get(src, 0) / n_in - 0.5) < 0.12
+
+
+def test_scrub_pii_semantics(spark):
+    from html5ever_elixir_spark.operators.textstats import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@test.org and 10.1.2.3 then +44 20 7946 0958 end"),
+         (1, "no pii here"),
+         (2, "two mails x@y.io z@w.dev")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[0].text_scrubbed == "mail [EMAIL] and [IP] then [PHONE] end"
+    assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (1, 1, 1)
+    assert got[1].text_scrubbed == "no pii here" and got[1].n_emails == 0
+    assert got[2].n_emails == 2 and "[EMAIL]" in got[2].text_scrubbed
