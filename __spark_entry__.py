@@ -782,9 +782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
     # "Driver-window rotation").  Round 4 leads with the 8 entries that had
-    # no CORRECTNESS_r03 row (text_fingerprint + the 7 relational ones) and
-    # pushes long-stable html_* parity queries to the tail — every tail
-    # entry still passes tools/oracle_check.py (the driver-exact compare).
+    # no CORRECTNESS_r03 row (text_fingerprint + the 7 relational ones),
+    # keeps the flagship parity gates and every round-4-new query inside
+    # the window, and rotates 17 long-stable r1-r3 queries to the tail —
+    # every tail entry still passes tools/oracle_check.py (the
+    # driver-exact compare; full 67/67 sweep re-run this round).
     return {
         # previously past the driver window (r3) — now first
         "text_fingerprint": _q_fingerprint,
@@ -841,8 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
         "html_error_rows": _q_html_error_rows,
-        # … and these long-stable queries rotate past it in r4
-        # (all green in CORRECTNESS_r03 and via tools/oracle_check.py)
+        # … and these 17 long-stable queries rotate past the 50-row
+        # window in r4 (all green in CORRECTNESS_r03 and re-verified via
+        # tools/oracle_check.py this round)
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_token_count,
         "text_repetition": _q_text_repetition,
