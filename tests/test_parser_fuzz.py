@@ -65,3 +65,52 @@ def test_parser_never_raises_and_invariants_hold(html):
             assert rec["parent"] in nodes
         for cid in rec.get("children", ()):
             assert cid in nodes
+
+
+def _count_nested(tree):
+    """Node counts by kind from the nested tuple-tree encoding
+    (api.py: document → list; element → (name, attrs, children);
+    comment → ("comment", data); doctype → 4-tuple; pi → ("pi",
+    target, contents)). Kinds are distinguished by SHAPE, not by
+    node[0] — a literal <comment> tag is a 3-tuple element."""
+    counts = {"element": 0, "text": 0, "comment": 0, "doctype": 0, "pi": 0}
+    stack = [tree]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            counts["text"] += 1
+        elif isinstance(node, list):
+            stack.extend(node)
+        elif isinstance(node, tuple):
+            if len(node) == 4 and node[0] == "doctype":
+                counts["doctype"] += 1
+            elif len(node) == 2 and node[0] == "comment":
+                counts["comment"] += 1
+            elif len(node) == 3 and node[0] == "pi" and isinstance(
+                node[2], str
+            ):
+                counts["pi"] += 1
+            else:  # (name, attrs, children)
+                counts["element"] += 1
+                stack.extend(node[2])
+    return counts
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_nested_and_flat_encoders_agree(html):
+    # the reference's two result sets (parse/1 vs flat_parse/1,
+    # lib/html5ever.ex:40 vs :117) describe the SAME document: node
+    # counts per kind must match between the encodings for ANY input
+    ok, tree = parse(html)
+    assert ok == "ok"
+    ok, flat = flat_parse(html)
+    assert ok == "ok"
+    nested = _count_nested(tree)
+    flat_counts = {"element": 0, "text": 0, "comment": 0, "doctype": 0,
+                   "pi": 0}
+    for rec in flat["nodes"].values():
+        t = rec["type"]
+        if t in flat_counts:
+            flat_counts[t] += 1
+    assert nested == flat_counts, (nested, flat_counts)
