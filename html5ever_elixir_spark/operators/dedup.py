@@ -374,6 +374,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    broadcast_manifest: bool | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication — the CCNet/RefinedWeb
     boilerplate rule: a line occurring in >= ``min_docs`` DISTINCT
@@ -386,10 +387,17 @@ def remove_boilerplate_lines(
 
     Plan shape: one posexplode (row-local) → one groupBy on the line
     value with a map-side-partial distinct-doc count, filtered to the
-    FREQUENT lines only — the manifest is tiny (only boilerplate
-    survives the HAVING), so the anti-join broadcasts; reassembly is
-    one per-doc groupBy, sorting each doc's own lines by position
-    (never a global order)."""
+    FREQUENT lines only; reassembly is one per-doc groupBy, sorting
+    each doc's own lines by position (never a global order).
+
+    ``broadcast_manifest``: ``True`` forces the broadcast hint — only
+    when the caller knows the frequent-line set is small. Default
+    ``None`` adds no hint and lets AQE decide from runtime stats: on a
+    normal corpus the manifest is tiny and still broadcast-joins, but a
+    template-spam corpus where a large share of distinct lines clears
+    the threshold degrades to a shuffle anti-join (uniform line key, no
+    skew) instead of OOMing — the same size-gate discipline as
+    :func:`decontaminate`."""
     lines = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "ln"),
@@ -400,7 +408,9 @@ def remove_boilerplate_lines(
         .where(F.col("n_docs") >= min_docs)
         .select("ln")
     )
-    kept = lines.join(F.broadcast(freq), "ln", "anti")
+    if broadcast_manifest:
+        freq = F.broadcast(freq)
+    kept = lines.join(freq, "ln", "anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.expr(
             "concat_ws('" + sep.replace("\n", "\\n") + "', "

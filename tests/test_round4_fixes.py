@@ -683,3 +683,17 @@ def test_scrub_pii_semantics(spark):
     assert (got[0].n_emails, got[0].n_ips, got[0].n_phones) == (1, 1, 1)
     assert got[1].text_scrubbed == "no pii here" and got[1].n_emails == 0
     assert got[2].n_emails == 2 and "[EMAIL]" in got[2].text_scrubbed
+
+
+def test_boilerplate_unhinted_plan_broadcasts_small_manifest(spark):
+    from html5ever_elixir_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, f"SHARED HEADER\nbody {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    out = remove_boilerplate_lines(docs, min_docs=30)  # no hint
+    rows = out.collect()
+    assert all("SHARED HEADER" not in r.text_clean for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
