@@ -53,10 +53,15 @@ ORDER BY l_returnflag, l_linestatus
 # -- broadcast join: revenue by nation (customer ⋈ orders ⋈ nation) -----------
 
 def revenue_by_nation(orders: DataFrame, customer: DataFrame, nation: DataFrame):
-    """Star join with the small dims explicitly broadcast (no shuffle of
-    the fact side beyond the final agg)."""
+    """Star join: the FIXED-cardinality dim (nation, 25 rows at every
+    TPC-H scale) is explicitly broadcast; customer GROWS with scale
+    factor, so its join carries no hint — AQE broadcasts it at test
+    scale from runtime stats and falls back to a skew-free shuffle
+    join when it outgrows the limit (forcing it would OOM at 100 TB —
+    the decontaminate-broadcast lesson applied to the relational
+    layer)."""
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -122,8 +127,10 @@ def supplier_volume_by_nation(li, supplier, nation, region, part):
     part-name family. All dims broadcast; the fact table shuffles only
     for the final aggregation (Catalyst reorders the dim joins)."""
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # supplier/part grow with SF (no hint — AQE decides); nation and
+        # region are fixed 25/5 rows at ANY scale (hint is always right)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .where((F.col("r_name") == "ASIA") & F.col("p_name").contains("a"))

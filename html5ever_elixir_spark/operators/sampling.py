@@ -122,6 +122,7 @@ def temperature_mix(
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "h5mix",
+    broadcast_rates: bool | None = None,
 ) -> DataFrame:
     """Temperature-based source mixing — the standard multi-source
     trainer recipe: sample sources proportionally to p_s^(1/T), so
@@ -131,8 +132,12 @@ def temperature_mix(
     ``q_s = n_s^(1/T) / Σ_t n_t^(1/T)``; rows are then hash-gated like
     :func:`stratified_sample` (layout-independent, resumable,
     oracle-mirrorable). The rate table is one tiny aggregate
-    (#sources rows, single-partition window) broadcast back onto the
-    corpus — one scan + one broadcast join at any scale. The rate
+    (#groups rows, single-partition window) joined back onto the
+    corpus. ``broadcast_rates=True`` forces the hint — right when the
+    group is a bounded vocabulary (sources, registries, languages);
+    the default ``None`` lets AQE decide, so grouping by an UNBOUNDED
+    key (per-host mixing at web scale: 10^8 hosts) degrades to a
+    shuffle join instead of OOMing. The rate
     FORMULA is written with identical operation order on both engines
     (double pow/mul/div agree bit-for-bit given the same order).
     Output = input columns of the surviving rows."""
@@ -152,9 +157,11 @@ def temperature_mix(
             f"(pow(n_s, {inv_t}) / sumq) / n_s) AS _rate",
         )
     )
+    if broadcast_rates:
+        rates = F.broadcast(rates)
     u = _uniform_expr(id_col, salt)
     return (
-        docs.join(F.broadcast(rates), group_col)
+        docs.join(rates, group_col)
         .where(F.expr(f"({u})") < F.col("_rate"))
         .drop("_rate")
     )
