@@ -608,14 +608,18 @@ def _q_emb_neardup_clusters(spark, sf_dir):
     # semantic dedup clustering: CC over the near-dup pair graph;
     # fixed max_iter → unrolled-CTE oracle (CLAUDE.md rule)
     return similarity.neardup_clusters(
-        _emb(spark, sf_dir), threshold=0.35, max_iter=4
+        _emb(spark, sf_dir), threshold=0.35, max_iter=4, max_block=50
     )
 
 
 def _q_emb_neardup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal: 0.35 yields a non-trivial
-    # pair set (real corpora would use ~0.95)
-    return similarity.neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    # pair set (real corpora would use ~0.95). max_block=50 deliberately
+    # BELOW the largest sf0.01 label blocks (52-59 rows) so the driver
+    # gate exercises the r5 block-size cap, not just the join
+    return similarity.neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, max_block=50
+    )
 
 
 def _q_media_features(spark, sf_dir):
@@ -992,9 +996,11 @@ SELECT * FROM (
         # by the embeddings table)
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "ann_srp_multiprobe": similarity.oracle_srp_sql(multiprobe=True),
-        "emb_neardup_pairs": similarity.oracle_neardup_sql(threshold=0.35),
+        "emb_neardup_pairs": similarity.oracle_neardup_sql(
+            threshold=0.35, max_block=50
+        ),
         "emb_neardup_clusters": similarity.oracle_neardup_clusters_sql(
-            threshold=0.35, max_iter=4
+            threshold=0.35, max_iter=4, max_block=50
         ),
         "emb_normalize": (
             "SELECT vec_id, norm, round(unit[1], 6) AS u0, "

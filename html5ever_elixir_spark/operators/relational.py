@@ -124,8 +124,11 @@ def oracle_topk_docs_sql(k: int = 100) -> str:
 
 def supplier_volume_by_nation(li, supplier, nation, region, part):
     """5-table star: revenue by supplier nation within one region for a
-    part-name family. All dims broadcast; the fact table shuffles only
-    for the final aggregation (Catalyst reorders the dim joins)."""
+    part-name family. Fixed-cardinality dims (nation 25 / region 5 rows
+    at ANY scale) are hinted broadcast; scale-growing dims (supplier,
+    part) are left to AQE so the plan stays safe at 100 TB. The fact
+    table shuffles only for the final aggregation (Catalyst reorders
+    the dim joins)."""
     return (
         # supplier/part grow with SF (no hint — AQE decides); nation and
         # region are fixed 25/5 rows at ANY scale (hint is always right)

@@ -138,8 +138,12 @@ def temperature_mix(
     the default ``None`` lets AQE decide, so grouping by an UNBOUNDED
     key (per-host mixing at web scale: 10^8 hosts) degrades to a
     shuffle join instead of OOMing. The rate
-    FORMULA is written with identical operation order on both engines
-    (double pow/mul/div agree bit-for-bit given the same order).
+    FORMULA is written with identical operation order on both engines,
+    then **rounded to 9 decimal places before the compare** (ADVICE r4):
+    Spark's Math.pow / window-sum order and DuckDB's libm are not
+    guaranteed bit-identical, so a draw within an ulp of the raw rate
+    boundary could flip between engines; rounding both sides makes the
+    gate decision engine-independent.
     Output = input columns of the surviving rows."""
     from pyspark.sql import Window
 
@@ -153,8 +157,8 @@ def temperature_mix(
         .withColumn("N", F.sum("n_s").over(w))
         .selectExpr(
             group_col,
-            f"least(cast(1.0 as double), cast({tf} as double) * N * "
-            f"(pow(n_s, {inv_t}) / sumq) / n_s) AS _rate",
+            f"round(least(cast(1.0 as double), cast({tf} as double) * N * "
+            f"(pow(n_s, {inv_t}) / sumq) / n_s), 9) AS _rate",
         )
     )
     if broadcast_rates:
@@ -191,8 +195,8 @@ tot AS (
 ),
 rates AS (
   SELECT {group_col},
-         least(cast(1.0 as double), cast({tf} as double) * N *
-               (pow(n_s, {inv_t}) / sumq) / n_s) AS _rate
+         round(least(cast(1.0 as double), cast({tf} as double) * N *
+               (pow(n_s, {inv_t}) / sumq) / n_s), 9) AS _rate
   FROM counts, tot
 )
 SELECT {select} FROM {table} d JOIN rates USING ({group_col})

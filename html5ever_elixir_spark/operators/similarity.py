@@ -283,22 +283,50 @@ FROM {table}
 """
 
 
+# in-block pair output is quadratic: a hot block of B vectors (a dominant
+# class/source at corpus scale) is B²/2 candidate pairs. Same discipline
+# as dedup.DEFAULT_MAX_BUCKET: above the cap, pairwise edges carry no
+# information clustering could use — route oversized blocks through a
+# bounded blocking key (SRP buckets) instead.
+DEFAULT_MAX_BLOCK = 64
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
-    (the skew-safe join key at scale). Output (id_a, id_b, sim)."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a"),
-        F.col(block_col).alias("blk"),
+    (the skew-safe join key at scale). Output (id_a, id_b, sim).
+
+    Blocks larger than ``max_block`` emit NO pairs (r4 verdict: the one
+    uncapped pairwise generator — a hot block was an unbounded quadratic
+    self-join). The size pre-count is a ``count() OVER (block)`` window
+    on the SAME key the self-join shuffles on, so the second join side
+    is a ReusedExchange, not a recompute — the identical pattern to
+    ``dedup.lsh_candidate_pairs``. For corpora where one natural block
+    dominates, compose :func:`srp_bucket_ann`'s bucket string as
+    ``block_col`` so block size is bounded by construction (2^n_planes
+    buckets of ~n/2^n_planes). Pass ``max_block=None`` for uncapped."""
+    blocked = emb.select(
+        F.col(id_col), F.col(vec_col), F.col(block_col).alias("blk")
     )
-    b = emb.select(
+    if max_block is not None:
+        w = Window.partitionBy("blk")
+        blocked = (
+            blocked.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_block)
+            .drop("_bsz")
+        )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("a"), F.col("blk")
+    )
+    b = blocked.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("b"),
-        F.col(block_col).alias("blk2"),
+        F.col("blk").alias("blk2"),
     )
     return (
         a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("id_a") < F.col("id_b")))
@@ -307,12 +335,24 @@ def neardup_pairs(
     )
 
 
-def oracle_neardup_sql(table: str = "embeddings", threshold: float = 0.95) -> str:
+def oracle_neardup_sql(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> str:
+    if max_block is not None:
+        src = (
+            f"(SELECT * FROM (SELECT vec_id, embedding, label, "
+            f"count(*) OVER (PARTITION BY label) AS _bsz FROM {table}) "
+            f"WHERE _bsz <= {max_block})"
+        )
+    else:
+        src = table
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) AS sim
-FROM {table} a JOIN {table} b
+FROM {src} a JOIN {src} b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) >= {threshold}
@@ -326,6 +366,7 @@ def neardup_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> DataFrame:
     """Semantic near-dup clustering: connected components over the
     :func:`neardup_pairs` edge list via neighbor-min label propagation
@@ -338,7 +379,7 @@ def neardup_clusters(
     shuffle on uniform vector ids; per-round cost is one edge join +
     one group-by — O(diameter) rounds, and real near-dup graphs are
     tiny diameter (dup sets are near-cliques)."""
-    pairs = neardup_pairs(emb, threshold, id_col, vec_col, block_col)
+    pairs = neardup_pairs(emb, threshold, id_col, vec_col, block_col, max_block)
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -384,10 +425,15 @@ def neardup_clusters(
 
 
 def oracle_neardup_clusters_sql(
-    table: str = "embeddings", threshold: float = 0.95, max_iter: int = 4
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    max_iter: int = 4,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
 ) -> str:
     """Unrolled neighbor-min propagation over the pair edges — one CTE
-    per round, mirroring :func:`neardup_clusters` exactly."""
+    per round, mirroring :func:`neardup_clusters` exactly (including the
+    block-size cap: vectors in oversized blocks still label themselves —
+    only their EDGES are suppressed, so l0 stays the full table)."""
     rounds = [f"l0 AS (SELECT vec_id, vec_id AS lbl FROM {table})"]
     for i in range(1, max_iter + 1):
         rounds.append(
@@ -400,7 +446,7 @@ def oracle_neardup_clusters_sql(
 )"""
         )
     return (
-        f"""WITH pairs AS ({oracle_neardup_sql(table, threshold)}),
+        f"""WITH pairs AS ({oracle_neardup_sql(table, threshold, max_block)}),
 edges AS (SELECT id_a AS s, id_b AS d FROM pairs
           UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
 """

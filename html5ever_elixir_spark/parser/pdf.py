@@ -485,9 +485,27 @@ _PARMS_OPEN_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<")
 def _balanced_dict(data: bytes, start: int, what: str = "dictionary") -> bytes:
     """``data[start:]`` is just past an opening ``<<``; return the dict
     body up to (not including) the matching ``>>``, balancing nested
-    dicts. Raises PdfError when unterminated."""
+    dicts. Literal ``(...)`` and hex ``<...>`` strings are skipped so a
+    value like ``/ID <ABCD>`` (hex close immediately followed by ``>>``)
+    or a literal string containing ``>>`` cannot unbalance the scan
+    (ADVICE r4). Raises PdfError when unterminated."""
     depth, i, n = 1, start, len(data)
     while i < n and depth:
+        c = data[i]
+        if c == 0x28:  # '(' — literal string; honor \) escapes + nesting
+            i += 1
+            pdepth = 1
+            while i < n and pdepth:
+                sc = data[i]
+                if sc == 0x5C:  # backslash escape: skip next byte
+                    i += 2
+                    continue
+                if sc == 0x28:
+                    pdepth += 1
+                elif sc == 0x29:
+                    pdepth -= 1
+                i += 1
+            continue
         two = data[i : i + 2]
         if two == b"<<":
             depth += 1
@@ -495,6 +513,9 @@ def _balanced_dict(data: bytes, start: int, what: str = "dictionary") -> bytes:
         elif two == b">>":
             depth -= 1
             i += 2
+        elif c == 0x3C:  # single '<' — hex string, skip to '>'
+            j = data.find(b">", i + 1)
+            i = n if j < 0 else j + 1
         else:
             i += 1
     if depth:
@@ -1171,18 +1192,25 @@ def _extract_stream_text(
         for text, raw in pending_strings:
             if cur_font is not None and raw is not None:
                 nb, fmap = cur_font
+                # fmap may deliberately map a code to "" (ToUnicode
+                # `<41> <>`): only a MISSING key falls back, an empty
+                # mapping survives — hence `is None`, not truthiness
                 if nb == 1:
                     cur.append(
                         "".join(
-                            fmap.get(b)
-                            or (chr(b) if 0x20 <= b <= 0x7E else "�")
+                            (chr(b) if 0x20 <= b <= 0x7E else "�")
+                            if (m1 := fmap.get(b)) is None
+                            else m1
                             for b in raw
                         )
                     )
                 else:  # 2-byte Identity codes; odd trailing byte → U+FFFD
                     cur.append(
                         "".join(
-                            fmap.get((raw[i] << 8) | raw[i + 1]) or "�"
+                            "�"
+                            if (m2 := fmap.get((raw[i] << 8) | raw[i + 1]))
+                            is None
+                            else m2
                             for i in range(0, len(raw) - 1, 2)
                         )
                         + ("�" if len(raw) % 2 else "")
