@@ -326,12 +326,30 @@ def repetition_stats(
     SORTED before the entropy fold so both engines sum in the same
     order (float associativity — unsorted, DuckDB's list_distinct
     ordering differs from Spark's first-occurrence order and the 6dp
-    round can flip). O(distinct × words) per row.
+    round can flip).
+
+    Counts are run lengths over the SORTED word array (r5, verdict
+    "What's wrong" #2): sort O(n log n) + three O(n) passes (run-start
+    indices → shifted zip_with difference → numeric sort), replacing
+    the r4 ``transform(array_distinct(ws), w -> size(filter(ws, …)))``
+    which was O(distinct × words) per row in codegen-fallback lambdas —
+    a ~15k-distinct / 20k-word crawled doc cost ~3×10⁸ lambda evals and
+    stalled its task. The count MULTISET is identical by construction,
+    so the sorted-counts entropy fold (and the unchanged DuckDB oracle)
+    produce byte-identical output.
     Output (doc_id, distinct_ratio, top_word_ratio, word_entropy)."""
     ws = f"split({text_col}, ' ')"
+    # run-start positions in the sorted array; if() (not `or`) guards
+    # the i-1 lookup — element_at index 0 raises under ANSI
+    starts = (
+        "filter(sequence(1, size(sw)), i -> "
+        "if(i = 1, true, element_at(sw, i) != element_at(sw, i - 1)))"
+    )
     counts = (
-        f"array_sort(transform(array_distinct(ws), "
-        "w -> size(filter(ws, x -> x = w))))"
+        f"element_at(transform(array({starts}), st -> "
+        "array_sort(zip_with(st, "
+        "concat(slice(st, 2, size(st)), array(size(sw) + 1)), "
+        "(a, b) -> b - a))), 1)"
     )
     inner = (
         "named_struct("
@@ -344,7 +362,8 @@ def repetition_stats(
     )
     expr = (
         f"element_at(transform(array({ws}), ws -> "
-        f"element_at(transform(array({counts}), cs -> {inner}), 1)), 1)"
+        f"element_at(transform(array(array_sort(ws)), sw -> "
+        f"element_at(transform(array({counts}), cs -> {inner}), 1)), 1)), 1)"
     )
     return docs.select(F.col(id_col), F.expr(expr).alias("r")).select(
         id_col, "r.distinct_ratio", "r.top_word_ratio", "r.word_entropy"
