@@ -187,17 +187,175 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     return w, h, px
 
 
+def _gif_lzw(data: bytes, mcs: int, max_px: int) -> list[int]:
+    """GIF-variant LZW decode (GIF89a spec appendix F): codes packed
+    LSB-first, dynamic code width mcs+1..12, clear/end codes, deferred
+    clear (table saturates at 4096 until an explicit clear). Output is
+    capped at ``max_px`` indices — a crafted stream cannot expand past
+    the image's own pixel count (same bomb discipline as the PNG
+    geometry cap)."""
+    clear = 1 << mcs
+    end = clear + 1
+
+    def fresh() -> tuple[list[list[int] | None], int]:
+        t: list[list[int] | None] = [[i] for i in range(clear)]
+        t += [None, None]  # clear/end placeholders keep indices aligned
+        return t, mcs + 1
+
+    table, csize = fresh()
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= csize:
+            code = acc & ((1 << csize) - 1)
+            acc >>= csize
+            nbits -= csize
+            if code == clear:
+                table, csize = fresh()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= clear:
+                    raise CorruptRasterError("GIF LZW: bad initial code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise CorruptRasterError("GIF LZW: code out of range")
+            out.extend(entry)  # type: ignore[arg-type]
+            prev = entry
+            if len(table) == (1 << csize) and csize < 12:
+                csize += 1
+            if len(out) >= max_px:
+                return out
+    return out
+
+
+def _skip_gif_subblocks(payload: bytes, pos: int) -> int:
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise CorruptRasterError("truncated GIF sub-blocks")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            return pos
+        if pos + ln > n:
+            raise CorruptRasterError("truncated GIF sub-block")
+        pos += ln
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python GIF87a/89a decode, first frame only: logical screen
+    descriptor, global/local color tables, extension-block skip, LZW
+    image data (:func:`_gif_lzw`), palette resolved to BT.601 luma like
+    PNG's PLTE path. Interlaced frames raise CorruptRasterError
+    (recognized magic, unsupported body — row-level error, never stub
+    features); animation frames past the first are ignored (a curation
+    featurizer keyframes, it doesn't compose). Transparency is ignored
+    (the transparent index keeps its palette color)."""
+    import struct
+
+    n = len(payload)
+    if n < 13:
+        raise CorruptRasterError("truncated GIF header")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * ncol]
+        if len(gct) < 3 * ncol:
+            raise CorruptRasterError("truncated GIF global color table")
+        pos += 3 * ncol
+    while pos < n:
+        blk = payload[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer before any image
+            break
+        if blk == 0x21:  # extension: label byte + sub-blocks
+            if pos >= n:
+                raise CorruptRasterError("truncated GIF extension")
+            pos = _skip_gif_subblocks(payload, pos + 1)
+            continue
+        if blk != 0x2C:
+            raise CorruptRasterError(f"unknown GIF block 0x{blk:02x}")
+        if pos + 9 > n:
+            raise CorruptRasterError("truncated GIF image descriptor")
+        _l, _t, w, h, ip = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ip & 0x40:
+            raise CorruptRasterError("interlaced GIF unsupported")
+        table = gct
+        if ip & 0x80:
+            ncol = 2 << (ip & 7)
+            table = payload[pos : pos + 3 * ncol]
+            if len(table) < 3 * ncol:
+                raise CorruptRasterError("truncated GIF local color table")
+            pos += 3 * ncol
+        if table is None:
+            raise CorruptRasterError("GIF image missing color table")
+        if w <= 0 or h <= 0 or w * h > _PNG_MAX_SAMPLES:
+            raise CorruptRasterError(f"GIF geometry {w}x{h} out of bounds")
+        if pos >= n:
+            raise CorruptRasterError("truncated GIF image data")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise CorruptRasterError(f"GIF LZW min code size {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= n:
+                raise CorruptRasterError("truncated GIF image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > n:
+                raise CorruptRasterError("truncated GIF image data")
+            data += payload[pos : pos + ln]
+            pos += ln
+        idx = _gif_lzw(bytes(data), mcs, w * h)
+        if len(idx) < w * h:
+            raise CorruptRasterError("GIF pixel data short")
+        lum = [
+            (table[3 * i] * 299 + table[3 * i + 1] * 587
+             + table[3 * i + 2] * 114) // 1000
+            for i in range(len(table) // 3)
+        ]
+        try:
+            return w, h, [lum[i] for i in idx[: w * h]]
+        except IndexError:
+            raise CorruptRasterError("GIF palette index out of range") from None
+    raise CorruptRasterError("GIF has no image data")
+
+
 def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python decode of raster formats — the REAL decode branch
     that runs without PIL: PNG (8-bit gray/GA/RGB/RGBA, see
-    :func:`_decode_png`), binary PNM (P5 gray / P6 RGB, maxval 255) and
+    :func:`_decode_png`), GIF87a/89a (first frame, LZW, see
+    :func:`_decode_gif`), binary PNM (P5 gray / P6 RGB, maxval 255) and
     24-bit uncompressed BI_RGB BMP (top-down or bottom-up, row padding
-    honored). Returns (width, height, grayscale pixels 0-255 row-major
+    honored). JPEG stays PIL-only: a correct pure-Python baseline-DCT
+    decoder is out of scope, and a wrong one would poison features
+    silently. Returns (width, height, grayscale pixels 0-255 row-major
     top-down; RGB via the BT.601 integer luma). Raises plain ValueError
     when the magic is unrecognized (caller falls through to PIL/stub)
     and CorruptRasterError when the magic matched but the body is bad."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] in (b"P5", b"P6"):
         toks: list[bytes] = []
         i, n = 2, len(payload)

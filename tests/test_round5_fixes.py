@@ -200,3 +200,229 @@ def test_temperature_mix_rate_is_rounded(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in out.collect())
     assert a == b and 0 < len(a) < 90
+
+
+# -- GIF decode (pure Python LZW) — r4 verdict ask #4 -----------------------
+
+def _gif_lzw_encode(indices, mcs):
+    """Real GIF LZW compressor (spec appendix F) for roundtrip tests:
+    emits clear, codes with dynamic width, end; packs LSB-first."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    csize = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += csize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << csize) and csize < 12:
+            csize += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            csize = mcs + 1
+        run = (px,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(w, h, indices, palette, mcs=None, interlace=False,
+              local_table=False, version=b"89a", extensions=b""):
+    import struct
+
+    ncolors = len(palette)
+    # color table size field: 2^(sz+1) >= ncolors
+    sz = max(0, (max(ncolors, 2) - 1).bit_length() - 1)
+    table = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        (2 << sz) - ncolors
+    )
+    if mcs is None:
+        mcs = max(2, sz + 1)
+    packed_lsd = (0x80 | sz) if not local_table else 0x00
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HHBBB", w, h, packed_lsd, 0, 0)
+    if not local_table:
+        out += table
+    out += extensions
+    ip = (0x40 if interlace else 0) | ((0x80 | sz) if local_table else 0)
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, ip)
+    if local_table:
+        out += table
+    out += bytes([mcs])
+    data = _gif_lzw_encode(indices, mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _luma(rgb):
+    return (rgb[0] * 299 + rgb[1] * 587 + rgb[2] * 114) // 1000
+
+
+def test_gif_basic_roundtrip():
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1]
+    w, h, px = _decode_raster(_make_gif(4, 3, idx, palette))
+    assert (w, h) == (4, 3)
+    assert px == [_luma(palette[i]) for i in idx]
+
+
+def test_gif_property_roundtrip_random_streams():
+    import random
+
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    rng = random.Random(5)
+    for trial in range(8):
+        ncol = rng.choice([2, 4, 16, 64, 256])
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 40)
+        palette = [
+            (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+            for _ in range(ncol)
+        ]
+        # mix runs (exercises table growth) and noise
+        idx = []
+        while len(idx) < w * h:
+            if rng.random() < 0.5:
+                idx += [rng.randrange(ncol)] * rng.randint(1, 30)
+            else:
+                idx.append(rng.randrange(ncol))
+        idx = idx[: w * h]
+        got_w, got_h, px = _decode_raster(_make_gif(w, h, idx, palette))
+        assert (got_w, got_h) == (w, h)
+        assert px == [_luma(palette[i]) for i in idx], f"trial {trial}"
+
+
+def test_gif_long_stream_code_width_growth():
+    # >4096-entry table forces the deferred-clear path in the encoder
+    # and 12-bit codes in the decoder
+    import random
+
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    rng = random.Random(11)
+    palette = [(i, i, i) for i in range(256)]
+    idx = [rng.randrange(256) for _ in range(120 * 120)]
+    w, h, px = _decode_raster(_make_gif(120, 120, idx, palette))
+    assert px == [_luma(palette[i]) for i in idx]
+
+
+def test_gif_local_color_table_and_gif87a():
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    palette = [(10, 20, 30), (200, 100, 50)]
+    idx = [0, 1, 1, 0]
+    gif = _make_gif(2, 2, idx, palette, local_table=True, version=b"87a")
+    w, h, px = _decode_raster(gif)
+    assert (w, h) == (2, 2)
+    assert px == [_luma(palette[i]) for i in idx]
+
+
+def test_gif_extension_blocks_skipped():
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    # graphic control extension + comment extension before the frame
+    ext = (b"\x21\xF9\x04\x00\x0A\x00\x00\x00"
+           b"\x21\xFE\x05hello\x00")
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = [1, 0, 0, 1]
+    w, h, px = _decode_raster(
+        _make_gif(2, 2, idx, palette, extensions=ext)
+    )
+    assert px == [_luma(palette[i]) for i in idx]
+
+
+def test_gif_corrupt_variants_are_errors():
+    import pytest
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_raster,
+    )
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    good = _make_gif(2, 2, [0, 1, 1, 0], palette)
+    with pytest.raises(CorruptRasterError, match="interlaced"):
+        _decode_raster(_make_gif(2, 2, [0, 1, 1, 0], palette, interlace=True))
+    with pytest.raises(CorruptRasterError):
+        _decode_raster(good[:15])  # truncated mid-stream
+    with pytest.raises(CorruptRasterError, match="no image data"):
+        _decode_raster(good[:13] + good[13:19] + b"\x3B")  # trailer, no frame
+    # pixel data short: half the indices
+    short = _make_gif(4, 4, [0, 1] * 3, palette)
+    with pytest.raises(CorruptRasterError, match="short"):
+        _decode_raster(short)
+    # palette index out of range: 4-entry table, index 3 points past the
+    # declared 2-color palette but inside the padded table — craft an
+    # index beyond table size via mcs bump
+    with pytest.raises(CorruptRasterError):
+        _decode_raster(_make_gif(2, 2, [0, 1, 1, 0], palette, mcs=12))
+
+
+def test_gif_fuzz_never_escapes_error_contract():
+    import random
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_raster,
+    )
+
+    rng = random.Random(99)
+    palette = [(3, 5, 7), (99, 120, 140), (1, 2, 3), (250, 250, 250)]
+    base = bytearray(_make_gif(5, 4, [rng.randrange(4) for _ in range(20)],
+                               palette))
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            w, h, px = _decode_raster(bytes(mut))
+            assert len(px) == w * h
+        except (CorruptRasterError, ValueError):
+            pass  # typed row-level error or unrecognized magic — both fine
+
+
+def test_gif_through_media_features(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    palette = [(i * 16, i * 16, i * 16) for i in range(16)]
+    gif = _make_gif(8, 8, [i % 16 for i in range(64)], palette)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif), None),
+         (2, "image", bytearray(gif[:20]), None)],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,mime:string>",
+    )
+    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert rows[1].decode_error is None and len(rows[1].feature) == 8
+    assert rows[2].decode_error is not None and rows[2].feature is None
