@@ -709,10 +709,13 @@ def _q_media_frame_sample(spark, sf_dir):
 def _q_pdf_extract_text(spark, sf_dir):
     # PDF path roundtrip: deterministic Flate-compressed PDFs built from
     # documents.text (8-word line wrap), extracted back by the
-    # from-scratch PDF reader; oracle reproduces the wrap in pure SQL
+    # from-scratch PDF reader; oracle reproduces the wrap in pure SQL.
+    # Every 4th doc is RC4-encrypted (r5 standard security handler,
+    # empty user password) — the roundtrip text must be IDENTICAL, so
+    # the unchanged oracle now also gates the decrypt path
     from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
 
-    pdfs = docs_to_pdfs(_docs(spark, sf_dir))
+    pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4)
     return pdf_extract(pdfs).select("doc_id", "error", "text", "n_pages")
 
 

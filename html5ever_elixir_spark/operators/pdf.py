@@ -68,26 +68,46 @@ def docs_to_pdfs(
     text_col: str = "text",
     id_col: str = "doc_id",
     words_per_line: int = 8,
+    encrypt_every: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic PDF corpus from the documents table
     (tests/benchmarks only — no external data): text wrapped every
     ``words_per_line`` words, one Tj per line, Flate-compressed streams.
     The wrap rule is reproducible in SQL, so a DuckDB oracle can predict
-    the extraction roundtrip exactly."""
+    the extraction roundtrip exactly.
+
+    ``encrypt_every=k`` RC4-encrypts every k-th doc (doc_id % k == 0;
+    R3/128, empty user password, file id derived from doc_id) — the
+    extraction roundtrip must still match, which makes the driver gate
+    cover the r5 standard-security-handler decrypt path with the SAME
+    unchanged DuckDB oracle."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        from ..parser.pdf import encrypt_pdf_rc4
+
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
             pdfs = []
-            for t in texts:
+            for did, t in zip(ids, texts):
                 words = (t or "").split(" ")
                 lines = [
                     " ".join(words[i : i + words_per_line])
                     for i in range(0, len(words), words_per_line)
                 ]
                 try:
-                    pdfs.append(make_simple_pdf(lines))
+                    pdf = make_simple_pdf(lines)
+                    if encrypt_every and did is not None \
+                            and did % encrypt_every == 0:
+                        pdf = encrypt_pdf_rc4(
+                            pdf,
+                            file_id=hashlib.md5(
+                                str(did).encode()
+                            ).digest(),
+                        )
+                    pdfs.append(pdf)
                 except Exception:
                     # writer failure → null payload → pdf_extract emits
                     # a row-level error, never a job failure

@@ -18,12 +18,16 @@ covers simple-font /Encoding (WinAnsi / MacRoman / Standard bases,
 /Differences with AGL-subset glyph names), ToUnicode CMaps
 (bfchar/bfrange, both destination forms), and composite Type0 fonts
 with /Identity-H(-V) CMaps decoded through their 2-byte ToUnicode —
-the dominant layout for crawled non-Latin PDFs. Explicitly NOT
-handled: encrypted files, non-Identity CID CMaps (GBK-EUC-H etc.),
-and fonts whose only text mapping is embedded glyph programs — a
-corpus job routes those rows to the error column / U+FFFD rather than
-failing (same row-level error contract as the HTML parser's
-invalid-UTF-8 path).
+the dominant layout for crawled non-Latin PDFs. RC4-encrypted files
+(standard security handler V1/V2, R2/R3) decrypt transparently when
+the USER password is empty — the common crawled shape (owner-only
+restrictions); see :func:`_std_security_key`. Explicitly NOT handled:
+AES encryption (V≥4), real user passwords, encrypted files whose page
+tree lives in /ObjStm (RC4-era files use classic xref), non-Identity
+CID CMaps (GBK-EUC-H etc.), and fonts whose only text mapping is
+embedded glyph programs — a corpus job routes those rows to DISTINCT
+error values / U+FFFD rather than failing (same row-level error
+contract as the HTML parser's invalid-UTF-8 path).
 
 The companion :func:`make_simple_pdf` produces deterministic
 single-font PDFs used by the oracle roundtrip gate and tests; its
@@ -451,6 +455,251 @@ def _objects(data: bytes) -> dict[int, bytes]:
     if not objs:
         raise PdfError("no PDF objects found")
     return objs
+
+
+# -- standard security handler (RC4-40/128, empty user password) ------------
+#
+# ISO 32000-1 §7.6.3: the common crawled-encryption case is "owner
+# password set, user password empty" — readable by anyone, encrypted
+# only to restrict printing/copying. We implement exactly that: /Filter
+# /Standard with V 1/2, R 2/3 (RC4). V 4/5 (AES) and a real user
+# password raise DISTINCT typed errors so corpus dashboards can count
+# them separately from garbled files.
+
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_string(d: bytes, key: bytes) -> bytes | None:
+    """Raw bytes of a literal or hex string value in dict body ``d``."""
+    m = re.search(rb"/" + key + rb"\s*(\(|<)", d)
+    if m is None:
+        return None
+    if m.group(1) == b"(":
+        s, _ = _parse_literal_string(d, m.end())
+        return s.encode("latin-1")
+    close = d.find(b">", m.end())
+    if close == -1:
+        return None
+    hexs = re.sub(rb"\s", b"", d[m.end() : close])
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except ValueError:
+        return None
+
+
+def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """File encryption key for the standard handler with the EMPTY user
+    password, or None when the file is not encrypted. Raises typed
+    PdfError for password-protected files, AES (V≥4), and non-Standard
+    handlers — each a distinct row-error value a corpus job can count."""
+    import struct
+    from hashlib import md5
+
+    # last /Encrypt reference wins (incremental updates append trailers)
+    enc_ref = None
+    for enc_ref in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+        pass
+    if enc_ref is None:
+        return None
+    enc = objs.get(int(enc_ref.group(1)))
+    if enc is None:
+        raise PdfError("encrypted PDF: dangling /Encrypt reference")
+    if re.search(rb"/Filter\s*/Standard\b", enc) is None:
+        raise PdfError("encrypted PDF: non-standard security handler")
+    v = _int_key(enc, b"V") or 0
+    r = _int_key(enc, b"R") or 0
+    if v >= 4 or r >= 4:
+        raise PdfError("encrypted PDF: AES (V>=4) unsupported")
+    if v not in (1, 2) or r not in (2, 3):
+        raise PdfError(f"encrypted PDF: V={v}/R={r} unsupported")
+    o = _dict_string(enc, b"O")
+    u = _dict_string(enc, b"U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o is None or u is None or pm is None or len(o) < 32 or len(u) < 32:
+        raise PdfError("encrypted PDF: malformed /Encrypt dictionary")
+    n = 5 if r == 2 else (_int_key(enc, b"Length") or 40) // 8
+    if not 5 <= n <= 16:
+        raise PdfError("encrypted PDF: bad key length")
+    # first /ID element (hex form; missing ID → empty string, matching
+    # viewers' leniency for ID-less encrypted files)
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    id0 = (
+        bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
+        if idm
+        else b""
+    )
+    p_bytes = struct.pack("<i", int(pm.group(1)))
+    key = md5(_PW_PAD + o[:32] + p_bytes + id0).digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = md5(key).digest()[:n]
+    # verify the EMPTY user password against /U (Algorithm 4/5)
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = _rc4(key, md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise PdfError("encrypted PDF: password required")
+    return key
+
+
+def _decrypt_streams(objs: dict[int, bytes], key: bytes) -> dict[int, bytes]:
+    """RC4-decrypt every stream payload in place (length-preserving, so
+    /Length values and body offsets stay valid). Per-object key =
+    md5(file_key + objnum[3 LE] + gen[2 LE])[:min(n+5, 16)]; generation
+    is taken as 0 (the crawled-PDF norm — the object map keys by number
+    only). Dict strings are left encrypted: extraction only reads
+    strings out of (decrypted) content streams, never from dicts."""
+    from hashlib import md5
+
+    out: dict[int, bytes] = {}
+    klen = min(len(key) + 5, 16)
+    for oid, body in objs.items():
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            out[oid] = body
+            continue
+        lm = _LENGTH_RE.search(body[: sm.start()])
+        if lm is not None:
+            lo, hi = sm.end(), sm.end() + int(lm.group(1))
+        else:
+            lo, hi = sm.end(), body.rfind(b"endstream")
+            if hi == -1:
+                out[oid] = body
+                continue
+            seg = body[lo:hi]
+            if seg.endswith(b"\r\n"):
+                hi -= 2
+            elif seg.endswith((b"\n", b"\r")):
+                hi -= 1
+        okey = md5(
+            key + oid.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[:klen]
+        out[oid] = body[:lo] + _rc4(okey, body[lo:hi]) + body[hi:]
+    return out
+
+
+def encrypt_pdf_rc4(
+    data: bytes,
+    r: int = 3,
+    length: int = 128,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
+    permissions: int = -44,
+    file_id: bytes | None = None,
+) -> bytes:
+    """Writer-side counterpart of the standard security handler: RC4
+    encrypt every stream payload of ``data`` (length-preserving, so all
+    offsets stay valid) and append the /Encrypt dictionary + a trailer
+    carrying its reference and /ID. ``r=2`` → V1/40-bit, ``r=3`` →
+    V2/``length``-bit. The default empty ``user_pw`` produces the
+    common crawled shape (owner-restricted, user-readable); a non-empty
+    one makes a file :func:`extract_pdf_text` refuses with the typed
+    "password required" error. Deterministic given ``file_id`` (defaults
+    to md5 of the input) — used by the driver-gated synthetic corpus."""
+    import struct
+    from hashlib import md5
+
+    if r == 2:
+        n, v, length = 5, 1, 40
+    elif r == 3:
+        n, v = length // 8, 2
+    else:
+        raise ValueError(f"unsupported revision {r}")
+    id0 = file_id if file_id is not None else md5(data).digest()
+    opad = ((owner_pw or user_pw) + _PW_PAD)[:32]
+    h = md5(opad).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h).digest()
+    okey = h[:n]
+    upad = (user_pw + _PW_PAD)[:32]
+    o = _rc4(okey, upad)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    key = md5(upad + o + struct.pack("<i", permissions) + id0).digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = md5(key).digest()[:n]
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        x = _rc4(key, md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        u = x + b"\x00" * 16
+    res = bytearray(data)
+    klen = min(n + 5, 16)
+    max_oid = 0
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        end = _object_body_end(data, m.end())
+        if end == -1:
+            pos = m.end()
+            continue
+        oid = int(m.group(1))
+        max_oid = max(max_oid, oid)
+        body = data[m.end() : end]
+        sm = _STREAM_RE.search(body)
+        if sm is not None:
+            lm = _LENGTH_RE.search(body[: sm.start()])
+            if lm is not None:
+                lo, hi = sm.end(), sm.end() + int(lm.group(1))
+            else:
+                hi = body.rfind(b"endstream")
+                lo = sm.end()
+                seg = body[lo:hi]
+                if seg.endswith(b"\r\n"):
+                    hi -= 2
+                elif seg.endswith((b"\n", b"\r")):
+                    hi -= 1
+            okey_ = md5(
+                key + oid.to_bytes(3, "little") + b"\x00\x00"
+            ).digest()[:klen]
+            a, b = m.end() + lo, m.end() + hi
+            res[a:b] = _rc4(okey_, bytes(res[a:b]))
+        pos = end + 6
+    eid = max_oid + 1
+    res += (
+        f"{eid} 0 obj\n<< /Filter /Standard /V {v} /R {r} /Length {length}"
+        f" /O <{o.hex()}> /U <{u.hex()}> /P {permissions} >>\nendobj\n"
+        f"trailer\n<< /Encrypt {eid} 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(res)
 
 
 def _content_stream(body: bytes) -> bytes:
@@ -1331,9 +1580,14 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise PdfError("missing %PDF header")
-    if b"/Encrypt" in data:
-        raise PdfError("encrypted PDF not supported")
     objs = _objects(data)
+    if b"/Encrypt" in data:
+        # RC4 standard security handler with the empty user password
+        # (the common crawled case: owner-restricted, user-readable);
+        # AES / real passwords raise distinct typed errors
+        key = _std_security_key(data, objs)
+        if key is not None:
+            objs = _decrypt_streams(objs, key)
     entries = _page_content_entries(objs)
     if not entries:
         raise PdfError("no page content streams")
