@@ -541,6 +541,15 @@ def _q_curation_chunks(spark, sf_dir):
     return curation.run_curation(_docs(spark, sf_dir))
 
 
+def _q_curation_chunks_v2(spark, sf_dir):
+    # the full GPT-3-style flow: gate → sample → canon → decontaminate
+    # (13-gram vs the doc_id%5 benchmark split) → PII scrub → chunk
+    docs = _docs(spark, sf_dir)
+    return curation.run_curation_v2(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )
+
+
 def _q_text_pack(spark, sf_dir):
     # small chunk/seq sizes so the sf docs actually produce multi-chunk
     # packing (sf0.01 docs are short)
@@ -839,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_by_source": _q_quality_by_source,
         "text_scrub_pii": _q_text_scrub_pii,
         "curation_chunks": _q_curation_chunks,
+        "curation_chunks_v2": _q_curation_chunks_v2,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
         "sample_temperature_mix": _q_sample_temperature_mix,
@@ -1061,6 +1071,7 @@ FROM w
             "FROM documents) pii"
         ),
         "curation_chunks": curation.oracle_curation_sql(),
+        "curation_chunks_v2": curation.oracle_curation_v2_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

@@ -108,6 +108,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 13,
     broadcast_manifest: bool | None = None,
+    hits_only: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination — flag training docs sharing any word
     ``n``-gram with an evaluation set (the standard 13-gram overlap
@@ -116,6 +117,13 @@ def decontaminate(
     explodes per-doc DISTINCT grams, bounding rows at unique grams per
     doc. Output (doc_id, n_hits, contaminated) for ALL docs — the
     keep/drop decision stays with the caller.
+
+    ``hits_only=True`` returns only the contaminated docs
+    (doc_id, n_hits) and SKIPS the marry-back left join — composers
+    that anti-join the hit list against their own corpus lineage
+    (plans/curation.run_curation_v2) would otherwise pay an extra
+    id-only corpus scan that Catalyst cannot eliminate (~8 TB of ids
+    at 10^12 docs).
 
     ``broadcast_manifest``: ``True`` forces a broadcast hint — only
     assert this when the caller KNOWS the eval manifest is small (a
@@ -145,6 +153,8 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+    if hits_only:
+        return hits
     return (
         docs.select(id_col)
         .join(hits, id_col, "left")

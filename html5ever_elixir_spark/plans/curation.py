@@ -18,8 +18,14 @@ is individually oracle-gated, and the whole composition is gated too
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.dedup import keep_longest, oracle_keep_longest_sql
+from ..operators.dedup import (
+    decontaminate,
+    keep_longest,
+    oracle_decontaminate_sql,
+    oracle_keep_longest_sql,
+)
 from ..operators.sampling import (
     oracle_stratified_sample_sql,
     stratified_sample,
@@ -28,7 +34,9 @@ from ..operators.textstats import (
     chunk_documents,
     oracle_chunk_sql,
     oracle_quality_filter_sql,
+    oracle_scrub_pii_sql,
     quality_filter,
+    scrub_pii,
 )
 
 DEFAULT_RATES = {"en": 0.9}
@@ -81,6 +89,105 @@ WITH kept AS (
 ),
 w AS (
   SELECT doc_id, str_split(text, ' ') AS ws FROM kept
+  WHERE text IS NOT NULL
+),
+e AS (
+  SELECT doc_id, ws, unnest(generate_series(0,
+           greatest(1, ceil((len(ws) - {overlap}) / {step})::INT) - 1)) AS i
+  FROM w
+)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       array_to_string(ws[i * {step} + 1 : i * {step} + {chunk_words}], ' ')
+         AS chunk_text,
+       len(ws[i * {step} + 1 : i * {step} + {chunk_words}])::BIGINT
+         AS n_chunk_words
+FROM e
+"""
+
+
+def run_curation_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    rates: dict[str, float] = None,
+    chunk_words: int = 200,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The GPT-3-style full curation flow (r4 verdict ask #6):
+
+        gate → sample → canonical dedup → decontaminate → scrub PII → chunk
+
+    Composition order is the cost order: the gram-manifest join
+    (decontaminate) and keep-longest run against the FULL training
+    corpus (dropping duplicates/contamination that straddle the gates),
+    while PII scrubbing — the expensive multi-regex rewrite — runs only
+    on surviving docs, and chunking explodes the scrubbed text.
+    Row-local gates fuse into the corpus scan; the LSH-free stages add
+    exactly two extra lineages (keep-longest window, gram join), each
+    married back by one semi/anti join on the uniform doc id.
+    Output (doc_id, chunk_idx, chunk_text, n_chunk_words)."""
+    rates = DEFAULT_RATES if rates is None else rates
+    gated = stratified_sample(
+        quality_filter(docs, text_col, id_col, project=False),
+        rates,
+        id_col=id_col,
+    )
+    canon = (
+        keep_longest(docs, text_col, id_col)
+        .where("keep")
+        .select(id_col)
+    )
+    contaminated = decontaminate(
+        docs, benchmark, text_col, id_col, hits_only=True
+    ).select(id_col)
+    kept = (
+        gated.join(canon, id_col, "semi")
+        .join(contaminated, id_col, "anti")
+    )
+    scrubbed = scrub_pii(kept, text_col, id_col).select(
+        F.col(id_col), F.col("text_scrubbed").alias(text_col)
+    )
+    return chunk_documents(scrubbed, chunk_words, overlap, text_col, id_col)
+
+
+def oracle_curation_v2_sql(
+    table: str = "documents",
+    docs_pred: str = "doc_id % 5 <> 0",
+    bench_pred: str = "doc_id % 5 = 0",
+    rates: dict[str, float] = None,
+    chunk_words: int = 200,
+    overlap: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`run_curation_v2` over a deterministic
+    split of the one driver table (training = docs_pred, benchmark =
+    bench_pred — same convention as oracle_decontaminate_sql): the
+    stage oracles chain as CTEs, so the composition gate is exactly the
+    conjunction of the individually-green stage gates."""
+    rates = DEFAULT_RATES if rates is None else rates
+    step = chunk_words - overlap
+    qf = oracle_quality_filter_sql("train")
+    sm = oracle_stratified_sample_sql(rates, "train", select="doc_id")
+    kl = oracle_keep_longest_sql("train")
+    dc = oracle_decontaminate_sql(table, docs_pred, bench_pred)
+    sc = oracle_scrub_pii_sql("kept")
+    return f"""
+WITH train AS (SELECT * FROM {table} WHERE {docs_pred}),
+contaminated AS (
+  SELECT doc_id FROM ({dc}) _dc WHERE contaminated
+),
+kept AS (
+  SELECT d.* FROM train d
+  WHERE d.doc_id IN (SELECT doc_id FROM ({qf}) _qf)
+    AND d.doc_id IN ({sm})
+    AND d.doc_id IN (SELECT doc_id FROM ({kl}) _kl WHERE keep)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+scrubbed AS (
+  SELECT doc_id, text_scrubbed AS text FROM ({sc}) _sc
+),
+w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM scrubbed
   WHERE text IS NOT NULL
 ),
 e AS (

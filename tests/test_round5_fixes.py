@@ -527,3 +527,81 @@ def test_docs_to_pdfs_encrypt_every_roundtrip(spark):
            pdf_extract(docs_to_pdfs(docs, encrypt_every=4)).collect()}
     assert all(out[i].error is None for i in range(12))
     assert out[4].text == "doc number 4 body words here"
+
+
+# -- curation v2: + decontaminate + PII scrub (r4 verdict ask #6) -----------
+
+def test_decontaminate_hits_only_matches_filtered_full(spark):
+    from html5ever_elixir_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)))
+         for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    bench = docs.where("doc_id >= 15")
+    train = docs.where("doc_id < 15")
+    full = {r.doc_id: r.n_hits
+            for r in decontaminate(train, bench, n=5).collect()
+            if r.contaminated}
+    hits = {r.doc_id: r.n_hits
+            for r in decontaminate(train, bench, n=5,
+                                   hits_only=True).collect()}
+    assert hits == full and len(hits) > 0
+
+
+def test_curation_v2_semantics(spark):
+    from html5ever_elixir_spark.plans.curation import run_curation_v2
+
+    # doc 1: clean English -> survives and is scrubbed+chunked
+    # doc 2: contains a 13-gram shared with the benchmark -> dropped
+    # doc 3: duplicate (shorter) of doc 1 -> keep-longest drops it
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away home again with contact me at bob@example.com now "
+            "please and thank you very much indeed friend")
+    contaminated = ("prefix words " + " ".join(f"b{j}" for j in range(13))
+                    + " the quick brown fox jumps over the lazy dog runs")
+    bench_text = " ".join(f"b{j}" for j in range(13)) + " unrelated tail"
+    docs = spark.createDataFrame(
+        [(1, base + " extra tail words", "en", "s"),
+         (2, contaminated + " " + base, "en", "s"),
+         (3, base, "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text, "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = run_curation_v2(docs, bench, rates={"en": 1.0},
+                          chunk_words=50, overlap=0).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {1}
+    assert all("[EMAIL]" in r.chunk_text or "@" not in r.chunk_text
+               for r in out)
+    assert any("[EMAIL]" in r.chunk_text for r in out)
+
+
+def test_curation_v2_plan_no_extra_corpus_scan(spark, tmp_path):
+    # hits_only composition: the decontaminate lineage contributes its
+    # gram scan + the benchmark scan, NOT an extra id-only corpus scan
+    # (Catalyst cannot eliminate the full-output variant's marry-back
+    # join). Expected scans: gate(1) + keep-longest(1) + doc-grams(1) +
+    # bench(1) + the chunk lineage's own gate copy... measured: 6 with
+    # hits_only vs 7 without.
+    from html5ever_elixir_spark.plans.curation import run_curation_v2
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here {i} " * 20, "en", "s") for i in range(40)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    pdocs = spark.read.parquet(p)
+    out = run_curation_v2(
+        pdocs.where("doc_id % 5 <> 0"), pdocs.where("doc_id % 5 = 0")
+    )
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert sum(1 for ln in final.splitlines() if "Scan parquet" in ln) <= 6
