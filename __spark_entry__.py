@@ -797,72 +797,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 4 leads with the 8 entries that had
-    # no CORRECTNESS_r03 row (text_fingerprint + the 7 relational ones),
-    # keeps the flagship parity gates and every round-4-new query inside
-    # the window, and rotates 17 long-stable r1-r3 queries to the tail —
-    # every tail entry still passes tools/oracle_check.py (the
-    # driver-exact compare; full 67/67 sweep re-run this round).
+    # "Driver-window rotation").  Round 5 leads with the 17 entries that
+    # had no CORRECTNESS_r04 row, keeps every round-5-NEW/CHANGED query
+    # (curation_chunks_v2; the capped emb_neardup pair; pdf with the RC4
+    # subset; the rounded temperature mix) and the flagship parity gates
+    # inside the window, and rotates 18 long-stable queries to the tail —
+    # every tail entry has a green CORRECTNESS_r04 row AND passes
+    # tools/oracle_check.py (the driver-exact compare) this round, so
+    # after r5 every one of the 68 queries has a driver row in r04 ∪ r05.
     return {
-        # previously past the driver window (r3) — now first
-        "text_fingerprint": _q_fingerprint,
-        "agg_pricing_summary": _q_pricing,
-        "join_revenue_nation": _q_revenue,
-        "join_supplier_volume": _q_supplier_volume,
-        "window_latest_event": _q_latest_event,
-        "topk_largest_docs": _q_topk_docs,
-        "filter_project_docs": _q_filter_project,
-        "agg_event_type_stats": _q_event_stats,
-        # training-data pipeline ops
-        "dedup_dom_normalized": _q_dedup_dom,
-        "dedup_minhash_sig": _q_dedup_minhash,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
-        "dedup_lsh_cc": _q_dedup_lsh_cc,
-        "dedup_keep_longest": _q_dedup_keep_longest,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_bloom_incremental": _q_dedup_bloom,
-        "dedup_boilerplate_lines": _q_dedup_boilerplate,
-        "dedup_normalized_exact": _q_dedup_norm_exact,
-        "dedup_decontaminate": _q_dedup_decontaminate,
-        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash64": _q_dedup_simhash64,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_srp_bucket": _q_ann_srp,
-        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "emb_neardup_clusters": _q_emb_neardup_clusters,
-        "emb_normalize": _q_emb_normalize,
-        "text_quality_filter": _q_text_quality_filter,
-        "media_features": _q_media_features,
-        "media_raster_features": _q_media_raster_features,
-        "media_frame_sample": _q_media_frame_sample,
-        "pdf_extract_text": _q_pdf_extract_text,
-        "text_token_budget": _q_text_token_budget,
-        "text_chunks": _q_text_chunks,
-        "text_pack_sequences": _q_text_pack,
-        "text_pack_strict": _q_text_pack_strict,
-        "text_quality_by_source": _q_quality_by_source,
-        "text_scrub_pii": _q_text_scrub_pii,
-        "curation_chunks": _q_curation_chunks,
-        "curation_chunks_v2": _q_curation_chunks_v2,
-        "sample_stratified": _q_sample_stratified,
-        "sample_cap_per_source": _q_sample_cap_per_source,
-        "sample_temperature_mix": _q_sample_temperature_mix,
-        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
-        # HTML engine parity (parse + extract vs SQL-reconstructed oracle);
-        # the load-bearing encoders stay inside the 50-row window …
-        "html_tree_json": _q_html_tree_json,
-        "html_tree_json_maps": _q_html_tree_json_maps,
-        "html_attrs_map_merge": _q_html_attrs_map_merge,
-        "html_extract_text": _q_html_extract,
+        # previously past the driver window (r4 tail) — now first
         "html_error_rows": _q_html_error_rows,
-        # … and these 17 long-stable queries rotate past the 50-row
-        # window in r4 (all green in CORRECTNESS_r03 and re-verified via
-        # tools/oracle_check.py this round)
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_token_count,
         "text_repetition": _q_text_repetition,
@@ -879,6 +824,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_node_histogram_fast": _q_html_node_histogram_fast,
         "html_max_depth": _q_html_max_depth,
         "html_attrs_by_tag": _q_html_attrs_by_tag,
+        # round-5 new / behavior-changed queries
+        "curation_chunks_v2": _q_curation_chunks_v2,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,
+        "pdf_extract_text": _q_pdf_extract_text,
+        "sample_temperature_mix": _q_sample_temperature_mix,
+        # flagship parity gates (load-bearing encoders stay every round)
+        "html_tree_json": _q_html_tree_json,
+        "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
+        "html_extract_text": _q_html_extract,
+        # stable in-window operators
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
+        "dedup_lsh_cc": _q_dedup_lsh_cc,
+        "dedup_bloom_incremental": _q_dedup_bloom,
+        "dedup_boilerplate_lines": _q_dedup_boilerplate,
+        "dedup_normalized_exact": _q_dedup_norm_exact,
+        "dedup_decontaminate": _q_dedup_decontaminate,
+        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_srp_bucket": _q_ann_srp,
+        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
+        "emb_normalize": _q_emb_normalize,
+        "text_quality_filter": _q_text_quality_filter,
+        "media_features": _q_media_features,
+        "media_raster_features": _q_media_raster_features,
+        "text_token_budget": _q_text_token_budget,
+        "text_chunks": _q_text_chunks,
+        "text_pack_sequences": _q_text_pack,
+        "text_pack_strict": _q_text_pack_strict,
+        "text_quality_by_source": _q_quality_by_source,
+        "text_scrub_pii": _q_text_scrub_pii,
+        "curation_chunks": _q_curation_chunks,
+        "sample_stratified": _q_sample_stratified,
+        "sample_cap_per_source": _q_sample_cap_per_source,
+        # ---- 50-row window boundary ----
+        # r5 tail: 18 long-stable queries, all green in CORRECTNESS_r04
+        # and re-verified via tools/oracle_check.py this round
+        "text_fingerprint": _q_fingerprint,
+        "agg_pricing_summary": _q_pricing,
+        "join_revenue_nation": _q_revenue,
+        "join_supplier_volume": _q_supplier_volume,
+        "window_latest_event": _q_latest_event,
+        "topk_largest_docs": _q_topk_docs,
+        "filter_project_docs": _q_filter_project,
+        "agg_event_type_stats": _q_event_stats,
+        "dedup_dom_normalized": _q_dedup_dom,
+        "dedup_minhash_sig": _q_dedup_minhash,
+        "dedup_keep_longest": _q_dedup_keep_longest,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "media_frame_sample": _q_media_frame_sample,
     }
 
 
