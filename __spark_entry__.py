@@ -728,6 +728,71 @@ def _q_pdf_extract_text(spark, sf_dir):
     return pdf_extract(pdfs).select("doc_id", "error", "text", "n_pages")
 
 
+from html5ever_elixir_spark.functions.url import oracle_filter_blocked_sql
+
+_URL_BLOCKLIST_ORACLE = oracle_filter_blocked_sql(
+    pages_sql=(
+        "SELECT doc_id, 'https://' || "
+        "(CASE (doc_id % 3) WHEN 0 THEN '' WHEN 1 THEN 'sub1.' "
+        "ELSE 'sub2.' END) || 'host' || (doc_id % 50)::VARCHAR || "
+        "'.example/p' || doc_id::VARCHAR AS url FROM documents"
+    ),
+    blocked_values=["host7.example", "sub1.host11.example"],
+    select="doc_id, url",
+)
+
+
+def _q_sample_split(spark, sf_dir):
+    # deterministic train/val/test assignment (hash-gated, resumable)
+    from html5ever_elixir_spark.operators.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def _q_url_blocklist(spark, sf_dir):
+    # UT1-style domain blocklist with parent-domain semantics: urls get
+    # deterministic subdomains so BOTH match depths are exercised
+    # (host7.example blocks sub*.host7.example too; sub1.host11.example
+    # blocks only itself)
+    from html5ever_elixir_spark.functions.url import filter_blocked_hosts
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat('https://', "
+        "case cast(doc_id % 3 as int) when 0 then '' when 1 then 'sub1.' "
+        "else 'sub2.' end, "
+        "'host', cast(doc_id % 50 as string), '.example/p', "
+        "cast(doc_id as string)) AS url",
+    )
+    blocked = spark.createDataFrame(
+        [("host7.example",), ("sub1.host11.example",)], "domain string"
+    )
+    return filter_blocked_hosts(pages, blocked).select("doc_id", "url")
+
+
+_NFC_INJECT = " e\u0301o\u0308 A\u030Angstro\u0308m"
+
+
+def _q_text_nfc(spark, sf_dir):
+    # NFC normalization gate: the parquet text is ASCII, so combining
+    # sequences are injected via API literal (NOT SQL — Spark drops
+    # unknown escapes) identically to the oracle's chr() injection;
+    # the oracle is DuckDB's utf8proc nfc_normalize — an INDEPENDENT
+    # implementation, making this a differential gate
+    from html5ever_elixir_spark.operators.textstats import nfc_normalize_docs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_INJECT)).alias("text")
+    )
+    return nfc_normalize_docs(docs)
+
+
+def _q_text_tfidf(spark, sf_dir):
+    from html5ever_elixir_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _q_token_count(spark, sf_dir):
     out = textstats.token_count(_docs(spark, sf_dir))
     return out.select(
@@ -826,6 +891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_by_tag": _q_html_attrs_by_tag,
         # round-5 new / behavior-changed queries
         "curation_chunks_v2": _q_curation_chunks_v2,
+        "sample_split": _q_sample_split,
+        "url_blocklist": _q_url_blocklist,
+        "text_nfc": _q_text_nfc,
+        "text_tfidf_topk": _q_text_tfidf,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -856,13 +925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
+        # ---- 50-row window boundary ----
+        # r5 tail: 22 long-stable queries, all green in CORRECTNESS_r04
+        # and re-verified via tools/oracle_check.py this round
         "text_scrub_pii": _q_text_scrub_pii,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
-        # ---- 50-row window boundary ----
-        # r5 tail: 18 long-stable queries, all green in CORRECTNESS_r04
-        # and re-verified via tools/oracle_check.py this round
         "text_fingerprint": _q_fingerprint,
         "agg_pricing_summary": _q_pricing,
         "join_revenue_nation": _q_revenue,
@@ -1074,6 +1143,17 @@ FROM w
         ),
         "curation_chunks": curation.oracle_curation_sql(),
         "curation_chunks_v2": curation.oracle_curation_v2_sql(),
+        "sample_split": sampling.oracle_split_assign_sql(),
+        "url_blocklist": _URL_BLOCKLIST_ORACLE,
+        # utf8proc nfc_normalize vs Python unicodedata — differential;
+        # chr() injection mirrors the API-literal combining sequences
+        "text_nfc": textstats.oracle_nfc_sql(
+            text_expr=(
+                "text || ' e' || chr(769) || 'o' || chr(776) || "
+                "' A' || chr(778) || 'ngstro' || chr(776) || 'm'"
+            )
+        ),
+        "text_tfidf_topk": textstats.oracle_tfidf_sql(k=3),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

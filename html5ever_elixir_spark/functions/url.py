@@ -7,7 +7,7 @@ same-site blocking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
@@ -54,6 +54,83 @@ def normalize_url(url) -> Column:
     return F.when(scheme == "", url).otherwise(
         F.concat(scheme, F.lit("://"), hostpart, path)
     )
+
+
+def host_suffixes(host: Column, max_labels: int = 5) -> Column:
+    """Array of dot-suffixes of a host column, most-specific first:
+    a.b.c.example → [a.b.c.example, b.c.example, c.example, example],
+    capped at ``max_labels`` deepest labels (blocklists never key
+    deeper — caps the explode fan-out at corpus scale). API-built
+    expression (no SQL string), so no escape-stripping hazards."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.least(F.size(parts), F.lit(max_labels))),
+        lambda i: F.array_join(
+            F.slice(parts, i, F.size(parts) - i + 1), "."
+        ),
+    )
+
+
+def filter_blocked_hosts(
+    pages: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = 5,
+    broadcast_blocklist: bool | None = None,
+) -> DataFrame:
+    """Drop pages whose host matches a blocklist domain exactly OR as a
+    parent domain (sub.host7.example is blocked by host7.example) — the
+    standard UT1-style URL filtering stage of a crawl pipeline.
+
+    Scale shape: suffix matching is a NON-equi predicate, so we reduce
+    it to an equi-join by exploding each page's ≤``max_labels`` host
+    suffixes (bounded fan-out) and semi-joining the blocklist; hit urls
+    are then anti-joined back (no ``distinct`` — anti join semantics
+    dedup the probe side for free). ``broadcast_blocklist=True`` hints
+    the manifest broadcast (right when it's a curated list: 10^4-10^6
+    rows); the default ``None`` lets AQE decide so a mega-blocklist
+    degrades to a shuffle join on the uniform suffix key instead of
+    OOMing — the same size-gate discipline as decontaminate.
+    Output = the surviving pages, input columns."""
+    sfx = pages.select(
+        F.col(url_col),
+        F.explode(host_suffixes(host_of(F.col(url_col)), max_labels))
+        .alias("_sfx"),
+    )
+    b = blocked.select(F.lower(F.col(domain_col)).alias("_sfx"))
+    if broadcast_blocklist:
+        b = F.broadcast(b)
+    hits = sfx.join(b, "_sfx", "semi").select(url_col)
+    return pages.join(hits, url_col, "left_anti")
+
+
+def oracle_filter_blocked_sql(
+    pages_sql: str,
+    blocked_values: list[str],
+    select: str = "url",
+    max_labels: int = 5,
+) -> str:
+    """DuckDB mirror over an inline blocklist: same suffix expansion
+    (list_transform over generate_series), same exact-or-parent
+    semantics."""
+    vals = ", ".join(f"('{d}')" for d in blocked_values)
+    host = (
+        "lower(regexp_extract(url, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1))"
+    )
+    return f"""
+WITH p AS ({pages_sql}),
+blocked AS (SELECT lower(v) AS d FROM (VALUES {vals}) t(v)),
+sfx AS (
+  SELECT url, unnest(list_transform(
+    generate_series(1, least(len(str_split({host}, '.')), {max_labels})),
+    i -> array_to_string(str_split({host}, '.')[i:], '.'))) AS s
+  FROM p
+),
+hits AS (SELECT DISTINCT url FROM sfx JOIN blocked ON s = d)
+SELECT {select} FROM p WHERE url NOT IN (SELECT url FROM hits)
+"""
 
 
 def duck_normalize_url_sql(col: str) -> str:

@@ -73,6 +73,58 @@ def oracle_stratified_sample_sql(
     return f"SELECT {select} FROM {table} WHERE ({u}) < ({rate})"
 
 
+DEFAULT_SPLITS = (("train", 0.98), ("val", 0.01), ("test", 0.01))
+
+
+def split_assign(
+    docs: DataFrame,
+    splits: tuple = DEFAULT_SPLITS,
+    id_col: str = "doc_id",
+    salt: str = "h5split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be reproducible across runs, engines,
+    and cluster sizes: bucket by the same layout-independent uniform
+    draw as :func:`stratified_sample` against cumulative fractions.
+    The LAST split is the catch-all (fractions may sum < 1 — the
+    remainder lands there), so no doc is ever unassigned by float
+    edge effects. Changing ``salt`` redraws the split; a doc keeps its
+    assignment under any repartition/resume. Row-local projection,
+    zero shuffle. The uniform draw is lambda-bound so the md5 is
+    computed ONCE per row, not once per case branch (CollapseProject
+    re-inlines projected aliases). Output = input columns + ``split``.
+    """
+    u = _uniform_expr(id_col, salt)
+    cum = 0.0
+    branches = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        branches.append(f"when u < {cum!r} then '{name}'")
+    case = f"case {' '.join(branches)} else '{splits[-1][0]}' end"
+    expr = f"element_at(transform(array({u}), u -> {case}), 1)"
+    return docs.withColumn("split", F.expr(expr))
+
+
+def oracle_split_assign_sql(
+    splits: tuple = DEFAULT_SPLITS,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "h5split",
+    select: str = "doc_id",
+) -> str:
+    u = (
+        f"cast(('0x' || substr(md5('{salt}' || {id_col}::VARCHAR), 1, 8))"
+        f"::BIGINT as double) / {_DENOM}"
+    )
+    cum = 0.0
+    branches = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        branches.append(f"when ({u}) < {cum!r} then '{name}'")
+    case = f"case {' '.join(branches)} else '{splits[-1][0]}' end"
+    return f"SELECT {select}, {case} AS split FROM {table}"
+
+
 def cap_per_group(
     docs: DataFrame,
     k: int,

@@ -641,3 +641,165 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '{p}'))::BIGINT AS n_phones
 FROM s2
 """
+
+
+def nfc_normalize_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual corpus needs before hashing/dedup (the same logical
+    text arrives from the crawl as both 'é' and 'e'+COMBINING ACUTE;
+    unnormalized, exact dedup misses them and tokenizers fragment).
+
+    Runs via ``mapInArrow`` (Spark SQL has no unicode-normalize
+    builtin): batch-wise Python ``unicodedata.normalize`` — vectorized
+    Arrow transfer, no per-row UDF; 2-column pruned input; row-local,
+    zero shuffle, embarrassingly parallel at any scale. The DuckDB
+    oracle uses utf8proc's independent ``nfc_normalize`` — a
+    differential gate, not a mirror of our own code.
+    Output (doc_id, text_nfc, changed, n_chars_before, n_chars_after).
+    """
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import unicodedata
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = {"doc_id": ids, "text_nfc": [], "changed": [],
+                   "n_chars_before": [], "n_chars_after": []}
+            for t in texts:
+                if t is None:
+                    out["text_nfc"].append(None)
+                    out["changed"].append(None)
+                    out["n_chars_before"].append(None)
+                    out["n_chars_after"].append(None)
+                    continue
+                norm = unicodedata.normalize("NFC", t)
+                out["text_nfc"].append(norm)
+                out["changed"].append(norm != t)
+                out["n_chars_before"].append(len(t))
+                out["n_chars_after"].append(len(norm))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([
+                    ("doc_id", pa.int64()), ("text_nfc", pa.string()),
+                    ("changed", pa.bool_()),
+                    ("n_chars_before", pa.int64()),
+                    ("n_chars_after", pa.int64()),
+                ]),
+            )
+
+    pruned = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInArrow(
+        fn,
+        "doc_id bigint, text_nfc string, changed boolean, "
+        "n_chars_before bigint, n_chars_after bigint",
+    )
+
+
+def oracle_nfc_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """utf8proc-backed differential oracle (DuckDB ``nfc_normalize``):
+    length() counts codepoints in both engines (Python len == DuckDB
+    length on VARCHAR)."""
+    t = text_expr
+    return f"""
+SELECT doc_id, nfc_normalize({t}) AS text_nfc,
+       nfc_normalize({t}) <> {t} AS changed,
+       length({t})::BIGINT AS n_chars_before,
+       length(nfc_normalize({t}))::BIGINT AS n_chars_after
+FROM {table}
+"""
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k salient terms by tf·idf — the classic
+    keyword/topic signal for corpus exploration and quality dashboards.
+    idf = ln((N+1)/(df+1)) with add-one smoothing (never divides by
+    zero, never negative for df ≤ N).
+
+    Scale shape: (doc, word, tf) from one explode + groupBy on the
+    (doc, word) pair key (uniform — the pair key kills the Zipf skew a
+    plain word key would have); the document-frequency manifest
+    re-aggregates the SAME lineage by word (vocabulary-sized — Zipf-hot
+    words exist but carry ONE row each; AQE handles the join's probe
+    skew); N arrives as a 1-row broadcast cross join, NOT a
+    whole-corpus window over an empty partition. Top-k per doc is a
+    row_number window on the uniform doc key. Cross-engine floats: idf
+    is rounded to 9dp before the tf multiply, the product to 6dp
+    (round-before-compare discipline; Java Math.log vs libm log can
+    differ at the ulp). Ties break on the word for determinism.
+    Output (doc_id, word, tf, df, tfidf, rank).
+    """
+    from pyspark.sql import Window
+
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    tf = words.groupBy(id_col, "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    n = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count("*").cast("bigint").alias("N")
+    )
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n), how="cross")
+        .selectExpr(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            "round(cast(tf as double) * "
+            "round(ln((cast(N as double) + 1.0) / (cast(df as double) + 1.0)), 9), "
+            "6) AS tfidf",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def oracle_tfidf_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM {table}
+  WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf FROM words
+  GROUP BY doc_id, word
+),
+dfq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+nq AS (SELECT count(*)::BIGINT AS N FROM {table} WHERE text IS NOT NULL),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         round(cast(tf as double) *
+               round(ln((cast(N as double) + 1.0) /
+                        (cast(df as double) + 1.0)), 9), 6) AS tfidf
+  FROM tf JOIN dfq USING (word) CROSS JOIN nq
+)
+SELECT doc_id, word, tf, df, tfidf,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, word ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

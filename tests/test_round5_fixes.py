@@ -605,3 +605,79 @@ def test_curation_v2_plan_no_extra_corpus_scan(spark, tmp_path):
         "== Initial Plan =="
     )[0]
     assert sum(1 for ln in final.splitlines() if "Scan parquet" in ln) <= 6
+
+
+# -- round-5 new operators: split / blocklist / NFC / tf-idf ----------------
+
+def test_split_assign_fractions_and_determinism(spark):
+    from html5ever_elixir_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id bigint"
+    )
+    out = {r.doc_id: r.split for r in split_assign(
+        docs, splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    ).collect()}
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 1500 < c["train"] < 1700  # ~80% of 2000, hash-binomial spread
+    # layout-independent: same assignment after repartition
+    out2 = {r.doc_id: r.split for r in split_assign(
+        docs.repartition(7), splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    ).collect()}
+    assert out == out2
+    # every doc assigned (catch-all last bucket)
+    assert len(out) == 2000
+
+
+def test_filter_blocked_hosts_parent_domain_semantics(spark):
+    from html5ever_elixir_spark.functions.url import filter_blocked_hosts
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.b.evil.example/x"),     # parent match evil.example
+         (2, "https://evil.example/y"),          # exact match
+         (3, "https://notevil.example/z"),       # suffix STRING but not label
+         (4, "https://deep.sub.only.example/w"), # exact-subdomain entry
+         (5, "https://sub.only.example/v"),      # parent of entry -> kept
+         (6, "https://ok.example/u")],
+        "doc_id bigint, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("evil.example",), ("deep.sub.only.example",)], "domain string"
+    )
+    kept = {r.doc_id for r in filter_blocked_hosts(pages, blocked).collect()}
+    assert kept == {3, 5, 6}
+
+
+def test_nfc_normalize_semantics(spark):
+    from html5ever_elixir_spark.operators.textstats import nfc_normalize_docs
+
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "plain ascii"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in nfc_normalize_docs(docs).collect()}
+    assert rows[1].text_nfc == "café" and rows[1].changed
+    assert rows[1].n_chars_before == 5 and rows[1].n_chars_after == 4
+    assert rows[2].text_nfc == "plain ascii" and not rows[2].changed
+    assert rows[3].text_nfc is None and rows[3].changed is None
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from html5ever_elixir_spark.operators.textstats import tfidf_top_terms
+
+    # 'rare' appears only in doc 1 (high idf); 'common' in all docs
+    docs = spark.createDataFrame(
+        [(1, "common rare rare common common"),
+         (2, "common common other"),
+         (3, "common other other")],
+        "doc_id bigint, text string",
+    )
+    rows = [r for r in tfidf_top_terms(docs, k=2).collect() if r.doc_id == 1]
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].word == "rare" and by_rank[1].tf == 2
+    assert by_rank[1].df == 1
+    # common has idf ln(4/4)=0 -> tfidf 0; still ranked below rare
+    assert by_rank[2].tfidf < by_rank[1].tfidf
