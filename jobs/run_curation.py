@@ -1,11 +1,14 @@
 """spark-submit entrypoint for the training-data curation pipeline
-(quality gate → stratified sample → canonical dedup → chunking).
+(quality gate → stratified sample → canonical dedup → chunking; with
+``--benchmark`` the v2 flow adds 13-gram decontamination against that
+eval set and PII scrubbing of the survivors before chunking).
 
     python tools/package.py
     spark-submit --master <cluster> \
       --py-files dist/html5ever_elixir_spark.zip \
       jobs/run_curation.py \
       --input <documents parquet path> --output <chunks dir> \
+      [--benchmark <eval-set parquet path>] \
       [--rates en=0.9,de=1.0] [--chunk-words 200] [--overlap 20]
 
 Sandbox smoke: --master local[8].
@@ -25,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set parquet; enables the v2 flow "
+                         "(decontaminate + PII scrub)")
     ap.add_argument("--rates", default="en=0.9")
     ap.add_argument("--chunk-words", type=int, default=200)
     ap.add_argument("--overlap", type=int, default=20)
@@ -33,14 +39,23 @@ def main():
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F
 
-    from html5ever_elixir_spark.plans.curation import run_curation
+    from html5ever_elixir_spark.plans.curation import (
+        run_curation,
+        run_curation_v2,
+    )
 
     spark = SparkSession.builder.appName("h5s-curation").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
-    chunks = run_curation(
-        docs, _parse_rates(args.rates), args.chunk_words, args.overlap
-    )
+    if args.benchmark:
+        chunks = run_curation_v2(
+            docs, spark.read.parquet(args.benchmark),
+            _parse_rates(args.rates), args.chunk_words, args.overlap,
+        )
+    else:
+        chunks = run_curation(
+            docs, _parse_rates(args.rates), args.chunk_words, args.overlap
+        )
     obs = Observation("curation")
     chunks.observe(
         obs,
