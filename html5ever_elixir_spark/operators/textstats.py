@@ -803,3 +803,126 @@ SELECT doc_id, word, tf, df, tfidf,
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def lm_score(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-bigram language-model quality score — the CCNet-style "LM
+    perplexity filter" of a crawl pipeline: score each doc by the
+    average negative log-likelihood of its word bigrams under add-one-
+    smoothed counts from a REFERENCE corpus (a trusted subset — wiki-
+    like pages, curated docs). Lower = more reference-like; gibberish
+    and boilerplate score high. Not a normalized LM (c1 counts all
+    occurrences, not bigram-firsts) — a monotone quality signal, which
+    is all the filter needs.
+
+    Scale shape: the reference reduces to a unigram manifest (1 row per
+    vocab word) and a bigram manifest (1 row per distinct bigram); doc
+    bigrams explode per token (same row count as the tf stage of
+    tfidf_top_terms). Joins probe on the Zipf-skewed word keys but the
+    build sides carry ONE row per key, so AQE's skew handling covers
+    the probe; V and the manifests ride as AQE-size-gated joins.
+
+    Cross-engine float discipline: each bigram's logp is rounded to 9dp
+    (Java Math.log vs libm ulp), then the per-doc sum is folded over
+    the POSITION-SORTED list — both engines sum the same values in the
+    same order, so the 6dp-rounded average hashes identically (a bare
+    sum(double) would be partial-agg-order-dependent in Spark).
+    Docs with < 2 words (no bigrams) are absent from the output.
+    Output (doc_id, n_bigrams, lm_score)."""
+    ws = f"split({text_col}, ' ')"
+    # guard the 0/1-word case explicitly: Spark's sequence(0, -1) is a
+    # DESCENDING sequence [0, -1], not empty
+    bigrams_arr = (
+        f"element_at(transform(array({ws}), ws -> "
+        "case when size(ws) < 2 then "
+        "cast(array() as array<struct<pos:int,w1:string,w2:string>>) "
+        "else transform(sequence(0, size(ws) - 2), i -> "
+        "named_struct('pos', i, 'w1', element_at(ws, i + 1), "
+        "'w2', element_at(ws, i + 2))) end), 1)"
+    )
+    doc_bigrams = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(F.expr(bigrams_arr)).alias("bg")
+    ).select(id_col, "bg.pos", "bg.w1", "bg.w2")
+    ref_words = ref.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    uni = ref_words.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    ref_bigrams = ref.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.expr(bigrams_arr)).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = ref_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    v = uni.agg(F.count("*").cast("bigint").alias("V"))
+    scored = (
+        doc_bigrams.join(uni, "w1", "left")
+        .join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(v), how="cross")
+        .selectExpr(
+            id_col,
+            "pos",
+            "round(ln((cast(coalesce(c12, 0) as double) + 1.0) / "
+            "(cast(coalesce(c1, 0) as double) + cast(V as double))), 9) "
+            "AS logp",
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.expr("sort_array(collect_list(struct(pos, logp)))").alias("ps")
+        )
+        .selectExpr(
+            id_col,
+            "cast(size(ps) as bigint) AS n_bigrams",
+            "round(-aggregate(ps, cast(0.0 as double), "
+            "(a, x) -> a + x.logp) / size(ps), 6) AS lm_score",
+        )
+    )
+
+
+def oracle_lm_score_sql(
+    table: str = "documents",
+    docs_pred: str = "doc_id % 10 <> 0",
+    ref_pred: str = "doc_id % 10 = 0",
+) -> str:
+    """Mirror over a deterministic split of the one driver table.
+    list(logp ORDER BY pos) + sequential list fold = the same
+    position-ordered summation as the Spark sort_array/aggregate."""
+    bg = (
+        "list_transform(generate_series(1, greatest(len(ws) - 1, 0)), "
+        "i -> {'pos': i, 'w1': ws[i], 'w2': ws[i + 1]})"
+    )
+    return f"""
+WITH dw AS (SELECT doc_id, str_split(text, ' ') AS ws FROM {table}
+            WHERE {docs_pred} AND text IS NOT NULL),
+rw AS (SELECT str_split(text, ' ') AS ws FROM {table}
+       WHERE {ref_pred} AND text IS NOT NULL),
+uni AS (SELECT w AS w1, count(*)::BIGINT AS c1
+        FROM (SELECT unnest(ws) AS w FROM rw) GROUP BY w),
+bi AS (SELECT b.w1, b.w2, count(*)::BIGINT AS c12
+       FROM (SELECT unnest({bg}) AS b FROM rw)
+       GROUP BY b.w1, b.w2),
+vq AS (SELECT count(*)::BIGINT AS V FROM uni),
+dbg AS (SELECT doc_id, b.pos AS pos, b.w1 AS w1, b.w2 AS w2
+        FROM (SELECT doc_id, unnest({bg}) AS b FROM dw)),
+lp AS (
+  SELECT doc_id, pos,
+         round(ln((coalesce(c12, 0) + 1.0) /
+                  (coalesce(c1, 0) + V::DOUBLE)), 9) AS logp
+  FROM dbg LEFT JOIN uni USING (w1) LEFT JOIN bi USING (w1, w2)
+  CROSS JOIN vq
+),
+folded AS (
+  SELECT doc_id, list(logp ORDER BY pos) AS ps FROM lp GROUP BY doc_id
+)
+SELECT doc_id, len(ps)::BIGINT AS n_bigrams,
+       round(-list_sum(ps) / len(ps), 6) AS lm_score
+FROM folded
+"""

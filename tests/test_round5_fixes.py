@@ -681,3 +681,28 @@ def test_tfidf_top_terms_ranking(spark):
     assert by_rank[1].df == 1
     # common has idf ln(4/4)=0 -> tfidf 0; still ranked below rare
     assert by_rank[2].tfidf < by_rank[1].tfidf
+
+
+def test_lm_score_reference_like_scores_lower(spark):
+    from html5ever_elixir_spark.operators.textstats import lm_score
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog ran off") for i in
+         range(3)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),        # in-reference bigrams
+         (2, "zq xv qqq zzz vvv bbb"),         # out-of-vocabulary gibberish
+         (3, "one"),                            # < 2 words -> absent
+         (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in lm_score(docs, ref).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].lm_score < rows[2].lm_score
+    assert rows[1].n_bigrams == 5 and rows[2].n_bigrams == 5
+    # deterministic across partitionings (the sorted-fold discipline)
+    again = {r.doc_id: r.lm_score
+             for r in lm_score(docs.repartition(5), ref).collect()}
+    assert again == {k: v.lm_score for k, v in rows.items()}
