@@ -793,6 +793,44 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_warc_extract(spark, sf_dir):
+    # end-to-end crawl-container gate: pages → WARC files (20 blobs,
+    # ~25 records each, half of them per-record-gzip like Common Crawl)
+    # → WARC reader → HTML parse + extraction. Roundtrip losslessness
+    # means the ORACLE IS THE SAME SQL as html_extract_text — a reader
+    # bug anywhere (member inflation, Content-Length walk, HTTP payload
+    # split) breaks the value hash
+    import pandas as pd
+
+    from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
+
+    pages = _pages(spark, sf_dir).selectExpr(
+        "url",
+        "replace(cast(warc_ts as string), ' ', 'T') || 'Z' AS ts",
+        "cast(html as binary) AS html",
+        "cast(doc_id % 20 as bigint) AS grp",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        recs = [
+            (u, t, bytes(h))
+            for u, t, h in zip(pdf["url"], pdf["ts"], pdf["html"])
+        ]
+        grp = int(pdf["grp"].iloc[0])
+        return pd.DataFrame(
+            {
+                "warc_id": [grp],
+                "content": [make_warc(recs, gzip_records=bool(grp % 2))],
+            }
+        )
+
+    warcs = pages.groupBy("grp").applyInPandas(
+        build, "warc_id bigint, content binary"
+    )
+    return parse_and_extract(warc_to_pages(warcs)).select("url", "text")
+
+
 def _q_text_lm_score(spark, sf_dir):
     # CCNet-style LM quality score: the doc_id%10 subset plays the
     # trusted reference corpus, the rest get scored against it
@@ -906,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc": _q_text_nfc,
         "text_tfidf_topk": _q_text_tfidf,
         "text_lm_score": _q_text_lm_score,
+        "warc_extract": _q_warc_extract,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -934,10 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
-        "text_pack_strict": _q_text_pack_strict,
         # ---- 50-row window boundary ----
-        # r5 tail: 23 long-stable queries, all green in CORRECTNESS_r04
+        # r5 tail: 24 long-stable queries, all green in CORRECTNESS_r04
         # and re-verified via tools/oracle_check.py this round
+        "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
         "text_scrub_pii": _q_text_scrub_pii,
         "curation_chunks": _q_curation_chunks,
@@ -1166,6 +1205,9 @@ FROM w
         ),
         "text_tfidf_topk": textstats.oracle_tfidf_sql(k=3),
         "text_lm_score": textstats.oracle_lm_score_sql(),
+        # roundtrip losslessness: the WARC gate shares the extraction
+        # oracle — any reader deviation breaks the value hash
+        "warc_extract": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

@@ -706,3 +706,92 @@ def test_lm_score_reference_like_scores_lower(spark):
     again = {r.doc_id: r.lm_score
              for r in lm_score(docs.repartition(5), ref).collect()}
     assert again == {k: v.lm_score for k, v in rows.items()}
+
+
+# -- WARC container source --------------------------------------------------
+
+def _recs(n=3):
+    return [
+        (f"https://h{i}.example/p", "2024-01-01T00:00:00Z",
+         f"<html><body><p>doc {i}</p></body></html>".encode())
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip():
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc,
+        parse_warc_records,
+    )
+
+    for gz in (False, True):
+        got = list(parse_warc_records(make_warc(_recs(), gzip_records=gz)))
+        assert [r["url"] for r in got] == [u for u, _, _ in _recs()]
+        assert got[1]["html"] == _recs()[1][2]
+        assert got[0]["date"] == "2024-01-01T00:00:00Z"
+
+
+def test_warc_skips_non_response_records():
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_records,
+    )
+
+    req = make_warc_record("https://x.example/", "2024-01-01T00:00:00Z",
+                           b"GET / HTTP/1.1", rec_type="request")
+    # request payloads start with HTTP/ only for responses; a request
+    # record must be skipped BEFORE its payload shape is judged
+    resp = make_warc_record("https://y.example/", "2024-01-01T00:00:00Z",
+                            b"<p>y</p>")
+    got = list(parse_warc_records(req + resp))
+    assert len(got) == 1 and got[0]["url"] == "https://y.example/"
+
+
+def test_warc_content_length_walk_not_delimiter_scan():
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_records,
+    )
+
+    # html containing the record separator AND a fake WARC/ line: the
+    # reader must walk by Content-Length, not scan for delimiters
+    evil = b"<p>\r\n\r\nWARC/1.0\r\n fake</p>"
+    data = (make_warc_record("https://a.example/", "2024-01-01T00:00:00Z",
+                             evil)
+            + make_warc_record("https://b.example/",
+                               "2024-01-01T00:00:00Z", b"<p>b</p>"))
+    got = list(parse_warc_records(data))
+    assert [r["url"] for r in got] == ["https://a.example/",
+                                      "https://b.example/"]
+    assert got[0]["html"] == evil
+
+
+def test_warc_corrupt_variants_are_typed_errors():
+    from html5ever_elixir_spark.sources.warc import (
+        WarcError,
+        make_warc,
+        parse_warc_records,
+    )
+
+    good = make_warc(_recs())
+    with pytest.raises(WarcError, match="version line"):
+        list(parse_warc_records(b"NOTWARC" + good))
+    with pytest.raises(WarcError, match="truncated"):
+        list(parse_warc_records(good[: len(good) - 40]))
+    gz = make_warc(_recs(), gzip_records=True)
+    with pytest.raises(WarcError, match="inflate|trailing"):
+        list(parse_warc_records(gz[:-10] + b"x" * 10))
+
+
+def test_warc_to_pages_error_rows(spark):
+    from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
+
+    rows = [(1, bytearray(make_warc(_recs(2)))),
+            (2, bytearray(b"garbage not warc")),
+            (3, None)]
+    df = spark.createDataFrame(rows, "warc_id bigint, content binary")
+    got = warc_to_pages(df).collect()
+    ok = [r for r in got if r.error is None]
+    bad = {r.warc_id: r.error for r in got if r.error is not None}
+    assert len(ok) == 2 and all(r.warc_id == 1 for r in ok)
+    assert set(bad) == {2, 3}
