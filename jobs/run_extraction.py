@@ -7,7 +7,7 @@ Cluster usage (north rule: multi-executor, --py-files deployment):
       --master <cluster> \
       --py-files dist/html5ever_elixir_spark.zip \
       jobs/run_extraction.py \
-      --input  <pages parquet/iceberg path> \
+      --input  <pages parquet/iceberg path, or WARC dir with --input-format warc> \
       --output <output dir> \
       --buckets 4096 --groups 64
 
@@ -24,6 +24,11 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", choices=["pages", "warc"],
+                    default="pages",
+                    help="'pages' = parquet/Iceberg pages table; "
+                         "'warc' = directory of .warc/.warc.gz files "
+                         "(binaryFile scan -> WARC record walk)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--groups", type=int, default=4)
@@ -39,7 +44,33 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
     # path → parquet; table identifier → configured catalog (Iceberg in
     # production)
-    pages = read_pages(spark, args.input)
+    if args.input_format == "warc":
+        from pyspark.sql import functions as F
+
+        from html5ever_elixir_spark.sources.warc import warc_to_pages
+
+        blobs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(args.input)
+            .select(
+                F.xxhash64("path").alias("warc_id"), F.col("content")
+            )
+        )
+        recs = warc_to_pages(blobs)
+        bad = recs.where("error IS NOT NULL").count()
+        if bad:
+            print(json.dumps({"warc_error_rows": bad}))
+        pages = recs.where("error IS NULL").select(
+            "url",
+            F.to_timestamp(
+                F.replace(F.replace("warc_ts", F.lit("T"), F.lit(" ")),
+                          F.lit("Z"), F.lit(""))
+            ).alias("warc_ts"),
+            "html",
+        )
+    else:
+        pages = read_pages(spark, args.input)
     summary = run_extraction_pipeline(
         spark,
         pages,
