@@ -126,6 +126,32 @@ def run_suite(spark, sf_dir: str):
         textstats.chunk_documents(docs, chunk_words=20, overlap=5),
         seq_len=40, strict=True,
     )))
+    # round-5: the crawl-container path — pages packed into per-record-
+    # gzip WARC blobs, walked back out, parsed + extracted (measures
+    # container overhead vs extract_pipeline's direct path)
+    import pandas as pd
+
+    from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
+
+    wpages = pages.selectExpr(
+        "url", "'2024-01-01T00:00:00Z' AS ts", "cast(html as binary) AS html",
+        f"pmod(xxhash64(url), {par}) AS grp",
+    )
+
+    def _build_warc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        recs = [(u, t, bytes(h))
+                for u, t, h in zip(pdf["url"], pdf["ts"], pdf["html"])]
+        return pd.DataFrame({
+            "warc_id": [int(pdf["grp"].iloc[0])],
+            "content": [make_warc(recs, gzip_records=True)],
+        })
+
+    timed("warc_extract", lambda: _noop(parse_and_extract(warc_to_pages(
+        wpages.groupBy("grp").applyInPandas(
+            _build_warc, "warc_id bigint, content binary"
+        )
+    ))))
     return n_docs, timings
 
 
