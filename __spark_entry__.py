@@ -831,6 +831,41 @@ def _q_warc_extract(spark, sf_dir):
     return parse_and_extract(warc_to_pages(warcs)).select("url", "text")
 
 
+def _q_html_extract_cp1252(spark, sf_dir):
+    # legacy-encoding crawl gate: pages html gets " —“é”" injected
+    # before </h1> and is re-encoded as REAL windows-1252 bytes (0x97,
+    # 0x93, 0xE9, 0x94 — invalid UTF-8, no meta declaration), so
+    # encoding="sniff" must take the cp1252 fallback and decode to
+    # codepoint-identical text; the oracle injects the same marker
+    # after the title line (first-newline regexp_replace)
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.operators.parse import parse_and_extract
+
+    def fn(batches):
+        for b in batches:
+            urls = b.column(0).to_pylist()
+            htmls = b.column(1).to_pylist()
+            enc = [
+                h.replace("</h1>", " —“é”</h1>")
+                .encode("cp1252")
+                for h in htmls
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"url": urls, "html": enc},
+                schema=pa.schema(
+                    [("url", pa.string()), ("html", pa.binary())]
+                ),
+            )
+
+    pages = (
+        _pages(spark, sf_dir)
+        .select("url", "html")
+        .mapInArrow(fn, "url string, html binary")
+    )
+    return parse_and_extract(pages, encoding="sniff").select("url", "text")
+
+
 def _q_text_lm_score(spark, sf_dir):
     # CCNet-style LM quality score: the doc_id%10 subset plays the
     # trusted reference corpus, the rest get scored against it
@@ -945,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_text_tfidf,
         "text_lm_score": _q_text_lm_score,
         "warc_extract": _q_warc_extract,
+        "html_extract_cp1252": _q_html_extract_cp1252,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -972,10 +1008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_raster_features": _q_media_raster_features,
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
-        "text_pack_sequences": _q_text_pack,
         # ---- 50-row window boundary ----
-        # r5 tail: 24 long-stable queries, all green in CORRECTNESS_r04
+        # r5 tail: 25 long-stable queries, all green in CORRECTNESS_r04
         # and re-verified via tools/oracle_check.py this round
+        "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
         "text_scrub_pii": _q_text_scrub_pii,
@@ -1208,6 +1244,13 @@ FROM w
         # roundtrip losslessness: the WARC gate shares the extraction
         # oracle — any reader deviation breaks the value hash
         "warc_extract": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        # cp1252 sniff gate: same extraction oracle with the h1 marker
+        # injected after the title line (first \n only — no 'g' flag)
+        "html_extract_cp1252": (
+            f"WITH {_DUCK_PAGES} SELECT url, "
+            "regexp_replace(text, chr(10), ' —“é”' || chr(10)) AS text "
+            "FROM pages"
+        ),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"
         ),

@@ -63,6 +63,16 @@ def _to_text(v) -> str:
     return v
 
 
+def _to_text_sniff(v) -> str:
+    """Lenient crawl decode: BOM → meta prescan → UTF-8 → windows-1252
+    (parser/encoding.py). Never raises; str input passes through."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        from ..parser.encoding import sniff_decode
+
+        return sniff_decode(bytes(v))[0]
+    return v
+
+
 def parse_and_extract(
     df: DataFrame,
     url_col: str = "url",
@@ -71,6 +81,7 @@ def parse_and_extract(
     max_nodes: int = DEFAULT_MAX_NODES,
     max_depth: int = DEFAULT_MAX_DEPTH,
     passthrough_cols: tuple[str, ...] = (),
+    encoding: str = "strict",
 ) -> DataFrame:
     """pages(url, html, ...) → parsed(url, error, text, title, links,
     metrics..., tree_json?).
@@ -80,7 +91,14 @@ def parse_and_extract(
     ``passthrough_cols`` names extra input columns to carry through the
     Python stage verbatim (they ride the same Arrow batch — no rejoin;
     e.g. ``("warc_ts",)`` for event-time streaming downstream). The
-    default stays the 2-column pruned boundary."""
+    default stays the 2-column pruned boundary.
+    ``encoding="strict"`` (default) is the reference contract: binary
+    html must be valid UTF-8, anything else is the typed UTF8_ERROR
+    row. ``encoding="sniff"`` is the crawl mode: BOM → <meta charset>
+    prescan → UTF-8 attempt → windows-1252 fallback (WHATWG chain,
+    parser/encoding.py) — legacy cp1252/latin-1 pages decode instead of
+    becoming error rows; output schema is unchanged."""
+    decode = _to_text if encoding == "strict" else _to_text_sniff
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -98,7 +116,7 @@ def parse_and_extract(
             }
             for html in htmls:
                 try:
-                    text_in = _to_text(html) if html is not None else ""
+                    text_in = decode(html) if html is not None else ""
                     builder = parse_document(
                         text_in, max_nodes=max_nodes, max_depth=max_depth
                     )

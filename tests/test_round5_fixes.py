@@ -795,3 +795,57 @@ def test_warc_to_pages_error_rows(spark):
     bad = {r.warc_id: r.error for r in got if r.error is not None}
     assert len(ok) == 2 and all(r.warc_id == 1 for r in ok)
     assert set(bad) == {2, 3}
+
+
+# -- WHATWG encoding sniffing (opt-in crawl decode) -------------------------
+
+def test_sniff_decode_chain():
+    from html5ever_elixir_spark.parser.encoding import sniff_decode
+
+    assert sniff_decode("abcé".encode("utf-8")) == ("abcé", "utf-8")
+    # BOMs win over everything
+    assert sniff_decode(b"\xef\xbb\xbfhi") == ("hi", "utf-8")
+    assert sniff_decode("hé".encode("utf-16-le")[0:].join(
+        [b"\xff\xfe", b""])) == ("hé", "utf-16-le")
+    assert sniff_decode(b"\xfe\xff" + "hé".encode("utf-16-be")) == (
+        "hé", "utf-16-be")
+    # meta-declared latin-1 → windows-1252 per the label table
+    t, e = sniff_decode(
+        b'<meta charset="iso-8859-1"><p>caf\xe9 \x97 \x93q\x94</p>')
+    assert e == "windows-1252" and "café" in t and "—" in t
+    # http-equiv form
+    t, e = sniff_decode(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1252"><p>\x85</p>')
+    assert e == "windows-1252" and "…" in t
+    # declared utf-8 with invalid bytes → replacement, never an error
+    t, e = sniff_decode(b'<meta charset=utf-8><p>\xff</p>')
+    assert e == "utf-8" and "�" in t
+    # meta-declared utf-16 is treated as utf-8 (spec 13.2.3.2)
+    t, e = sniff_decode(b'<meta charset=utf-16><p>ok</p>')
+    assert e == "utf-8" and "ok" in t
+    # unknown label falls through: invalid utf-8 → cp1252
+    t, e = sniff_decode(b'<meta charset=klingon><p>\x97</p>')
+    assert e == "windows-1252" and "—" in t
+    # undeclared invalid utf-8 → cp1252; C1 pass-through bytes survive
+    t, e = sniff_decode(b"a\x81b\x9dc\x80")
+    assert e == "windows-1252"
+    assert t == "a\x81b\x9dc€"
+
+
+def test_sniff_mode_decodes_strict_mode_errors(spark):
+    from html5ever_elixir_spark.operators.parse import parse_and_extract
+
+    rows = [(u, bytearray(h)) for u, h in [
+        ("u1", "<html><body><p>plain utf-8 é</p></body></html>".encode()),
+        ("u2", b"<html><body><p>legacy caf\xe9 \x93q\x94</p></body></html>"),
+    ]]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    strict = {r.url: r for r in parse_and_extract(df).collect()}
+    assert strict["u1"].error is None
+    assert strict["u2"].error is not None  # reference contract untouched
+    sniff = {r.url: r
+             for r in parse_and_extract(df, encoding="sniff").collect()}
+    assert sniff["u1"].text == strict["u1"].text
+    assert sniff["u2"].error is None
+    assert "café" in sniff["u2"].text and "“q”" in sniff["u2"].text
