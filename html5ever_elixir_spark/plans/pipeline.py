@@ -111,8 +111,11 @@ def run_extraction_pipeline(
     n_buckets: int = 64,
     n_groups: int = 4,
     resume: bool = True,
+    encoding: str = "strict",
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a summary dict.
+    ``encoding="sniff"`` enables the WHATWG crawl decode chain
+    (parser/encoding.py) instead of the strict-UTF-8 typed error.
 
     Output layout:
       {output_dir}/extracted/group=G/   parquet (url, error, text, …)
@@ -144,7 +147,7 @@ def run_extraction_pipeline(
         lo, hi = g * per_group, (g + 1) * per_group
         t0 = time.time()
         slice_df = deduped.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
-        parsed = parse_and_extract(slice_df).withColumn(
+        parsed = parse_and_extract(slice_df, encoding=encoding).withColumn(
             "host", host_of(F.col("url"))
         )
         out_path = os.path.join(output_dir, "extracted", f"group={g}")

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--groups", type=int, default=4)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--encoding", choices=["strict", "sniff"],
+                    default="strict",
+                    help="'sniff' = WHATWG BOM/meta-prescan/cp1252 "
+                         "crawl decode instead of strict-UTF-8 errors")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -78,6 +82,7 @@ def main():
         n_buckets=args.buckets,
         n_groups=args.groups,
         resume=not args.no_resume,
+        encoding=args.encoding,
     )
     print(json.dumps(summary))
     spark.stop()
