@@ -286,3 +286,41 @@ def stream_extract_curate(
     else:
         writer = writer.trigger(processingTime="30 seconds")
     return writer.start()
+
+
+def stream_warc_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    encoding: str = "sniff",
+    available_now: bool = True,
+):
+    """Continuous crawl-container ingest: a landing dir of parquet files
+    carrying raw WARC blobs (warc_id bigint, content binary — the shape
+    a fetch tier hands off), each micro-batch walking records out of
+    the containers (sources/warc.py) and parsing/extracting them.
+    ``encoding`` defaults to "sniff" — a live crawl is exactly where
+    legacy cp1252 pages appear. Exactly-once per blob via the
+    checkpoint; a WARC blob is the atomic unit of progress, matching
+    how crawl dumps land. Returns the StreamingQuery."""
+    from ..sources.warc import warc_to_pages
+
+    blobs = (
+        spark.readStream.schema("warc_id bigint, content binary")
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    pages = warc_to_pages(blobs).where("error IS NULL")
+    parsed = parse_and_extract(pages, encoding=encoding)
+    writer = (
+        parsed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="30 seconds")
+    return writer.start()

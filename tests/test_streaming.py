@@ -312,3 +312,46 @@ def test_stream_extract_curate_composition(spark, tmp_path):
     q2 = stream_extract_curate(spark, inp, out, ck, min_words=5)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_warc_extract_ingest_and_resume(spark, tmp_path):
+    from html5ever_elixir_spark.sources.warc import make_warc
+    from html5ever_elixir_spark.streaming.ingest import stream_warc_extract
+
+    inp = str(tmp_path / "warc_landing")
+    out = str(tmp_path / "warc_out")
+    ck = str(tmp_path / "warc_ck")
+
+    def land(batch_id, n, legacy=False):
+        recs = []
+        for i in range(n):
+            if legacy and i == 0:
+                html = (b"<html><body><p>legacy caf\xe9 \x93q\x94"
+                        b"</p></body></html>")
+            else:
+                html = (f"<html><body><p>doc {batch_id}-{i}</p>"
+                        "</body></html>").encode()
+            recs.append((f"https://s{batch_id}.example/p{i}",
+                         "2024-01-01T00:00:00Z", html))
+        blob = make_warc(recs, gzip_records=bool(batch_id % 2))
+        spark.createDataFrame(
+            [(batch_id, bytearray(blob))], "warc_id bigint, content binary"
+        ).write.mode("append").parquet(inp)
+
+    land(0, 5)
+    land(1, 4, legacy=True)
+    q = stream_warc_extract(spark, inp, out, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 9
+    legacy_row = first.where("url = 'https://s1.example/p0'").collect()[0]
+    # sniff mode: the cp1252 record decodes instead of erroring
+    assert legacy_row.error is None and "café" in legacy_row.text
+
+    # a new dump lands; the resumed stream processes ONLY it
+    land(2, 3)
+    q2 = stream_warc_extract(spark, inp, out, ck)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out)
+    assert again.count() == 12
+    assert again.select("url").distinct().count() == 12
