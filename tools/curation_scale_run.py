@@ -40,7 +40,10 @@ def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from html5ever_elixir_spark.plans.curation import run_curation
+    from html5ever_elixir_spark.plans.curation import (
+        run_curation,
+        run_curation_v2,
+    )
 
     loadavg_start = round(os.getloadavg()[0], 2)
     spark = (
@@ -71,12 +74,29 @@ def main():
     docs = spark.read.parquet(CORPUS)
     n_docs = docs.count()
 
+    # CURATION_V2=1: the full GPT-3-style flow (+13-gram decontaminate
+    # + PII scrub of survivors). The benchmark is an EXTERNAL eval set
+    # (sf0.01 documents ≈ the first 10% of the originals): on a
+    # REPLICATE-fold corpus an id-split benchmark would share text with
+    # every training doc by construction (each original's replicas
+    # cover all id residues) and decontamination would correctly drop
+    # 100% — measured; the external-suite shape drops ~10% instead,
+    # which is the realistic contamination profile
+    v2 = os.environ.get("CURATION_V2") == "1"
+    bench_dir = os.environ.get("SF_BENCH_DIR", "/root/testdata/sf0.01")
+
+    def run(d):
+        if v2:
+            bench = spark.read.parquet(f"{bench_dir}/documents.parquet")
+            return run_curation_v2(d, bench)
+        return run_curation(d)
+
     # warmup (codegen + python workers)
-    run_curation(docs.limit(256)).write.format("noop").mode("overwrite").save()
+    run(docs.limit(256)).write.format("noop").mode("overwrite").save()
 
     best = None
     for _ in range(2):
-        chunks = run_curation(docs)
+        chunks = run(docs)
         t0 = time.perf_counter()
         chunks.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -99,7 +119,7 @@ def main():
     except Exception as e:  # plan capture is best-effort evidence
         plan = f"(plan capture failed: {e})"
 
-    out_rows = run_curation(docs).count()
+    out_rows = run(docs).count()
     print(
         json.dumps(
             {
@@ -107,6 +127,7 @@ def main():
                 "replicate": REPLICATE,
                 "wall_sec_min_of_2": round(best, 3),
                 "docs_per_sec": round(n_docs / best, 1),
+                "v2": v2,
                 "n_chunks_out": out_rows,
                 "shuffle_write_bytes": shuffle_write,
                 "shuffle_read_bytes": shuffle_read,
