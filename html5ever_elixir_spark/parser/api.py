@@ -35,6 +35,68 @@ def parse_document(
     return builder
 
 
+def parse_fragment(
+    html: str,
+    context: str = "div",
+    context_attrs: tuple = (),
+    max_nodes: int | None = None,
+    max_depth: int | None = None,
+) -> TreeBuilder:
+    """WHATWG §13.4 HTML fragment parsing — the innerHTML algorithm.
+    (Not in the reference's public API — lib/html5ever.ex exposes only
+    whole-document parse/flat_parse — but it is the other half of the
+    html5ever crate's surface and what fragment-context html5lib tests
+    exercise.)
+
+    ``context`` is the context element: an HTML tag name ("div",
+    "template", "textarea", …) or a namespaced pair ("svg title",
+    "math ms"). Setup per spec: the context element is created DETACHED
+    (it stands in for reset-insertion-mode and the adjusted current
+    node, and is never part of the output); a root <html> element is
+    appended to the document and the fragment's nodes are its children
+    (``builder.fragment_root.children``). Tokenizer starts in the
+    context-appropriate state (RCDATA/RAWTEXT/script data/PLAINTEXT),
+    with the context name as the "appropriate end tag". Node ids: doc=0,
+    context=1, root=2, then creation order."""
+    from .dom import HTML_NS, MATHML_NS, SVG_NS
+    from .tokenizer import PLAINTEXT, RAWTEXT, RCDATA, SCRIPT_DATA
+    from .treebuilder import M_IN_TEMPLATE
+
+    builder = TreeBuilder(max_nodes=max_nodes, max_depth=max_depth)
+    ns, name = HTML_NS, context
+    if " " in context:
+        prefix, name = context.split(" ", 1)
+        ns = {"svg": SVG_NS, "math": MATHML_NS}[prefix]
+    ctx = builder._create_element(name, [list(a) for a in context_attrs], ns)
+    builder.fragment_context = ctx
+    root = builder._create_element("html", [])
+    builder.doc.append_child(root)
+    builder.open.append(root)
+    if ns == HTML_NS and name == "template":
+        builder.template_modes.append(M_IN_TEMPLATE)
+    builder._reset_mode()
+    if ns == HTML_NS and name == "form":
+        builder.form = ctx
+    tokenizer = Tokenizer(html, builder)
+    if ns == HTML_NS:
+        state = {
+            "title": RCDATA, "textarea": RCDATA,
+            "style": RAWTEXT, "xmp": RAWTEXT, "iframe": RAWTEXT,
+            "noembed": RAWTEXT, "noframes": RAWTEXT,
+            # scripting enabled (html5ever default) → noscript is RAWTEXT
+            "noscript": RAWTEXT,
+            "script": SCRIPT_DATA,
+            "plaintext": PLAINTEXT,
+        }.get(name)
+        if state is not None:
+            tokenizer.state = state
+            tokenizer.last_start = name
+    builder.tokenizer = tokenizer
+    builder.fragment_root = root
+    tokenizer.run()
+    return builder
+
+
 def _decode(data) -> str:
     """UTF-8 gate (reference lib.rs:27-30): bytes must be valid UTF-8;
     str input is accepted as-is (already decoded)."""

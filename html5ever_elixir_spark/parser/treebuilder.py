@@ -242,6 +242,11 @@ class TreeBuilder:
         self.done = False
         self.parse_errors = 0
         self.tokenizer = None  # set by api.parse_document
+        # §13.4 fragment parsing: the (detached) context element; set by
+        # api.parse_fragment before any token is processed. Drives the
+        # reset-insertion-mode fragment case and the adjusted current
+        # node of the foreign-content dispatch.
+        self.fragment_context: "Node | None" = None
 
     # -- node factory (ids in creation order, reference arena_sink.rs:165-170)
 
@@ -685,6 +690,10 @@ class TreeBuilder:
         for i in range(len(self.open) - 1, -1, -1):
             node = self.open[i]
             last = i == 0
+            if last and self.fragment_context is not None:
+                # fragment case (§13.2.4.1 step 2): the context element
+                # stands in for the bottom of the stack
+                node = self.fragment_context
             name = node.name if node.namespace == HTML_NS else None
             if name == "select":
                 mode = M_IN_SELECT
@@ -2225,6 +2234,11 @@ class TreeBuilder:
         if not self.open:
             return False
         node = self.open[-1]
+        if len(self.open) == 1 and self.fragment_context is not None:
+            # adjusted current node (§13.2.6.1): in fragment parsing the
+            # context element is the adjusted current node while only
+            # the root <html> is on the stack
+            node = self.fragment_context
         if node.namespace == HTML_NS:
             return False
         t = tok[0]
@@ -2271,17 +2285,25 @@ class TreeBuilder:
             )
             if breakout:
                 self.parse_errors += 1
-                while self.open:
-                    node = self.open[-1]
-                    if (
-                        node.namespace == HTML_NS
-                        or self._is_mathml_text_ip(node)
-                        or self._is_html_ip(node)
-                    ):
-                        break
-                    self.open.pop()
-                return tok
+                # fragment case (§13.2.6.5): a fragment parser NEVER
+                # breaks out — the tag is inserted as an ordinary
+                # foreign element (still a parse error)
+                if self.fragment_context is None:
+                    while self.open:
+                        node = self.open[-1]
+                        if (
+                            node.namespace == HTML_NS
+                            or self._is_mathml_text_ip(node)
+                            or self._is_html_ip(node)
+                        ):
+                            break
+                        self.open.pop()
+                    return tok
             ns = self.open[-1].namespace
+            if len(self.open) == 1 and self.fragment_context is not None:
+                # adjusted current node: inherit the CONTEXT namespace
+                # while only the root <html> is on the stack
+                ns = self.fragment_context.namespace
             if ns == SVG_NS:
                 name = SVG_TAG_ADJUST.get(name, name)
                 attrs = _adjust_svg_attrs([list(a) for a in tok[2]])

@@ -849,3 +849,40 @@ def test_sniff_mode_decodes_strict_mode_errors(spark):
     assert sniff["u1"].text == strict["u1"].text
     assert sniff["u2"].error is None
     assert "café" in sniff["u2"].text and "“q”" in sniff["u2"].text
+
+
+# -- §13.4 fragment parsing (innerHTML algorithm) ---------------------------
+
+def test_parse_fragment_api_basics():
+    from html5ever_elixir_spark.parser.api import parse_fragment
+
+    b = parse_fragment("<p>one<p>two", "div")
+    kids = b.fragment_root.children
+    assert [k.name for k in kids] == ["p", "p"]
+    # ids: doc=0, detached context=1, root=2, then creation order
+    assert b.doc.id == 0 and b.fragment_context.id == 1
+    assert b.fragment_root.id == 2 and kids[0].id == 3
+    # the context element is NOT part of the output tree
+    assert b.fragment_context.parent is None
+
+
+def test_parse_fragment_rcdata_context_end_tag():
+    from html5ever_elixir_spark.parser.api import parse_fragment
+
+    # the "appropriate end tag" in RCDATA is the CONTEXT element's name
+    b = parse_fragment("x</textarea>y", "textarea")
+    kids = b.fragment_root.children
+    # </textarea> exits RCDATA; "y" lands after it in body mode
+    assert kids[0].type == "text" and kids[0].contents == "xy"
+
+
+def test_parse_fragment_budget_still_enforced():
+    import pytest
+
+    from html5ever_elixir_spark.parser.api import parse_fragment
+    from html5ever_elixir_spark.parser.treebuilder import (
+        ParseBudgetExceeded,
+    )
+
+    with pytest.raises(ParseBudgetExceeded):
+        parse_fragment("<i>" * 2000, "div", max_depth=100)

@@ -134,17 +134,35 @@ def parse_dat(text: str):
     return out
 
 
+def serialize_fragment(root) -> str:
+    """Serialize a fragment (the children of the fragment root) in
+    html5lib-tests notation — fragment children print at depth 0."""
+
+    class _FragmentDoc:
+        type = "document"
+        children = root.children
+
+    return serialize(_FragmentDoc())
+
+
 def run_file(path: str | Path):
     """Return (passes, failures) where failures is a list of
-    (data, expected, got)."""
-    from html5ever_elixir_spark.parser.api import parse_document
+    (data, expected, got). ``#document-fragment`` cases run through
+    the §13.4 fragment algorithm (r5; context string is the html5lib
+    form: a tag name or "svg name"/"math name")."""
+    from html5ever_elixir_spark.parser.api import parse_document, parse_fragment
 
     passes = 0
     failures = []
     for case in parse_dat(Path(path).read_text()):
-        if case["fragment"] is not None or case["script"] == "#script-on":
-            continue  # no fragment API (reference has none either)
-        got = serialize(parse_document(case["data"]).doc)
+        if case["script"] == "#script-on":
+            continue
+        if case["fragment"] is not None:
+            got = serialize_fragment(
+                parse_fragment(case["data"], case["fragment"]).fragment_root
+            )
+        else:
+            got = serialize(parse_document(case["data"]).doc)
         if got == case["document"]:
             passes += 1
         else:
