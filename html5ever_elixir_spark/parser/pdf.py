@@ -549,11 +549,13 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     # first /ID element (hex form; missing ID → empty string, matching
     # viewers' leniency for ID-less encrypted files)
     idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
-    id0 = (
-        bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
-        if idm
-        else b""
-    )
+    if idm:
+        idh = re.sub(rb"\s", b"", idm.group(1))
+        if len(idh) % 2:  # PDF hex strings pad a missing final digit
+            idh += b"0"
+        id0 = bytes.fromhex(idh.decode("ascii"))
+    else:
+        id0 = b""
     p_bytes = struct.pack("<i", int(pm.group(1)))
     key = md5(_PW_PAD + o[:32] + p_bytes + id0).digest()[:n]
     if r >= 3:
@@ -1151,6 +1153,8 @@ def _glyph_to_unicode(name: str) -> str:
 
 
 def _utf16_hex(h: bytes) -> str:
+    if len(h) % 2:  # odd digit count: pad per the PDF hex-string rule
+        h += b"0"
     raw = bytes.fromhex(h.decode("ascii")) if h else b""
     return raw.decode("utf-16-be", errors="replace")
 

@@ -886,3 +886,33 @@ def test_parse_fragment_budget_still_enforced():
 
     with pytest.raises(ParseBudgetExceeded):
         parse_fragment("<i>" * 2000, "div", max_depth=100)
+
+
+def test_odd_length_hex_never_escapes():
+    from html5ever_elixir_spark.parser.pdf import (
+        PdfError,
+        encrypt_pdf_rc4,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    # odd-digit /ID (mutated trailer) and odd-digit ToUnicode codes must
+    # stay inside the PdfError/extraction contract (extended-fuzz find:
+    # bytes.fromhex raised raw ValueError on odd length)
+    enc = encrypt_pdf_rc4(make_simple_pdf(["x"]))
+    mut = enc.replace(b"/ID [<", b"/ID [<a", 1)
+    try:
+        extract_pdf_text(mut)
+    except PdfError:
+        pass
+    cmap = (b"begincmap\n1 beginbfchar\n<41> <063>\nendbfchar\nendcmap\n")
+    from tests.test_pdf_fonts import _font_pdf, _obj, _stream_obj
+    import zlib as _z
+
+    fonts = _obj(5, b"<< /Type /Font /ToUnicode 6 0 R >>") + _stream_obj(
+        6, _z.compress(cmap), b" /Filter /FlateDecode"
+    )
+    text, _ = extract_pdf_text(
+        _font_pdf(b"BT /F1 10 Tf (A) Tj ET", fonts, b"/F1 5 0 R")
+    )
+    assert isinstance(text, str)
