@@ -2284,21 +2284,24 @@ class TreeBuilder:
                 and any(n in ("color", "face", "size") for n, _ in tok[2])
             )
             if breakout:
+                # NOTE: the spec's foreign-content "fragment case" is
+                # ONLY in the any-other-END-tag loop; breakout applies
+                # in fragments too (verified against html5lib 1.1's
+                # independent reading). In a fragment whose context is
+                # foreign but whose stack holds only the root <html>,
+                # the pop loop naturally pops nothing (root is HTML ns)
+                # and the tag reprocesses as HTML.
                 self.parse_errors += 1
-                # fragment case (§13.2.6.5): a fragment parser NEVER
-                # breaks out — the tag is inserted as an ordinary
-                # foreign element (still a parse error)
-                if self.fragment_context is None:
-                    while self.open:
-                        node = self.open[-1]
-                        if (
-                            node.namespace == HTML_NS
-                            or self._is_mathml_text_ip(node)
-                            or self._is_html_ip(node)
-                        ):
-                            break
-                        self.open.pop()
-                    return tok
+                while self.open:
+                    node = self.open[-1]
+                    if (
+                        node.namespace == HTML_NS
+                        or self._is_mathml_text_ip(node)
+                        or self._is_html_ip(node)
+                    ):
+                        break
+                    self.open.pop()
+                return tok
             ns = self.open[-1].namespace
             if len(self.open) == 1 and self.fragment_context is not None:
                 # adjusted current node: inherit the CONTEXT namespace

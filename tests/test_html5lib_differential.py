@@ -1,0 +1,224 @@
+"""Differential gate against html5lib 1.1 — an INDEPENDENT HTML5 spec
+implementation (vendored inside pip on this machine; the public
+html5lib-tests corpus itself is network-blocked, so a second
+implementation is the strongest available external check).
+
+6,000 seeded random tag-soup documents over a 97-token alphabet
+(formatting, tables, foster triggers, foreign content, rawtext,
+framesets, charrefs, doctype) are parsed by BOTH engines and the
+serialized trees compared. 5,940 agree byte-for-byte. The 59
+disagreements were hand-triaged; every one is an html5lib-1.1
+divergence from the current spec, bucketed three ways:
+
+1. frameset whitespace (39): spec "in frameset" inserts whitespace
+   characters; html5lib drops the whole mixed character run.
+2. elements inside rawtext (13): html5lib reconstructs active
+   formatting INSIDE foster-parented textarea/title/style elements;
+   RCDATA/RAWTEXT elements can only contain text, so any tree with an
+   element child there is wrong regardless of the other engine.
+3. seven pinned inputs (by md5) where html5lib's end-tag walk / scope
+   handling departs from the spec letter — e.g. a ``</math>`` with no
+   math open pops through non-special elements (spec: walk without
+   popping, ignore at the first special non-match), a fostered
+   ``<dt>`` dropped entirely, a ``<dd>`` inserted as a DIRECT child of
+   table (foster parenting forbids that shape).
+
+html5lib's FRAGMENT mode is substantially less spec-conformant (e.g.
+it pops table-section elements on an ignored ``<table>`` and loses
+rawtext content after integration points), so the fragment algorithm
+is gated by the reviewed batch27/28 conformance cases instead of a
+fragment differential.
+"""
+
+import hashlib
+import random
+import re
+from pathlib import Path
+
+import pytest
+
+_VENDOR_PATHS = [
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/site-packages/pip/_vendor",
+    "/root/.pyenv/versions/3.6.15/lib/python3.6/site-packages/pip/_vendor",
+]
+
+
+def _load_html5lib():
+    import sys
+
+    for p in _VENDOR_PATHS:
+        if Path(p, "html5lib").is_dir():
+            if p not in sys.path:
+                sys.path.insert(0, p)
+            try:
+                import html5lib  # noqa: F401
+
+                return html5lib
+            except Exception:  # pragma: no cover - vendored copy broken
+                continue
+    return None
+
+
+html5lib = _load_html5lib()
+
+pytestmark = pytest.mark.skipif(
+    html5lib is None, reason="no vendored html5lib available"
+)
+
+_NS = {
+    "http://www.w3.org/1999/xhtml": "",
+    "http://www.w3.org/2000/svg": "svg ",
+    "http://www.w3.org/1998/Math/MathML": "math ",
+}
+
+# html5lib-1.1 divergences from the current spec, hand-triaged (see
+# module docstring #3); keyed by md5 of the input
+KNOWN_DIVERGENT = {
+    "5f07ad55cee93aad", "b284da820610809c", "a66f1981c5c0f150",
+    "f095e65507cefea4", "2a72045ab381b7a3", "c3f95a4a896e62a5",
+    "422cf0036877ff0e",
+}
+
+ALPHABET = [
+    "<div>", "</div>", "<span>", "</span>", "<b>", "</b>", "<i>", "</i>",
+    "<p>", "</p>", "<table>", "</table>", "<tr>", "<td>", "</td>", "<li>",
+    "<ul>", "</ul>", "<a href=x>", "</a>", "text ", "<svg>", "</svg>",
+    "<math>", "</math>", "<mi>", "<g>", "<h1>", "</h2>", "<em>", "words",
+    "<!--c-->", "&amp;", "&notin;", "<select>", "<option>", "</select>",
+    "<dl>", "<dt>", "<dd>", "<button>", "</button>", "<nobr>", "<u>", "x",
+    "<!doctype html>", "<caption>", "<colgroup>", "<col>", "<tbody>",
+    "<thead>", "</table>", "<style>", "</style>", "<title>", "</title>",
+    "<textarea>", "</textarea>", "<pre>", "</pre>", "<blockquote>",
+    "<marquee>", "</marquee>", "<applet>", "</applet>", "<object>",
+    "</object>", "<form>", "</form>", "<input>", "<img src=i>", "<br>",
+    "<hr>", "<center>", "</center>", "<font size=2>", "</font>",
+    "<strike>", "</strike>", "<tt>", "é", "<desc>", "<foreignObject>",
+    "<annotation-xml>", "<ms>", "<mtext>", "&#x41;", "&#000;", "<frameset>",
+    "<frame>", "</frameset>", "<noframes>", "</noframes>", "<big>",
+    "<small>", "<code>", "</code>", "<ruby>", "<rt>", "<rp>", "</ruby>",
+]
+
+
+def _ser_dom(doc) -> str:
+    """Serialize an html5lib minidom tree in html5lib-tests notation,
+    merging adjacent text nodes (their DOM builder leaves interleaved
+    insertions unmerged; the spec's insert-character appends to an
+    existing text node)."""
+    from xml.dom import Node as DN
+
+    lines = []
+
+    def walk(node, depth):
+        pad = "| " + "  " * depth
+        run = []
+
+        def flush():
+            if run:
+                lines.append(f'{pad}"{"".join(run)}"')
+                run.clear()
+
+        for ch in node.childNodes:
+            t = ch.nodeType
+            if t == DN.TEXT_NODE:
+                run.append(ch.data)
+                continue
+            flush()
+            if t == DN.ELEMENT_NODE:
+                lines.append(
+                    f"{pad}<{_NS.get(ch.namespaceURI, '?')}{ch.localName}>"
+                )
+                attrs = []
+                if ch.attributes:
+                    for i in range(ch.attributes.length):
+                        a = ch.attributes.item(i)
+                        an = (
+                            a.localName
+                            if a.prefix is None
+                            else f"{a.prefix} {a.localName}"
+                        )
+                        attrs.append((an, a.value))
+                for an, av in sorted(attrs):
+                    lines.append(f'{pad}  {an}="{av}"')
+                walk(ch, depth + 1)
+            elif t == DN.COMMENT_NODE:
+                lines.append(f"{pad}<!-- {ch.data} -->")
+            elif t == DN.DOCUMENT_TYPE_NODE:
+                lines.append(f"{pad}<!DOCTYPE {ch.name}>")
+        flush()
+
+    walk(doc, 0)
+    return "\n".join(lines)
+
+
+_WS_TEXT = re.compile(r'^\| +"\s*"$')
+_ELEM = re.compile(r"^\| +<")
+_RAW = re.compile(
+    r"^\| +<(textarea|title|style|script|noframes|noscript|iframe|"
+    r"noembed|xmp|plaintext)>$"
+)
+
+
+def _strip_ws_text(tree: str) -> str:
+    return "\n".join(
+        ln for ln in tree.splitlines() if not _WS_TEXT.match(ln)
+    )
+
+
+def _depth(ln: str) -> int:
+    return (len(ln) - len(ln[2:].lstrip()) - 2) // 2
+
+
+def _elem_in_rawtext(tree: str) -> bool:
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if not _RAW.match(ln):
+            continue
+        d = _depth(ln)
+        for nxt in lines[i + 1 :]:
+            if _depth(nxt) <= d:
+                break
+            if _ELEM.match(nxt):
+                return True
+    return False
+
+
+def test_document_differential_vs_html5lib():
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(42)
+    n_agree = n_c1 = n_c2 = n_pinned = n_skip = 0
+    unexplained = []
+    for _ in range(6000):
+        s = "".join(
+            rng.choice(ALPHABET) for _ in range(rng.randint(1, 50))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            n_skip += 1  # html5lib crashes on some table inputs
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            n_agree += 1
+            continue
+        if "<frameset" in s and _strip_ws_text(mine) == _strip_ws_text(
+            theirs
+        ):
+            n_c1 += 1  # their dropped frameset whitespace
+            continue
+        if _elem_in_rawtext(theirs) and not _elem_in_rawtext(mine):
+            n_c2 += 1  # their formatting inside rawtext
+            continue
+        if hashlib.md5(s.encode()).hexdigest()[:16] in KNOWN_DIVERGENT:
+            n_pinned += 1
+            continue
+        unexplained.append((s, mine, theirs))
+    # the agreement floor guards against the classifiers silently
+    # eating real regressions
+    assert n_agree >= 5900, (n_agree, n_c1, n_c2, n_pinned, n_skip)
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained divergence(s); first: "
+        f"{unexplained[0][0]!r}\nMINE:\n{unexplained[0][1]}\n"
+        f"H5LIB:\n{unexplained[0][2]}"
+    )
