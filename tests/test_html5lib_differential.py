@@ -222,3 +222,87 @@ def test_document_differential_vs_html5lib():
         f"{unexplained[0][0]!r}\nMINE:\n{unexplained[0][1]}\n"
         f"H5LIB:\n{unexplained[0][2]}"
     )
+
+
+ENTITY_ALPHABET = [
+    "&amp;", "&amp", "&ampx", "&notin;", "&notin", "&not;", "&notx", "&lt;",
+    "&gt", "&#65;", "&#x41;", "&#X41;", "&#0;", "&#xD800;", "&#x10FFFF;",
+    "&#1114112;", "&#x2F;", "&bogus;", "&", "&;", "&#", "&#x", "&aacute",
+    "&AMP;", "&AMP", "&Ampersand;", "text", "<p>", "</p>",
+    '<div title="&amp=x">', "<div title='&ampy'>",
+    '<a href="?a=b&amp;c=d">', "</a>", "<b>", "</b>",
+]
+
+ATTR_ALPHABET = [
+    "<div a=b>", "<div a = b >", "<div a='x y'>", '<div a="1" a="2">',
+    "<div a>", "<div =x>", "<div a==b>", '<div a"b=c>', "<div a=b c>",
+    "<div/>", "<br/>", "<br/ x>", "<input type=hidden>", "<img src=i alt>",
+    "x", "</div>", "<span id=s class='c d'>", "</span>",
+    "<p data-x='&amp;'>", "</p>", "<a href= >", "<b class= x>", "</b>",
+    "<td colspan=2>", "<table>", "</table>", "<tr>", "<foo bar=baz>",
+    "</foo>", "<svg viewBox='0 0 1 1'>", "</svg>", "<div a$b=c>",
+    "<div 'a'=b>",
+]
+
+# attr-sweep html5lib-1.1 divergences, hand-triaged (seed 3003): all in
+# the two families shrunk to minimal repros during triage —
+# (a) `<table><li><li>` puts the second li INSIDE the table in html5lib
+#     (the dd/dt/li close-then-insert loop skips foster parenting there;
+#     foster parenting exists precisely to forbid that shape), and
+# (b) adoption-agency inner-loop counter: current spec REMOVES an AFE
+#     entry once the inner loop counter exceeds 3 (rt=1, strike=2, ms=3,
+#     tt=4 → dropped); html5lib 1.1 implements the pre-counter algorithm
+#     and clones it. Also `</p>` arriving in foreign content: the spec
+#     walk reaches an HTML-namespace ancestor and processes the token by
+#     HTML rules AT THE CURRENT (foreign) insertion point; html5lib
+#     relocates it.
+KNOWN_DIVERGENT_ATTRS = {
+    "b9f2452228f8d0a5", "4c1cb1b4b815b82a",
+    "5d121fae795d319a", "5751001530c8e2b9",
+}
+
+
+def _sweep(seed, n, alphabet, pinned):
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(seed)
+    agree = skipped = npin = 0
+    unexplained = []
+    for _ in range(n):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 50)))
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+        elif hashlib.md5(s.encode()).hexdigest()[:16] in pinned:
+            npin += 1
+        else:
+            unexplained.append((s, mine, theirs))
+    return agree, npin, skipped, unexplained
+
+
+def test_entity_differential_vs_html5lib():
+    # charref-heavy inputs: named refs ± semicolons, the attribute
+    # legacy rule, numeric refs incl. NUL/surrogate/out-of-range —
+    # 8,000/8,000 byte-identical (no divergence classes needed at all)
+    agree, _, skipped, unexplained = _sweep(
+        2002, 8000, ENTITY_ALPHABET, set()
+    )
+    assert not unexplained, unexplained[:1]
+    assert agree >= 7990, (agree, skipped)
+
+
+def test_attribute_differential_vs_html5lib():
+    agree, npin, skipped, unexplained = _sweep(
+        3003, 8000, ATTR_ALPHABET, KNOWN_DIVERGENT_ATTRS
+    )
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained; first: {unexplained[0][0]!r}\n"
+        f"MINE:\n{unexplained[0][1]}\nH5LIB:\n{unexplained[0][2]}"
+    )
+    assert agree >= 7990, (agree, npin, skipped)
