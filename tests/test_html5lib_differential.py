@@ -28,6 +28,16 @@ it pops table-section elements on an ignored ``<table>`` and loses
 rawtext content after integration points), so the fragment algorithm
 is gated by the reviewed batch27/28 conformance cases instead of a
 fragment differential.
+
+An exploratory adoption-agency-heavy sweep (8,000 trials over a
+formatting-tag alphabet) was triaged but NOT added to CI: html5lib 1.1
+implements the pre-2014 adoption agency (no inner-loop-counter AFE
+removal), so deep formatting chains diverge by algorithm generation
+(~3% of trials), not by bug — every shrunk repro showed this engine
+producing the current spec's counter-removal signature (e.g.
+``<em><s><a><code><u><div></em>``: the 4th inner-loop node ``s`` is
+REMOVED from the list, html5lib clones it). The committed alphabets
+trigger AA shallowly enough that 7 pins cover it.
 """
 
 import hashlib
