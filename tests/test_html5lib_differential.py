@@ -192,6 +192,45 @@ def _elem_in_rawtext(tree: str) -> bool:
     return False
 
 
+# legitimate DIRECT children of <table> after tree construction:
+# table sections/caption/colgroup, the in-table special cases (form,
+# hidden input, and the in-head-processed script/style/template), plus
+# comments and whitespace text. tr/td/option/button/li/... can never
+# land there — the spec's in-table "anything else" fosters them BEFORE
+# the table. An engine producing one has lost foster parenting.
+_TABLE_OK = {
+    "table": {
+        "caption", "colgroup", "col", "thead", "tbody", "tfoot", "form",
+        "input", "script", "style", "template",
+    },
+    # tree construction wraps stray rows in tbody; sections hold rows
+    "tbody": {"tr", "script", "style", "template", "form", "input"},
+    "thead": {"tr", "script", "style", "template", "form", "input"},
+    "tfoot": {"tr", "script", "style", "template", "form", "input"},
+    "tr": {"td", "th", "script", "style", "template", "form", "input"},
+}
+
+
+def _illegal_table_child(tree: str) -> bool:
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        m0 = re.match(r"^\| +<(table|tbody|thead|tfoot|tr)>$", ln)
+        if not m0:
+            continue
+        allowed = _TABLE_OK[m0.group(1)]
+        d = _depth(ln)
+        for nxt in lines[i + 1 :]:
+            nd = _depth(nxt)
+            if nd <= d:
+                break
+            if nd != d + 1:
+                continue
+            m = re.match(r"^\| +<([a-z0-9-]+)>$", nxt)
+            if m and m.group(1) not in allowed:
+                return True
+    return False
+
+
 def test_document_differential_vs_html5lib():
     from html5ever_elixir_spark.parser.api import parse_document
     from tests.treeconstruction_harness import serialize
@@ -316,3 +355,56 @@ def test_attribute_differential_vs_html5lib():
         f"MINE:\n{unexplained[0][1]}\nH5LIB:\n{unexplained[0][2]}"
     )
     assert agree >= 7990, (agree, npin, skipped)
+
+
+# NOTE: no <button> here — html5lib additionally DROPS the second of
+# two fostered buttons outright (<table><button><button> yields one
+# button in their tree; the spec's close-then-insert always produces an
+# element), a family too frequent in a button-bearing alphabet to pin.
+# Button-in-table coverage rides the main ALPHABET sweep instead.
+SELECT_ALPHABET = [
+    "<select>", "</select>", "<option>", "</option>", "<optgroup>",
+    "</optgroup>", "<input>", "<keygen>", "<textarea>", "</textarea>",
+    "<form>", "</form>", "<label>", "</label>",
+    "<fieldset>", "</fieldset>", "<legend>", "</legend>", "<datalist>",
+    "</datalist>", "<output>", "</output>", "x", "y ", "<table>",
+    "</table>", "<td>", "<tr>", "<p>", "</p>", "<div>", "</div>",
+    "<hr>", "<select multiple>", "<option selected>", "<input type=submit>",
+]
+
+
+def test_select_form_differential_vs_html5lib():
+    # form-control & select-mode inputs; every divergence here shrinks
+    # to the SAME html5lib foster-parenting loss family (e.g.
+    # <table><option><option>: their second option lands INSIDE the
+    # table — option/button/li can never be table children per spec),
+    # so the illegal-table-child classifier covers them structurally
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(5005)
+    agree = n_c3 = skipped = 0
+    unexplained = []
+    for _ in range(8000):
+        s = "".join(
+            rng.choice(SELECT_ALPHABET) for _ in range(rng.randint(1, 50))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+        elif _illegal_table_child(theirs) and not _illegal_table_child(
+            mine
+        ):
+            n_c3 += 1
+        else:
+            unexplained.append((s, mine, theirs))
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained; first: {unexplained[0][0]!r}\n"
+        f"MINE:\n{unexplained[0][1]}\nH5LIB:\n{unexplained[0][2]}"
+    )
+    assert agree >= 7800, (agree, n_c3, skipped)
