@@ -733,6 +733,7 @@ from html5ever_elixir_spark.functions.url import oracle_filter_blocked_sql
 _URL_BLOCKLIST_ORACLE = oracle_filter_blocked_sql(
     pages_sql=(
         "SELECT doc_id, 'https://' || "
+        "(CASE WHEN (doc_id % 11) = 0 THEN 'deep.a.b.c.' ELSE '' END) || "
         "(CASE (doc_id % 3) WHEN 0 THEN '' WHEN 1 THEN 'sub1.' "
         "ELSE 'sub2.' END) || 'host' || (doc_id % 50)::VARCHAR || "
         "'.example/p' || doc_id::VARCHAR AS url FROM documents"
@@ -753,12 +754,17 @@ def _q_url_blocklist(spark, sf_dir):
     # UT1-style domain blocklist with parent-domain semantics: urls get
     # deterministic subdomains so BOTH match depths are exercised
     # (host7.example blocks sub*.host7.example too; sub1.host11.example
-    # blocks only itself)
+    # blocks only itself). Every 11th doc gets a 4-label-deeper host
+    # (7 labels > max_labels=5), so the gate exercises the tail-anchored
+    # suffix window (ADVICE r5 high): deep.a.b.c.sub2.host7.example must
+    # still be blocked by the 2-label parent host7.example.
     from html5ever_elixir_spark.functions.url import filter_blocked_hosts
 
     pages = _docs(spark, sf_dir).selectExpr(
         "doc_id",
         "concat('https://', "
+        "case when cast(doc_id % 11 as int) = 0 then 'deep.a.b.c.' "
+        "else '' end, "
         "case cast(doc_id % 3 as int) when 0 then '' when 1 then 'sub1.' "
         "else 'sub2.' end, "
         "'host', cast(doc_id % 50 as string), '.example/p', "

@@ -59,12 +59,21 @@ def normalize_url(url) -> Column:
 def host_suffixes(host: Column, max_labels: int = 5) -> Column:
     """Array of dot-suffixes of a host column, most-specific first:
     a.b.c.example → [a.b.c.example, b.c.example, c.example, example],
-    capped at ``max_labels`` deepest labels (blocklists never key
-    deeper — caps the explode fan-out at corpus scale). API-built
-    expression (no SQL string), so no escape-stripping hazards."""
+    capped at the ``max_labels`` SHALLOWEST suffixes (blocklists never
+    key deeper than a few labels — caps the explode fan-out at corpus
+    scale). The window is anchored at the TAIL: for a host deeper than
+    ``max_labels`` the long suffixes are dropped and the shallow ones
+    (``example.com``) kept, so parent-domain blocking still fires on
+    arbitrarily deep subdomains — the adversarial shape UT1-style lists
+    target. (r5 anchored at the head, which silently unblocked
+    >max_labels-deep hosts — ADVICE r5 high.) API-built expression
+    (no SQL string), so no escape-stripping hazards."""
     parts = F.split(host, r"\.")
     return F.transform(
-        F.sequence(F.lit(1), F.least(F.size(parts), F.lit(max_labels))),
+        F.sequence(
+            F.greatest(F.lit(1), F.size(parts) - F.lit(max_labels) + F.lit(1)),
+            F.size(parts),
+        ),
         lambda i: F.array_join(
             F.slice(parts, i, F.size(parts) - i + 1), "."
         ),
@@ -124,7 +133,9 @@ WITH p AS ({pages_sql}),
 blocked AS (SELECT lower(v) AS d FROM (VALUES {vals}) t(v)),
 sfx AS (
   SELECT url, unnest(list_transform(
-    generate_series(1, least(len(str_split({host}, '.')), {max_labels})),
+    generate_series(
+      greatest(1, len(str_split({host}, '.')) - {max_labels} + 1),
+      len(str_split({host}, '.'))),
     i -> array_to_string(str_split({host}, '.')[i:], '.'))) AS s
   FROM p
 ),

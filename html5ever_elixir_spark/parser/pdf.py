@@ -546,9 +546,15 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     n = 5 if r == 2 else (_int_key(enc, b"Length") or 40) // 8
     if not 5 <= n <= 16:
         raise PdfError("encrypted PDF: bad key length")
-    # first /ID element (hex form; missing ID → empty string, matching
-    # viewers' leniency for ID-less encrypted files)
-    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    # first ELEMENT of the /ID array, but from the LAST /ID occurrence —
+    # incremental updates append trailers, so the operative trailer is
+    # the last one, same last-match-wins rule as /Encrypt above (r5
+    # ADVICE: first-match picked a stale pre-update ID and the /U check
+    # spuriously failed). Missing ID → empty string, matching viewers'
+    # leniency for ID-less encrypted files.
+    idm = None
+    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
+        pass
     if idm:
         idh = re.sub(rb"\s", b"", idm.group(1))
         if len(idh) % 2:  # PDF hex strings pad a missing final digit
@@ -637,7 +643,22 @@ def encrypt_pdf_rc4(
         n, v = length // 8, 2
     else:
         raise ValueError(f"unsupported revision {r}")
-    id0 = file_id if file_id is not None else md5(data).digest()
+    if file_id is not None:
+        id0 = file_id
+    else:
+        # spec: the FIRST /ID element is permanent across incremental
+        # updates — reuse the input's (last trailer's) first element if
+        # it has one, so readers keying off either occurrence agree
+        prev = None
+        for prev in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
+            pass
+        if prev is not None:
+            idh = re.sub(rb"\s", b"", prev.group(1))
+            if len(idh) % 2:
+                idh += b"0"
+            id0 = bytes.fromhex(idh.decode("ascii"))
+        else:
+            id0 = md5(data).digest()
     opad = ((owner_pw or user_pw) + _PW_PAD)[:32]
     h = md5(opad).digest()
     if r >= 3:

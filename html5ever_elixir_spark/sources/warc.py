@@ -84,20 +84,44 @@ def make_warc(
     return b"".join(out)
 
 
+# Per-blob inflate budget: a hostile tiny gzip member must not expand to
+# executor-OOM scale (same bomb discipline as the raster pixel caps).
+# Ratio-based with an absolute floor — legitimate crawled text inflates
+# ~5-20×, so 128× compressed size is generous; the floor keeps small
+# test/driver blobs unconstrained.
+_INFLATE_RATIO_CAP = 128
+_INFLATE_FLOOR = 256 * 1024 * 1024
+
+
 def _split_members(data: bytes) -> bytes:
     """Inflate concatenated gzip members into one plain byte stream;
-    pass non-gzip data through untouched."""
+    pass non-gzip data through untouched. Output is budget-capped
+    (``max(_INFLATE_FLOOR, _INFLATE_RATIO_CAP × len(data))``) so a
+    gzip bomb is a row-level WarcError, not a job failure (ADVICE r5)."""
     if data[:2] != b"\x1f\x8b":
         return data
+    budget = max(_INFLATE_FLOOR, _INFLATE_RATIO_CAP * len(data))
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out += d.decompress(rest)
+            # +1 so exceeding the budget is detectable without ever
+            # materializing more than budget+1 bytes
+            chunk = d.decompress(rest, budget - len(out) + 1)
+            while d.unconsumed_tail and not d.eof:
+                out += chunk
+                if len(out) > budget:
+                    raise WarcError("gzip inflate budget exceeded")
+                chunk = d.decompress(
+                    d.unconsumed_tail, budget - len(out) + 1
+                )
         except zlib.error as e:
             raise WarcError(f"gzip member inflate failed: {e}") from None
+        out += chunk
         out += d.flush()
+        if len(out) > budget:
+            raise WarcError("gzip inflate budget exceeded")
         rest = d.unused_data
     if rest:
         raise WarcError("trailing garbage after gzip members")
@@ -133,9 +157,15 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             raise WarcError("missing/invalid WARC Content-Length") from None
+        if clen < 0:
+            # int('-N') parses; without this guard pos would move
+            # BACKWARD and a hostile record could loop the walk forever
+            # (ADVICE r5 medium — executor hang, not a row error)
+            raise WarcError("negative WARC Content-Length")
         body = data[hdr_end + 4 : hdr_end + 4 + clen]
         if len(body) < clen:
             raise WarcError("truncated WARC record body")
+        assert hdr_end + 4 + clen > pos  # the walk strictly advances
         pos = hdr_end + 4 + clen
         if headers.get("warc-type") != "response":
             continue

@@ -303,7 +303,15 @@ def stream_warc_extract(
     ``encoding`` defaults to "sniff" — a live crawl is exactly where
     legacy cp1252 pages appear. Exactly-once per blob via the
     checkpoint; a WARC blob is the atomic unit of progress, matching
-    how crawl dumps land. Returns the StreamingQuery."""
+    how crawl dumps land. Broken-blob error rows are NOT silently
+    dropped: an ``observe`` metric (``warc_ingest``: ``warc_rows`` /
+    ``warc_error_rows``) rides each micro-batch's progress events —
+    same single-pass pattern as the batch job — before the error filter.
+    ``warc_ts`` is carried through the parse stage (``passthrough_cols``
+    rides the Arrow batch, no rejoin) so downstream event-time windowing
+    has the crawl timestamp. Returns the StreamingQuery."""
+    from pyspark.sql import functions as F
+
     from ..sources.warc import warc_to_pages
 
     blobs = (
@@ -311,8 +319,16 @@ def stream_warc_extract(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    pages = warc_to_pages(blobs).where("error IS NULL")
-    parsed = parse_and_extract(pages, encoding=encoding)
+    recs = warc_to_pages(blobs).observe(
+        "warc_ingest",
+        F.count(F.lit(1)).alias("warc_rows"),
+        F.count(F.when(F.col("error").isNotNull(), 1))
+        .alias("warc_error_rows"),
+    )
+    pages = recs.where("error IS NULL")
+    parsed = parse_and_extract(
+        pages, encoding=encoding, passthrough_cols=("warc_ts",)
+    )
     writer = (
         parsed.writeStream.format("parquet")
         .option("path", output_dir)

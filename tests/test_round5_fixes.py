@@ -455,6 +455,28 @@ def test_rc4_r2_40_roundtrip():
     assert extract_pdf_text(enc) == extract_pdf_text(plain)
 
 
+def test_rc4_input_with_preexisting_id_roundtrips():
+    # ADVICE r5 low: an input that already carries a trailer /ID used to
+    # make the reader derive the key from the STALE first /ID while the
+    # writer keyed its own appended one → spurious "password required".
+    # Now the writer reuses the existing first /ID element (spec: the
+    # first element is permanent across updates) and the reader takes
+    # the LAST /ID occurrence — either rule alone decrypts the file.
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_rc4,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    pdf = make_simple_pdf(["secret with preexisting id"])
+    with_id = pdf + b"trailer\n<< /ID [<DEADBEEF00> <DEADBEEF00>] >>\n"
+    for r, length in ((2, 40), (3, 128)):
+        enc = encrypt_pdf_rc4(with_id, r=r, length=length)
+        assert extract_pdf_text(enc) == extract_pdf_text(pdf)
+        # the permanent first element survived into the new trailer
+        assert b"<deadbeef00>" in enc
+
+
 def test_rc4_multipage_and_fonts_still_work():
     # encryption composes with the font layer: ToUnicode stream is
     # itself encrypted and must decode after decryption
@@ -651,6 +673,36 @@ def test_filter_blocked_hosts_parent_domain_semantics(spark):
     assert kept == {3, 5, 6}
 
 
+def test_filter_blocked_hosts_deeper_than_max_labels(spark):
+    # ADVICE r5 high: a host DEEPER than max_labels must still be
+    # blocked by a shallow parent domain — the suffix window anchors at
+    # the tail (shallowest suffixes), not the head.
+    from html5ever_elixir_spark.functions.url import (
+        filter_blocked_hosts,
+        host_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.b.c.d.e.evil.example/x"),   # 7 labels, parent block
+         (2, "https://a.b.c.d.e.ok.example/y"),     # 7 labels, kept
+         (3, "https://evil.example/z")],            # shallow exact
+        "doc_id bigint, url string",
+    )
+    blocked = spark.createDataFrame([("evil.example",)], "domain string")
+    kept = {r.doc_id
+            for r in filter_blocked_hosts(pages, blocked, max_labels=5)
+            .collect()}
+    assert kept == {2}
+    # the suffix array itself: tail-anchored, shallowest max_labels
+    sfx = (spark.range(1)
+           .select(host_suffixes(F.lit("a.b.c.d.e.evil.example"), 5)
+                   .alias("s"))
+           .head().s)
+    assert sfx == ["c.d.e.evil.example", "d.e.evil.example",
+                   "e.evil.example", "evil.example", "example"]
+
+
 def test_nfc_normalize_semantics(spark):
     from html5ever_elixir_spark.operators.textstats import nfc_normalize_docs
 
@@ -781,6 +833,55 @@ def test_warc_corrupt_variants_are_typed_errors():
     gz = make_warc(_recs(), gzip_records=True)
     with pytest.raises(WarcError, match="inflate|trailing"):
         list(parse_warc_records(gz[:-10] + b"x" * 10))
+
+
+def test_warc_negative_content_length_is_error_not_hang():
+    # ADVICE r5 medium: int('-N') parses, and a Content-Length equal to
+    # -(header block + 4) would move pos BACKWARD onto the same record —
+    # an infinite loop on one hostile blob. Must be a typed row error.
+    from html5ever_elixir_spark.sources.warc import (
+        WarcError,
+        parse_warc_records,
+    )
+
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://x.example/\r\n"
+    ).encode("ascii")
+    # craft clen so hdr_end + 4 + clen == record start (pos)
+    for clen in (-1, -(len(hdr) + len("Content-Length: -99\r\n\r\n") + 2)):
+        blob = hdr + f"Content-Length: {clen}\r\n\r\n".encode("ascii")
+        with pytest.raises(WarcError, match="negative"):
+            list(parse_warc_records(blob))
+
+
+def test_warc_gzip_bomb_is_row_error():
+    # ADVICE r5 low: a small hostile gzip member must not inflate to
+    # executor-OOM scale — budget-capped like the raster bomb caps.
+    import zlib
+
+    from html5ever_elixir_spark.sources import warc as warc_mod
+    from html5ever_elixir_spark.sources.warc import (
+        WarcError,
+        parse_warc_records,
+    )
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    bomb = co.compress(b"\x00" * (4 * 1024 * 1024)) + co.flush()
+    assert len(bomb) < 8192  # genuinely bomb-shaped (>500× ratio)
+    old_floor = warc_mod._INFLATE_FLOOR
+    warc_mod._INFLATE_FLOOR = 1024 * 1024  # shrink budget for the test
+    try:
+        with pytest.raises(WarcError, match="budget"):
+            list(parse_warc_records(bomb))
+    finally:
+        warc_mod._INFLATE_FLOOR = old_floor
+    # a legitimate gzipped WARC still parses under the real budget
+    from html5ever_elixir_spark.sources.warc import make_warc
+
+    assert len(list(parse_warc_records(
+        make_warc(_recs(), gzip_records=True)))) == len(_recs())
 
 
 def test_warc_to_pages_error_rows(spark):

@@ -340,10 +340,24 @@ def test_stream_warc_extract_ingest_and_resume(spark, tmp_path):
 
     land(0, 5)
     land(1, 4, legacy=True)
+    # one broken blob: must surface in the observe metric, not vanish
+    spark.createDataFrame(
+        [(99, bytearray(b"garbage not warc"))],
+        "warc_id bigint, content binary",
+    ).write.mode("append").parquet(inp)
     q = stream_warc_extract(spark, inp, out, ck)
     q.awaitTermination(120)
+    # observe metric rode the micro-batch progress events (r5 ADVICE:
+    # error rows were silently dropped before)
+    obs = [p.observedMetrics["warc_ingest"]
+           for p in q.recentProgress if "warc_ingest" in p.observedMetrics]
+    assert sum(m["warc_error_rows"] for m in obs) == 1
+    assert sum(m["warc_rows"] for m in obs) == 10
     first = spark.read.parquet(out)
     assert first.count() == 9
+    # warc_ts passthrough survives the parse stage for event-time use
+    assert "warc_ts" in first.columns
+    assert first.where("warc_ts IS NULL").count() == 0
     legacy_row = first.where("url = 'https://s1.example/p0'").collect()[0]
     # sniff mode: the cp1252 record decodes instead of erroring
     assert legacy_row.error is None and "café" in legacy_row.text
