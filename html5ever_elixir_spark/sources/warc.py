@@ -91,63 +91,117 @@ def make_warc(
 # test/driver blobs unconstrained.
 _INFLATE_RATIO_CAP = 128
 _INFLATE_FLOOR = 256 * 1024 * 1024
+# inflate granularity / header-block sanity cap / buffer compaction
+_INFLATE_CHUNK = 4 * 1024 * 1024
+_MAX_HEADER_BLOCK = 1024 * 1024
+_COMPACT_AT = 1024 * 1024
 
 
-def _split_members(data: bytes) -> bytes:
-    """Inflate concatenated gzip members into one plain byte stream;
-    pass non-gzip data through untouched. Output is budget-capped
-    (``max(_INFLATE_FLOOR, _INFLATE_RATIO_CAP × len(data))``) so a
-    gzip bomb is a row-level WarcError, not a job failure (ADVICE r5)."""
+def _iter_inflated(data: bytes) -> Iterator[bytes]:
+    """Yield a blob's plain byte stream as bounded chunks: non-gzip data
+    passes through whole; concatenated gzip members (the Common Crawl
+    per-record layout) inflate incrementally — the fully inflated
+    corpus NEVER exists in memory at once, so worker memory for a GiB
+    .warc.gz is compressed blob + ~one record, not ~5× the blob.
+    Cumulative output is budget-capped (``max(_INFLATE_FLOOR,
+    _INFLATE_RATIO_CAP × len(data))``) so a gzip bomb is a row-level
+    WarcError, not a job failure (ADVICE r5)."""
     if data[:2] != b"\x1f\x8b":
-        return data
+        yield data
+        return
     budget = max(_INFLATE_FLOOR, _INFLATE_RATIO_CAP * len(data))
-    out = bytearray()
+    produced = 0
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        src = rest
         try:
-            # +1 so exceeding the budget is detectable without ever
-            # materializing more than budget+1 bytes
-            chunk = d.decompress(rest, budget - len(out) + 1)
-            while d.unconsumed_tail and not d.eof:
-                out += chunk
-                if len(out) > budget:
+            while True:
+                chunk = d.decompress(src, _INFLATE_CHUNK)
+                produced += len(chunk)
+                if produced > budget:
                     raise WarcError("gzip inflate budget exceeded")
-                chunk = d.decompress(
-                    d.unconsumed_tail, budget - len(out) + 1
-                )
+                if chunk:
+                    yield chunk
+                if d.eof or not d.unconsumed_tail:
+                    break
+                src = d.unconsumed_tail
+            tail = d.flush()
         except zlib.error as e:
             raise WarcError(f"gzip member inflate failed: {e}") from None
-        out += chunk
-        out += d.flush()
-        if len(out) > budget:
-            raise WarcError("gzip inflate budget exceeded")
+        if tail:
+            produced += len(tail)
+            if produced > budget:
+                raise WarcError("gzip inflate budget exceeded")
+            yield tail
         rest = d.unused_data
     if rest:
         raise WarcError("trailing garbage after gzip members")
-    return bytes(out)
 
 
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Iterate response records of a (possibly gzipped) WARC byte blob:
     yields {url, date, html} per response record; warcinfo/request/
     metadata records are skipped. Raises WarcError on a structurally
-    broken stream (caller maps it to a row-level error)."""
-    data = _split_members(bytes(data))
-    pos, n = 0, len(data)
-    while pos < n:
-        # tolerate inter-record padding newlines
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
+    broken stream (caller maps it to a row-level error).
+
+    Streaming walk over a ROLLING buffer fed by :func:`_iter_inflated`:
+    consumed bytes are discarded as records complete, so peak memory is
+    one record (+ one inflate chunk), independent of blob size — the
+    property that makes GiB-scale Common Crawl files safe in a single
+    Python worker (binaryFile's own ceiling is 2 GiB/file, int32 Arrow
+    offsets; scan partitions are size-packed so a batch never carries
+    more than ~max(maxPartitionBytes, one file))."""
+    src = _iter_inflated(bytes(data))
+    buf = bytearray()
+    eof = False
+    base = 0  # absolute offset of buf[0] (error messages survive compaction)
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        chunk = next(src, None)
+        if chunk is None:
+            eof = True
+            return False
+        buf.extend(chunk)
+        return True
+
+    pos = 0
+    while True:
+        if pos > _COMPACT_AT:  # drop consumed prefix, keep buffer ~record-sized
+            base += pos
+            del buf[:pos]
+            pos = 0
+        # tolerate inter-record padding newlines (pulling as needed)
+        while True:
+            while pos < len(buf) and buf[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos < len(buf) or not pull():
+                break
+        if pos >= len(buf):
             return
-        if data[pos : pos + 5] != b"WARC/":
-            raise WarcError(f"expected WARC/ version line at offset {pos}")
-        hdr_end = data.find(b"\r\n\r\n", pos)
+        # accumulate the full header block (bounded — WARC headers are
+        # small; a no-terminator stream must not buffer everything)
+        search_from = pos
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n", search_from)
+            if hdr_end != -1:
+                break
+            if len(buf) - pos > _MAX_HEADER_BLOCK:
+                raise WarcError("unterminated WARC header block")
+            search_from = max(pos, len(buf) - 3)
+            if not pull():
+                break
+        if buf[pos : pos + 5] != b"WARC/":
+            raise WarcError(
+                f"expected WARC/ version line at offset {base + pos}"
+            )
         if hdr_end == -1:
             raise WarcError("unterminated WARC header block")
         headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+        for line in bytes(buf[pos:hdr_end]).split(b"\r\n")[1:]:
             k, sep, v = line.partition(b":")
             if sep:
                 headers[k.strip().lower().decode("latin-1")] = (
@@ -162,11 +216,14 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             # BACKWARD and a hostile record could loop the walk forever
             # (ADVICE r5 medium — executor hang, not a row error)
             raise WarcError("negative WARC Content-Length")
-        body = data[hdr_end + 4 : hdr_end + 4 + clen]
-        if len(body) < clen:
+        body_lo = hdr_end + 4
+        while len(buf) < body_lo + clen and pull():
+            pass
+        if len(buf) < body_lo + clen:
             raise WarcError("truncated WARC record body")
-        assert hdr_end + 4 + clen > pos  # the walk strictly advances
-        pos = hdr_end + 4 + clen
+        body = bytes(buf[body_lo : body_lo + clen])
+        assert body_lo + clen > pos  # the walk strictly advances
+        pos = body_lo + clen
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
@@ -189,12 +246,48 @@ def warc_to_pages(
     import pyarrow as pa
     from pyspark.sql import functions as F
 
+    fn = _records_fn()
+
+    pruned = df.select(
+        F.col(id_col).cast("bigint").alias("warc_id"),
+        F.col(content_col).alias("content"),
+    )
+    return pruned.mapInArrow(fn, PAGES_FIELDS)
+
+
+def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
+    """Build the mapInArrow record-walk function (module-level so tests
+    can drive it Spark-free and shrink the flush thresholds)."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.string()),
+        ("html", pa.binary()), ("warc_id", pa.int64()),
+        ("error", pa.string()),
+    ])
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # output is flushed by SIZE, not per input batch: a single GiB
+        # blob yields many bounded RecordBatches instead of one giant
+        # pydict of every record in the blob — paired with the rolling
+        # record walk this keeps worker memory ~O(one record), not
+        # O(inflated blob)
+        out = {"url": [], "warc_ts": [], "html": [], "warc_id": [],
+               "error": []}
+        held = 0
+
+        def flush():
+            nonlocal out, held
+            batch = pa.RecordBatch.from_pydict(out, schema=schema)
+            out = {"url": [], "warc_ts": [], "html": [], "warc_id": [],
+                   "error": []}
+            held = 0
+            return batch
+
         for batch in batches:
             ids = batch.column(0).to_pylist()
             blobs = batch.column(1).to_pylist()
-            out = {"url": [], "warc_ts": [], "html": [], "warc_id": [],
-                   "error": []}
+            del batch
             for wid, blob in zip(ids, blobs):
                 try:
                     if blob is None:
@@ -205,23 +298,15 @@ def warc_to_pages(
                         out["html"].append(rec["html"])
                         out["warc_id"].append(wid)
                         out["error"].append(None)
+                        held += len(rec["html"]) + 64
+                        if held >= flush_bytes or len(out["url"]) >= flush_rows:
+                            yield flush()
                 except WarcError as e:
                     out["url"].append(None)
                     out["warc_ts"].append(None)
                     out["html"].append(None)
                     out["warc_id"].append(wid)
                     out["error"].append(str(e))
-            yield pa.RecordBatch.from_pydict(
-                out,
-                schema=pa.schema([
-                    ("url", pa.string()), ("warc_ts", pa.string()),
-                    ("html", pa.binary()), ("warc_id", pa.int64()),
-                    ("error", pa.string()),
-                ]),
-            )
+        yield flush()
 
-    pruned = df.select(
-        F.col(id_col).cast("bigint").alias("warc_id"),
-        F.col(content_col).alias("content"),
-    )
-    return pruned.mapInArrow(fn, PAGES_FIELDS)
+    return fn

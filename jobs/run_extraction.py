@@ -48,11 +48,20 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
     # path → parquet; table identifier → configured catalog (Iceberg in
     # production)
+    warc_obs = None
     if args.input_format == "warc":
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         from html5ever_elixir_spark.sources.warc import warc_to_pages
 
+        # binaryFile partitions are packed by SIZE (maxPartitionBytes;
+        # a big non-splittable .warc.gz gets its own partition), so one
+        # Arrow batch never carries more than ~max(maxPartitionBytes,
+        # one file) of blob bytes; per-file ceiling is binaryFile's
+        # 2 GiB (int32 Arrow offsets). The record walk itself streams
+        # member-by-member (sources/warc.py), so worker memory is
+        # compressed blob + one inflated member, not the whole corpus.
         blobs = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.warc*")
@@ -61,10 +70,16 @@ def main():
                 F.xxhash64("path").alias("warc_id"), F.col("content")
             )
         )
-        recs = warc_to_pages(blobs)
-        bad = recs.where("error IS NOT NULL").count()
-        if bad:
-            print(json.dumps({"warc_error_rows": bad}))
+        # error metrics ride the pipeline's own actions via observe()
+        # (plans/pipeline.py pattern) — the r5 version ran a .count()
+        # probe here that re-parsed every blob a second time
+        warc_obs = Observation("warc-ingest")
+        recs = warc_to_pages(blobs).observe(
+            warc_obs,
+            F.count(F.lit(1)).alias("warc_rows"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("warc_error_rows"),
+        )
         pages = recs.where("error IS NULL").select(
             "url",
             F.to_timestamp(
@@ -84,6 +99,12 @@ def main():
         resume=not args.no_resume,
         encoding=args.encoding,
     )
+    if warc_obs is not None and summary["groups_run"]:
+        # safe to fetch only when an action actually ran the lineage
+        # (resume-complete jobs never execute the WARC scan)
+        stats = warc_obs.get
+        summary["warc_rows"] = int(stats["warc_rows"] or 0)
+        summary["warc_error_rows"] = int(stats["warc_error_rows"] or 0)
     print(json.dumps(summary))
     spark.stop()
 

@@ -884,6 +884,102 @@ def test_warc_gzip_bomb_is_row_error():
         make_warc(_recs(), gzip_records=True)))) == len(_recs())
 
 
+def test_warc_big_blob_bounded_memory():
+    # r5 verdict #2: a multi-hundred-MB gzipped WARC blob must stream
+    # through the record walk with ~O(one record) memory, not O(blob
+    # inflated). 200 MiB inflated / single gzip member; tracemalloc
+    # peak while iterating must stay far below the inflated size.
+    import tracemalloc
+    import zlib
+
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_records,
+    )
+
+    n, body = 200, b"x" * (1024 * 1024)
+    plain = b"".join(
+        make_warc_record(f"https://big.example/p{i}",
+                         "2024-01-01T00:00:00Z", body)
+        for i in range(n)
+    )
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    blob = co.compress(plain) + co.flush()
+    del plain, co
+    tracemalloc.start()
+    seen = 0
+    for rec in parse_warc_records(blob):
+        assert len(rec["html"]) == len(body)
+        seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n
+    # rolling buffer + 4 MiB inflate chunks + one record ≪ 200 MiB
+    assert peak < 64 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_warc_to_pages_output_batches_are_size_flushed():
+    # one blob with more records than the flush threshold must yield
+    # MULTIPLE output RecordBatches (Arrow output is size-bounded, not
+    # per-blob) — Spark-free drive of the mapInArrow fn
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.sources.warc import _records_fn, make_warc
+
+    recs = [(f"https://f.example/p{i}", "2024-01-01T00:00:00Z",
+             b"<p>x</p>") for i in range(250)]
+    blob = make_warc(recs)
+    batch = pa.RecordBatch.from_pydict(
+        {"warc_id": [1], "content": [blob]},
+        schema=pa.schema([("warc_id", pa.int64()),
+                          ("content", pa.binary())]),
+    )
+    out = list(_records_fn(flush_rows=100)(iter([batch])))
+    assert len(out) >= 3  # 250 records / 100-row flush
+    assert sum(b.num_rows for b in out) == 250
+    assert all(b.num_rows <= 100 for b in out)
+    urls = [u for b in out for u in b.column(0).to_pylist()]
+    assert urls == [r[0] for r in recs]
+
+
+def test_warc_job_error_metric_is_single_pass(spark, tmp_path):
+    # r5 verdict weak: the batch job probed errors with a .count() that
+    # re-parsed every blob before the real pipeline ran. The fix is the
+    # jobs/run_extraction.py observe() composition: ONE write action
+    # both commits the pages and produces the error metric. Mirror that
+    # composition here and assert obs.get is satisfied by the write
+    # alone (no second action over the blob lineage ever runs).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(make_warc(_recs(3)))),
+         (2, bytearray(b"not a warc"))],
+        "warc_id bigint, content binary",
+    )
+    obs = Observation("warc-ingest-test")
+    recs = warc_to_pages(blobs).observe(
+        obs,
+        F.count(F.lit(1)).alias("warc_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .alias("warc_error_rows"),
+    )
+    pages = recs.where("error IS NULL").select("url", "warc_ts", "html")
+    pages.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    stats = obs.get  # available because the WRITE ran the observed plan
+    assert stats["warc_rows"] == 4 and stats["warc_error_rows"] == 1
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+    # regression guard on the job source itself: no action-probe left
+    import pathlib
+
+    src = pathlib.Path("jobs/run_extraction.py").read_text()
+    code = "\n".join(ln for ln in src.splitlines()
+                     if not ln.lstrip().startswith("#"))
+    assert ".count()" not in code and "Observation" in code
+
+
 def test_warc_to_pages_error_rows(spark):
     from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
 
