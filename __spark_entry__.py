@@ -684,6 +684,33 @@ def _q_media_raster_features(spark, sf_dir):
     return out.select(*sel)
 
 
+def _q_media_gif_features(spark, sf_dir):
+    # the REAL GIF decode path, driver-gated (r5 verdict ask #4): each
+    # doc's ASCII text becomes a 1×len GIF whose palette makes decoded
+    # luma == the character code (encode→LZW→decode byte-lossless), so
+    # DuckDB predicts the pooled features from the text alone. Odd
+    # doc_ids are GIF87a, even GIF89a with extension blocks — the driver
+    # row exercises the LZW decoder, both version paths, and the
+    # extension skip at once.
+    from html5ever_elixir_spark.operators.multimodal import (
+        docs_to_gifs,
+        extract_media_features,
+    )
+
+    gifs = docs_to_gifs(_docs(spark, sf_dir).where("length(text) > 0"))
+    media = gifs.selectExpr(
+        "media_id", "'image' AS kind", "payload",
+        "named_struct('width', 0, 'height', 1, 'mime', 'image/gif') AS meta",
+    )
+    out = extract_media_features(media)
+    sel = [F.col("media_id"), F.col("decode_error")]
+    for d in range(8):
+        sel.append(
+            F.expr(f"round(element_at(feature, {d + 1}), 6)").alias(f"f{d}")
+        )
+    return out.select(*sel)
+
+
 def _oracle_media_raster_sql() -> str:
     fcols = ", ".join(
         "round(cast(list_sum(list_transform(range(0, len(px)), "
@@ -1012,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": _q_text_quality_filter,
         "media_features": _q_media_features,
         "media_raster_features": _q_media_raster_features,
+        "media_gif_features": _q_media_gif_features,
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
         # ---- 50-row window boundary ----
@@ -1193,6 +1221,9 @@ SELECT * FROM (
             "FROM documents"
         ),
         "media_raster_features": _oracle_media_raster_sql(),
+        # the GIF roundtrip is byte-lossless (palette i → luma i), so
+        # the decoded features equal the raster formula over the text
+        "media_gif_features": _oracle_media_raster_sql(),
         # balanced 4-way byte split; text is ASCII so varchar slicing
         # equals the operator's byte slicing
         "media_frame_sample": """

@@ -19,6 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, "
@@ -239,6 +240,128 @@ def _gif_lzw(data: bytes, mcs: int, max_px: int) -> list[int]:
             if len(out) >= max_px:
                 return out
     return out
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF LZW compressor (spec appendix F): clear code first, dynamic
+    code width LSB-first, table reset past 4095. Writer-side counterpart
+    of :func:`_gif_lzw` — used by :func:`encode_gif` for deterministic
+    synthesis (tests/driver gates; no external data)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    csize = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += csize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << csize) and csize < 12:
+            csize += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            csize = mcs + 1
+        run = (px,)
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    pixels: bytes,
+    w: int,
+    h: int,
+    version: bytes = b"89a",
+    extensions: bytes = b"",
+) -> bytes:
+    """Grayscale GIF writer: 256-entry global color table with color
+    i = (i, i, i), so the decoder's BT.601 luma of palette entry i is
+    exactly i — decoded gray == the input byte, making the encode→LZW→
+    decode roundtrip byte-lossless and therefore SQL-predictable (the
+    driver oracle computes features from the source text directly).
+    ``extensions`` is spliced before the image descriptor (GIF89a
+    graphic-control/comment blocks — exercises the decoder's
+    extension-skip path)."""
+    import struct
+
+    if len(pixels) != w * h:
+        raise ValueError("pixel count != w*h")
+    table = bytes(b for i in range(256) for b in (i, i, i))
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # GCT, 256 entries
+    out += table
+    out += extensions
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([8])  # LZW min code size for an 8-bit palette
+    data = _gif_lzw_encode(pixels, 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# GIF89a graphic-control + comment extensions (decoder must skip both)
+_GIF_EXTS = b"\x21\xf9\x04\x00\x00\x00\x00\x00" b"\x21\xfe\x03gif\x00"
+
+
+def docs_to_gifs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic GIF corpus from the documents table
+    (driver gate for the pure-Python GIF decoder — no external data):
+    each doc's ASCII text becomes a 1×len grayscale GIF whose pixel
+    bytes are the character codes. Odd doc_ids get bare GIF87a; even
+    ones GIF89a with graphic-control + comment extension blocks, so the
+    driver row exercises both version paths and the extension skip.
+    mapInArrow, 2-column pruned, binary out."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            gifs = []
+            for did, t in zip(ids, texts):
+                px = (t or "").encode("utf-8")
+                if did % 2 == 0:
+                    gifs.append(encode_gif(px, len(px), 1, b"89a", _GIF_EXTS))
+                else:
+                    gifs.append(encode_gif(px, len(px), 1, b"87a"))
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": ids, "payload": gifs},
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("payload", pa.binary()),
+                ]),
+            )
+
+    pruned = docs.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInArrow(fn, "media_id bigint, payload binary")
 
 
 def _skip_gif_subblocks(payload: bytes, pos: int) -> int:

@@ -428,6 +428,41 @@ def test_gif_through_media_features(spark):
     assert rows[2].decode_error is not None and rows[2].feature is None
 
 
+def test_encode_gif_roundtrip_byte_lossless():
+    # production writer (multimodal.encode_gif): gray palette i=(i,i,i)
+    # makes decoded luma == input byte for every value 0..255
+    from html5ever_elixir_spark.operators.multimodal import (
+        _GIF_EXTS,
+        _decode_raster,
+        encode_gif,
+    )
+
+    px = bytes(range(256)) * 3
+    for version, exts in ((b"87a", b""), (b"89a", _GIF_EXTS)):
+        w, h, got = _decode_raster(encode_gif(px, len(px), 1, version, exts))
+        assert (w, h) == (len(px), 1)
+        assert bytes(got) == px
+
+
+def test_docs_to_gifs_spark_roundtrip(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        _decode_raster,
+        docs_to_gifs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "odd doc gif87a"), (2, "even doc gif89a + extensions")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.media_id: bytes(r.payload)
+            for r in docs_to_gifs(docs).collect()}
+    assert rows[1][:6] == b"GIF87a" and rows[2][:6] == b"GIF89a"
+    for did, text in ((1, "odd doc gif87a"),
+                      (2, "even doc gif89a + extensions")):
+        _, _, px = _decode_raster(rows[did])
+        assert bytes(px).decode("ascii") == text
+
+
 # -- encrypted PDFs: RC4 standard security handler (r4 verdict ask #5) ------
 
 def _enc_fixture(r=3, length=128, **kw):
