@@ -215,6 +215,68 @@ def _q_html_tree_json_maps(spark, sf_dir):
     )
 
 
+def _q_html_fragment_tree(spark, sf_dir):
+    # §13.4 fragment parsing (innerHTML algorithm), driver-gated (r5
+    # verdict ask #5): three context cases synthesized by ONE SQL
+    # expression both engines evaluate —
+    #   d%3=0 ctx=div:      <td> is an ignored start tag in body mode,
+    #                       its text lands as a sibling text node;
+    #   d%3=1 ctx=textarea: tokenizer starts in RCDATA with the CONTEXT
+    #                       name as appropriate end tag → markup literal;
+    #   d%3=2 ctx=template: in-template mode routes <td> through the
+    #                       table modes → a REAL td element.
+    # The oracle reconstructs the exact ["#frag",…] JSON per case
+    # (documents.text is [a-zA-Z0-9 ] — safe for literal splicing).
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.parser.api import (
+        fragment_to_json,
+        parse_fragment,
+    )
+
+    frags = _docs(spark, sf_dir).selectExpr(
+        "'doc://' || cast(doc_id as string) AS url",
+        "case cast(doc_id % 3 as int)"
+        " when 0 then '<p>' || text || '</p><td>td'"
+        "   || cast(doc_id as string) || '</td>'"
+        " when 1 then '<b>f' || cast(doc_id as string) || '</b>'"
+        " else '<td>c' || cast(doc_id as string) || '</td>' end"
+        " AS frag_html",
+        "case cast(doc_id % 3 as int) when 0 then 'div'"
+        " when 1 then 'textarea' else 'template' end AS context",
+    )
+
+    def fn(batches):
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            ctxs = batch.column(2).to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "url": urls,
+                    "frag_json": [
+                        fragment_to_json(parse_fragment(h, c))
+                        for h, c in zip(htmls, ctxs)
+                    ],
+                }
+            )
+
+    return frags.mapInArrow(fn, "url string, frag_json string")
+
+
+_FRAGMENT_TREE_ORACLE = """
+SELECT 'doc://' || cast(doc_id as string) AS url,
+  case cast(doc_id % 3 as int)
+    when 0 then '["#frag",[["e","p",[],["' || text || '"]],"td'
+                || cast(doc_id as string) || '"]]'
+    when 1 then '["#frag",["<b>f' || cast(doc_id as string) || '</b>"]]'
+    else '["#frag",[["e","td",[],["c' || cast(doc_id as string)
+         || '"]]]]'
+  end AS frag_json
+FROM documents
+"""
+
+
 def _q_html_attrs_map_merge(spark, sf_dir):
     # first-wins attrs_map semantics through the one place duplicates
     # can reach the DOM: the <html> root-merge of a second <html> tag
@@ -1021,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship parity gates (load-bearing encoders stay every round)
         "html_tree_json": _q_html_tree_json,
         "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_fragment_tree": _q_html_fragment_tree,
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
         # stable in-window operators
@@ -1082,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         # the template corpus that is a pure bracket-form rewrite of the
         # pair-list oracle (single attrs throughout)
         "html_tree_json_maps": _TREE_JSON_MAPS_ORACLE,
+        "html_fragment_tree": _FRAGMENT_TREE_ORACLE,
         "html_attrs_map_merge": (
             "SELECT 'doc://' || cast(doc_id as string) AS url, "
             "'l' || cast(doc_id as string) AS lang_attr, "

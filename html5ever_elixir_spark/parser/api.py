@@ -252,17 +252,9 @@ def flat_parse_attrs_maps(html):
 # canonical JSON encodings for Spark columns
 
 
-def tree_to_json(doc: Node, attrs_as_maps: bool = False) -> str:
-    """Byte-stable canonical nested encoding (Spark ``tree_json`` column).
-
-    Tagged arrays: document → ["#doc", [children]], element →
-    ["e", name, [[n,v],...], [children]], text → "…", comment →
-    ["c", data], doctype → ["d", name, public, system], pi →
-    ["p", target, data]. Compact separators, non-ASCII preserved.
-
-    ``attrs_as_maps=True`` encodes attrs as a JSON object (insertion =
-    first-occurrence order) — the maps-mode surface of the reference's
-    ``parse_with_attributes_as_maps/1`` (lib/html5ever.ex:62-64)."""
+def _json_children(node: Node, attrs_as_maps: bool) -> list:
+    """Encoded child list of ``node`` (shared by :func:`tree_to_json`
+    and :func:`fragment_to_json`)."""
 
     def enc_attrs(attrs):
         if not attrs_as_maps:
@@ -306,8 +298,34 @@ def tree_to_json(doc: Node, attrs_as_maps: bool = False) -> str:
                 out_children[parent.id].append(["p", child.name, child.contents])
         return out_children[node.id]
 
+    return conv(node)
+
+
+def tree_to_json(doc: Node, attrs_as_maps: bool = False) -> str:
+    """Byte-stable canonical nested encoding (Spark ``tree_json`` column).
+
+    Tagged arrays: document → ["#doc", [children]], element →
+    ["e", name, [[n,v],...], [children]], text → "…", comment →
+    ["c", data], doctype → ["d", name, public, system], pi →
+    ["p", target, data]. Compact separators, non-ASCII preserved.
+
+    ``attrs_as_maps=True`` encodes attrs as a JSON object (insertion =
+    first-occurrence order) — the maps-mode surface of the reference's
+    ``parse_with_attributes_as_maps/1`` (lib/html5ever.ex:62-64)."""
     return json.dumps(
-        ["#doc", conv(doc)], separators=(",", ":"), ensure_ascii=False
+        ["#doc", _json_children(doc, attrs_as_maps)],
+        separators=(",", ":"), ensure_ascii=False,
+    )
+
+
+def fragment_to_json(builder: TreeBuilder, attrs_as_maps: bool = False) -> str:
+    """Byte-stable encoding of a :func:`parse_fragment` result: the
+    fragment's node list (children of the fragment root, per §13.4 —
+    the innerHTML return value) as ``["#frag", [children]]``, same
+    child encoding as :func:`tree_to_json`."""
+    return json.dumps(
+        ["#frag", _json_children(builder.fragment_root, attrs_as_maps)],
+        separators=(",", ":"), ensure_ascii=False,
     )
 
 
