@@ -773,6 +773,60 @@ def _q_media_gif_features(spark, sf_dir):
     return out.select(*sel)
 
 
+def _q_media_jpeg_roundtrip(spark, sf_dir):
+    # the REAL baseline-JPEG decode path, driver-gated (r5 verdict ask
+    # #3): each doc's text becomes a genuine JFIF stream of DC-only
+    # constant blocks (quant all-ones, DC = 8·(v−128) → integer-exact
+    # IDCT), every 3rd doc with restart markers — decode walks markers,
+    # canonical Huffman, destuffing, RSTn, and the DC fast path, then
+    # the block centers reconstruct the text byte-for-byte. Oracle: the
+    # text itself plus the synthesized geometry.
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        _decode_raster,
+        encode_jpeg_gray_blocks,
+    )
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = {"media_id": ids, "text_rt": [], "w": [], "h": []}
+            for did, t in zip(ids, texts):
+                vals = t.encode("utf-8")
+                jp = encode_jpeg_gray_blocks(
+                    vals, restart_interval=7 if did % 3 == 0 else 0
+                )
+                w, h, px = _decode_raster(jp)
+                out["text_rt"].append(
+                    bytes(px[3 * w + 8 * i + 3]
+                          for i in range(len(vals))).decode("utf-8")
+                )
+                out["w"].append(w)
+                out["h"].append(h)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("text_rt", pa.string()),
+                    ("w", pa.int64()), ("h", pa.int64()),
+                ]),
+            )
+
+    return (
+        _docs(spark, sf_dir).where("length(text) > 0")
+        .selectExpr("doc_id AS media_id", "text")
+        .mapInArrow(fn, "media_id bigint, text_rt string, w bigint, h bigint")
+    )
+
+
+_JPEG_ROUNDTRIP_ORACLE = """
+SELECT doc_id AS media_id, text AS text_rt,
+       (8 * length(text))::BIGINT AS w, 8::BIGINT AS h
+FROM documents WHERE length(text) > 0
+"""
+
+
 def _oracle_media_raster_sql() -> str:
     fcols = ", ".join(
         "round(cast(list_sum(list_transform(range(0, len(px)), "
@@ -1103,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_raster_features": _q_media_raster_features,
         "media_gif_features": _q_media_gif_features,
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
         # ---- 50-row window boundary ----
@@ -1288,6 +1343,7 @@ SELECT * FROM (
         # the GIF roundtrip is byte-lossless (palette i → luma i), so
         # the decoded features equal the raster formula over the text
         "media_gif_features": _oracle_media_raster_sql(),
+        "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_ORACLE,
         # balanced 4-way byte split; text is ASCII so varchar slicing
         # equals the operator's byte slicing
         "media_frame_sample": """

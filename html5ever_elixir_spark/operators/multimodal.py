@@ -463,22 +463,418 @@ def _decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
     raise CorruptRasterError("GIF has no image data")
 
 
+# -- JPEG (baseline sequential Huffman, the overwhelming crawled
+# majority) — r5 verdict ask #3. Pure stdlib; progressive/arithmetic/
+# 12-bit are typed CorruptRasterErrors (row-level, never job failures).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_COS = None  # lazily built [x][u] table, and C(u) scale factors
+
+
+def _idct_tables():
+    global _IDCT_COS
+    if _IDCT_COS is None:
+        import math
+
+        cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+               for x in range(8)]
+        c = [math.sqrt(0.5)] + [1.0] * 7
+        _IDCT_COS = (cos, c)
+    return _IDCT_COS
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: 0xFF00 destuffing, restart-marker
+    detection, MSB-first bits."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # pending marker byte seen mid-stream
+
+    def _fill(self):
+        d, n = self.data, len(self.data)
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= n:
+                # per spec, missing bits decode as 1s (padding)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < n else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is None:
+                    raise CorruptRasterError("JPEG entropy data truncated")
+                else:
+                    self.marker = nxt  # RSTn / EOI — stop consuming
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise CorruptRasterError("JPEG invalid Huffman code")
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        if self.marker is None:
+            d, n = self.data, len(self.data)
+            while self.pos + 1 < n:
+                if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                    self.marker = d[self.pos + 1]
+                    break
+                self.pos += 1
+        m = self.marker
+        if m is None or not 0xD0 <= m <= 0xD7:
+            raise CorruptRasterError("JPEG missing restart marker")
+        self.pos += 2
+        self.marker = None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-Python baseline-sequential JPEG decode (ITU T.81): marker
+    walk (DQT/DHT/SOF0-1/SOS/DRI, APPn/COM skipped), canonical Huffman
+    entropy decode with byte destuffing and restart intervals, dequant
+    + zigzag + separable float IDCT (DC-only blocks take an exact
+    integer fast path), level shift + clamp. Returns the LUMA plane:
+    component 0 (Y of YCbCr, or the single gray channel) cropped to
+    (w, h) — Y at full resolution for standard 4:4:4/4:2:2/4:2:0
+    sampling; chroma blocks are entropy-decoded (the stream requires
+    it) but their IDCT is skipped. Progressive (SOF2)/arithmetic/
+    12-bit/hierarchical raise CorruptRasterError — recognized magic,
+    unsupported body, a row-level error."""
+    import struct
+
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        raise CorruptRasterError("bad JPEG SOI")
+    qt: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > n:
+            raise CorruptRasterError("truncated JPEG marker segment")
+        if payload[pos] != 0xFF:
+            raise CorruptRasterError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            continue  # stray SOI / RST between segments
+        if m == 0xD9:
+            raise CorruptRasterError("JPEG EOI before scan data")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise CorruptRasterError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = list(body[i : i + 64])
+                    i += 64
+                elif pq == 1:
+                    vals = [v for (v,) in struct.iter_unpack(
+                        ">H", body[i : i + 128])]
+                    i += 128
+                else:
+                    raise CorruptRasterError("bad DQT precision")
+                if len(vals) < 64:
+                    raise CorruptRasterError("truncated DQT")
+                qt[tq] = vals
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        if i >= len(body):
+                            raise CorruptRasterError("truncated DHT")
+                        table[(length, code)] = body[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huffs[(tc, th)] = table
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise CorruptRasterError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            sof = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF, 0xDE):
+            raise CorruptRasterError(
+                "progressive/arithmetic/hierarchical JPEG unsupported")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise CorruptRasterError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 15))
+            break
+        # APPn / COM / others: skipped
+    w, h, comps = sof
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_SAMPLES:
+        raise CorruptRasterError(f"JPEG geometry {w}x{h} out of bounds")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not comps or hmax < 1 or vmax < 1 or len(comps) != len(scan):
+        raise CorruptRasterError("JPEG component/scan mismatch")
+    for c in comps:
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise CorruptRasterError("JPEG sampling factors unsupported")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, dc_id, ac_id in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise CorruptRasterError("JPEG scan names unknown component")
+        c["dc"] = huffs.get((0, dc_id))
+        c["ac"] = huffs.get((1, ac_id))
+        if c["dc"] is None or c["ac"] is None:
+            raise CorruptRasterError("JPEG scan references missing DHT")
+        if c["tq"] not in qt:
+            raise CorruptRasterError("JPEG missing quantization table")
+        order.append(c)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # luma plane only (component 0); chroma is entropy-decoded, not
+    # reconstructed — a featurizer needs Y
+    y = order[0]
+    ybw = mcux * y["h"]  # luma blocks per row
+    yplane_w = ybw * 8
+    ybuf = bytearray(yplane_w * mcuy * y["v"] * 8)
+    cos, cc = _idct_tables()
+    bits = _JpegBits(payload, pos)
+    pred = {c["id"]: 0 for c in order}
+    mcu_seen = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_seen and \
+                    mcu_seen % restart_interval == 0:
+                bits.restart()
+                for k in pred:
+                    pred[k] = 0
+            mcu_seen += 1
+            for c in order:
+                q = qt[c["tq"]]
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        t = bits.huff(c["dc"])
+                        if t > 11:
+                            raise CorruptRasterError("JPEG bad DC category")
+                        diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coefs = [0] * 64
+                        coefs[0] = pred[c["id"]] * q[0]
+                        k = 1
+                        nz = False
+                        while k < 64:
+                            rs = bits.huff(c["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise CorruptRasterError("JPEG AC overflow")
+                            coefs[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(bits.bits(s), s) * q[k]
+                            )
+                            nz = True
+                            k += 1
+                        if c is not y:
+                            continue  # chroma: decoded, not reconstructed
+                        bx = (mx * y["h"] + bh) * 8
+                        by = (my * y["v"] + bv) * 8
+                        if not nz:  # DC-only: flat block, integer-exact
+                            v = (coefs[0] + 4) >> 3 if coefs[0] >= 0 \
+                                else -((-coefs[0] + 4) >> 3)
+                            v = min(255, max(0, v + 128))
+                            row = bytes([v]) * 8
+                            for yy in range(8):
+                                off = (by + yy) * yplane_w + bx
+                                ybuf[off : off + 8] = row
+                            continue
+                        # separable IDCT: columns then rows
+                        tmp = [0.0] * 64
+                        for u in range(8):
+                            col = [coefs[v8 * 8 + u] for v8 in range(8)]
+                            if not any(col):
+                                continue
+                            for yy in range(8):
+                                s_ = 0.0
+                                for v8 in range(8):
+                                    if col[v8]:
+                                        s_ += cc[v8] * col[v8] * cos[yy][v8]
+                                tmp[yy * 8 + u] = s_
+                        for yy in range(8):
+                            off = (by + yy) * yplane_w + bx
+                            base = yy * 8
+                            for xx in range(8):
+                                s_ = 0.0
+                                for u in range(8):
+                                    tv = tmp[base + u]
+                                    if tv:
+                                        s_ += cc[u] * tv * cos[xx][u]
+                                v = int(round(s_ / 4)) + 128
+                                ybuf[off + xx] = min(255, max(0, v))
+    # crop the padded plane to (w, h); upsample if Y is subsampled
+    sx = hmax // y["h"] if y["h"] else 1
+    sy = vmax // y["v"] if y["v"] else 1
+    px: list[int] = []
+    for yy in range(h):
+        off = (yy // sy) * yplane_w
+        row = ybuf[off : off + yplane_w]
+        if sx == 1:
+            px.extend(row[:w])
+        else:
+            px.extend(row[xx // sx] for xx in range(w))
+    return w, h, px
+
+
+def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
+    """Deterministic grayscale baseline JPEG writer for synthesis
+    (tests/driver gates — no external data): one 8-row image of
+    len(values) constant 8×8 blocks, quantization table all-ones, DC
+    coefficient 8·(v−128) per block — DC-only blocks reconstruct
+    integer-exactly, so decode returns each byte of ``values`` 64×.
+    Real marker stream: JFIF APP0, DQT, SOF0, two DHTs (12-symbol DC
+    table, single-EOB AC table), SOS, stuffed entropy bytes, EOI.
+    ``restart_interval`` > 0 adds a DRI segment and RSTn markers every
+    N MCUs with DC-predictor reset (the crawled-camera-JPEG norm)."""
+    import struct
+
+    if not values:
+        raise ValueError("empty pixel values")
+    nblk = len(values)
+    w, h = 8 * nblk, 8
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb\x00\x43\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += struct.pack(">BBB", 1, 0x11, 0)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # DC table: categories 0..11, all 4-bit codes (canonical, no
+    # all-ones 16-bit code)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 12, 0x00)
+    out += bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+    # AC table: single EOB symbol, 1-bit code "0"
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x10)
+    out += bytes([1] + [0] * 15) + b"\x00"
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code: int, k: int):
+        nonlocal acc, nbits
+        acc = (acc << k) | code
+        nbits += k
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def pad_align():
+        nonlocal acc, nbits
+        if nbits:
+            emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+    pred = 0
+    rst = 0
+    for i, v in enumerate(values):
+        if restart_interval and i and i % restart_interval == 0:
+            pad_align()
+            data.extend((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            pred = 0
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        emit(t, 4)  # DC category (4-bit canonical code == symbol index)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        emit(0, 1)  # AC EOB
+    pad_align()
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python decode of raster formats — the REAL decode branch
     that runs without PIL: PNG (8-bit gray/GA/RGB/RGBA, see
     :func:`_decode_png`), GIF87a/89a (first frame, LZW, see
-    :func:`_decode_gif`), binary PNM (P5 gray / P6 RGB, maxval 255) and
-    24-bit uncompressed BI_RGB BMP (top-down or bottom-up, row padding
-    honored). JPEG stays PIL-only: a correct pure-Python baseline-DCT
-    decoder is out of scope, and a wrong one would poison features
-    silently. Returns (width, height, grayscale pixels 0-255 row-major
-    top-down; RGB via the BT.601 integer luma). Raises plain ValueError
-    when the magic is unrecognized (caller falls through to PIL/stub)
-    and CorruptRasterError when the magic matched but the body is bad."""
+    :func:`_decode_gif`), baseline-sequential JPEG (Huffman, see
+    :func:`_decode_jpeg` — progressive/arithmetic are typed errors),
+    binary PNM (P5 gray / P6 RGB, maxval 255) and 24-bit uncompressed
+    BI_RGB BMP (top-down or bottom-up, row padding honored). Returns
+    (width, height, grayscale pixels 0-255 row-major top-down; RGB via
+    the BT.601 integer luma — JPEG returns its Y plane, which IS that
+    luma). Raises plain ValueError when the magic is unrecognized
+    (caller falls through to PIL/stub) and CorruptRasterError when the
+    magic matched but the body is bad."""
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(payload)
     if payload[:2] in (b"P5", b"P6"):
         toks: list[bytes] = []
         i, n = 2, len(payload)
