@@ -862,9 +862,10 @@ def _q_pdf_extract_text(spark, sf_dir):
     # PDF path roundtrip: deterministic Flate-compressed PDFs built from
     # documents.text (8-word line wrap), extracted back by the
     # from-scratch PDF reader; oracle reproduces the wrap in pure SQL.
-    # Every 4th doc is RC4-encrypted (r5 standard security handler,
-    # empty user password) — the roundtrip text must be IDENTICAL, so
-    # the unchanged oracle now also gates the decrypt path
+    # Every 4th doc is encrypted (standard security handler, empty
+    # user password), alternating RC4 R3/128 (r5) and AES-128 V4/R4
+    # /CFM /AESV2 (r6) — the roundtrip text must be IDENTICAL, so the
+    # unchanged oracle gates BOTH decrypt paths
     from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
 
     pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4)

@@ -76,16 +76,16 @@ def docs_to_pdfs(
     The wrap rule is reproducible in SQL, so a DuckDB oracle can predict
     the extraction roundtrip exactly.
 
-    ``encrypt_every=k`` RC4-encrypts every k-th doc (doc_id % k == 0;
-    R3/128, empty user password, file id derived from doc_id) — the
-    extraction roundtrip must still match, which makes the driver gate
-    cover the r5 standard-security-handler decrypt path with the SAME
-    unchanged DuckDB oracle."""
+    ``encrypt_every=k`` encrypts every k-th doc (doc_id % k == 0) with
+    the standard security handler, empty user password, file id derived
+    from doc_id — alternating RC4 (R3/128) and AESV2 (V4/R4, r6) by
+    doc_id % 2k, so ONE unchanged DuckDB oracle gates both decrypt
+    paths via the extraction roundtrip."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
 
-        from ..parser.pdf import encrypt_pdf_rc4
+        from ..parser.pdf import encrypt_pdf_aes, encrypt_pdf_rc4
 
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -101,12 +101,11 @@ def docs_to_pdfs(
                     pdf = make_simple_pdf(lines)
                     if encrypt_every and did is not None \
                             and did % encrypt_every == 0:
-                        pdf = encrypt_pdf_rc4(
-                            pdf,
-                            file_id=hashlib.md5(
-                                str(did).encode()
-                            ).digest(),
-                        )
+                        fid = hashlib.md5(str(did).encode()).digest()
+                        if did % (2 * encrypt_every) == 0:
+                            pdf = encrypt_pdf_rc4(pdf, file_id=fid)
+                        else:
+                            pdf = encrypt_pdf_aes(pdf, file_id=fid)
                     pdfs.append(pdf)
                 except Exception:
                     # writer failure → null payload → pdf_extract emits

@@ -18,12 +18,14 @@ covers simple-font /Encoding (WinAnsi / MacRoman / Standard bases,
 /Differences with AGL-subset glyph names), ToUnicode CMaps
 (bfchar/bfrange, both destination forms), and composite Type0 fonts
 with /Identity-H(-V) CMaps decoded through their 2-byte ToUnicode —
-the dominant layout for crawled non-Latin PDFs. RC4-encrypted files
-(standard security handler V1/V2, R2/R3) decrypt transparently when
-the USER password is empty — the common crawled shape (owner-only
-restrictions); see :func:`_std_security_key`. Explicitly NOT handled:
-AES encryption (V≥4), real user passwords, encrypted files whose page
-tree lives in /ObjStm (RC4-era files use classic xref), non-Identity
+the dominant layout for crawled non-Latin PDFs. Encrypted files
+decrypt transparently when the USER password is empty — the common
+crawled shape (owner-only restrictions): RC4 (standard security
+handler V1/V2, R2/R3) and, since r6, AES-128-CBC (V4/R4, /CFM /AESV2,
+pure-stdlib FIPS-197 core); see :func:`_std_security_key`. Explicitly
+NOT handled: AES-256 (V5, R5/R6), real user passwords, encrypted files
+whose page tree lives in /ObjStm (RC4-era files use classic xref),
+non-Identity
 CID CMaps (GBK-EUC-H etc.), and fonts whose only text mapping is
 embedded glyph programs — a corpus job routes those rows to DISTINCT
 error values / U+FFFD rather than failing (same row-level error
@@ -513,11 +515,159 @@ def _dict_string(d: bytes, key: bytes) -> bytes | None:
         return None
 
 
+# -- AES-128 (pure stdlib, FIPS-197) for the AESV2 crypt filter -------------
+# Tables built programmatically (GF(2^8) arithmetic), not pasted.
+
+_AES_TABLES = None
+
+
+def _aes_tables():
+    global _AES_TABLES
+    if _AES_TABLES is None:
+        # S-box: multiplicative inverse in GF(2^8) + affine transform
+        inv = [0] * 256
+        p = 1
+        log = [0] * 256
+        alog = [0] * 255
+        for i in range(255):
+            alog[i] = p
+            log[p] = i
+            p ^= ((p << 1) ^ (0x1B if p & 0x80 else 0)) & 0xFF
+        for x in range(1, 256):
+            inv[x] = alog[(255 - log[x]) % 255]
+        sbox = [0] * 256
+        for x in range(256):
+            b = inv[x]
+            s = 0x63
+            for i in range(8):
+                bit = ((b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                       ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8))) & 1
+                s ^= bit << i
+            sbox[x] = s  # the 0x63 affine constant is the seed above
+        isbox = [0] * 256
+        for x in range(256):
+            isbox[sbox[x]] = x
+        _AES_TABLES = (bytes(sbox), bytes(isbox))
+    return _AES_TABLES
+
+
+def _aes_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a = ((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+        b >>= 1
+    return r
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    sbox, _ = _aes_tables()
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [sbox[b] for b in t]
+            t[0] ^= rcon
+            rcon = ((rcon << 1) ^ (0x11B if rcon & 0x80 else 0)) & 0xFF
+        elif nk > 6 and i % nk == 4:
+            t = [sbox[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    sbox, _ = _aes_tables()
+    nr = len(rk) - 1
+    s = [block[i] ^ rk[0][i] for i in range(16)]
+    for rnd in range(1, nr + 1):
+        s = [sbox[b] for b in s]
+        # ShiftRows on column-major state: byte i = s[(i + 4*(i%4)) % 16]
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        if rnd < nr:
+            t = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t += [
+                    _aes_mul(a[0], 2) ^ _aes_mul(a[1], 3) ^ a[2] ^ a[3],
+                    a[0] ^ _aes_mul(a[1], 2) ^ _aes_mul(a[2], 3) ^ a[3],
+                    a[0] ^ a[1] ^ _aes_mul(a[2], 2) ^ _aes_mul(a[3], 3),
+                    _aes_mul(a[0], 3) ^ a[1] ^ a[2] ^ _aes_mul(a[3], 2),
+                ]
+            s = t
+        s = [s[i] ^ rk[rnd][i] for i in range(16)]
+    return bytes(s)
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    _, isbox = _aes_tables()
+    nr = len(rk) - 1
+    s = [block[i] ^ rk[nr][i] for i in range(16)]
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows: byte i came from s[(i - 4*(i%4)) % 16]
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [isbox[b] for b in s]
+        s = [s[i] ^ rk[rnd][i] for i in range(16)]
+        if rnd > 0:
+            t = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t += [
+                    _aes_mul(a[0], 14) ^ _aes_mul(a[1], 11)
+                    ^ _aes_mul(a[2], 13) ^ _aes_mul(a[3], 9),
+                    _aes_mul(a[0], 9) ^ _aes_mul(a[1], 14)
+                    ^ _aes_mul(a[2], 11) ^ _aes_mul(a[3], 13),
+                    _aes_mul(a[0], 13) ^ _aes_mul(a[1], 9)
+                    ^ _aes_mul(a[2], 14) ^ _aes_mul(a[3], 11),
+                    _aes_mul(a[0], 11) ^ _aes_mul(a[1], 13)
+                    ^ _aes_mul(a[2], 9) ^ _aes_mul(a[3], 14),
+                ]
+            s = t
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream layout: 16-byte IV prefix, CBC, PKCS#7 padding."""
+    if len(data) < 32 or len(data) % 16:
+        raise PdfError("encrypted PDF: malformed AES stream")
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        dec = _aes_decrypt_block(rk, blk)
+        out += bytes(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise PdfError("encrypted PDF: bad AES padding")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
 def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     """File encryption key for the standard handler with the EMPTY user
-    password, or None when the file is not encrypted. Raises typed
-    PdfError for password-protected files, AES (V≥4), and non-Standard
-    handlers — each a distinct row-error value a corpus job can count."""
+    password as ``(key, method)`` with method "rc4" (V1/V2 R2/R3, and
+    V4 /CFM /V2) or "aes" (V4 R4 /CFM /AESV2), or None when the file is
+    not encrypted. Raises typed PdfError for password-protected files,
+    AES-256 (V≥5), and non-Standard handlers — each a distinct
+    row-error value a corpus job can count."""
     import struct
     from hashlib import md5
 
@@ -534,9 +684,21 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
         raise PdfError("encrypted PDF: non-standard security handler")
     v = _int_key(enc, b"V") or 0
     r = _int_key(enc, b"R") or 0
-    if v >= 4 or r >= 4:
-        raise PdfError("encrypted PDF: AES (V>=4) unsupported")
-    if v not in (1, 2) or r not in (2, 3):
+    method = "rc4"
+    if v == 4 and r == 4:
+        # crypt filters: the crawled AES norm is /StdCF with /CFM
+        # /AESV2 applied to both streams and strings. AESV3/R6
+        # (AES-256, V=5) stays a distinct typed error.
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if cfm is None or cfm.group(1) not in (b"AESV2", b"V2"):
+            raise PdfError("encrypted PDF: unsupported crypt filter")
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        if stmf is not None and stmf.group(1) == b"Identity":
+            raise PdfError("encrypted PDF: Identity StmF unsupported")
+        method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
+    elif v >= 4 or r >= 4:
+        raise PdfError("encrypted PDF: AES-256 (V>=5) unsupported")
+    elif v not in (1, 2) or r not in (2, 3):
         raise PdfError(f"encrypted PDF: V={v}/R={r} unsupported")
     o = _dict_string(enc, b"O")
     u = _dict_string(enc, b"U")
@@ -546,6 +708,8 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     n = 5 if r == 2 else (_int_key(enc, b"Length") or 40) // 8
     if not 5 <= n <= 16:
         raise PdfError("encrypted PDF: bad key length")
+    # /EncryptMetadata false (R4) salts the key derivation
+    no_meta = re.search(rb"/EncryptMetadata\s+false", enc) is not None
     # first ELEMENT of the /ID array, but from the LAST /ID occurrence —
     # incremental updates append trailers, so the operative trailer is
     # the last one, same last-match-wins rule as /Encrypt above (r5
@@ -563,11 +727,15 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
     else:
         id0 = b""
     p_bytes = struct.pack("<i", int(pm.group(1)))
-    key = md5(_PW_PAD + o[:32] + p_bytes + id0).digest()[:n]
+    seed = _PW_PAD + o[:32] + p_bytes + id0
+    if r == 4 and no_meta:
+        seed += b"\xff\xff\xff\xff"
+    key = md5(seed).digest()[:n]
     if r >= 3:
         for _ in range(50):
             key = md5(key).digest()[:n]
-    # verify the EMPTY user password against /U (Algorithm 4/5)
+    # verify the EMPTY user password against /U (Algorithm 4/5; R4 uses
+    # the same RC4-based /U computation even under the AES crypt filter)
     if r == 2:
         ok = _rc4(key, _PW_PAD) == u[:32]
     else:
@@ -577,20 +745,26 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
         ok = x == u[:16]
     if not ok:
         raise PdfError("encrypted PDF: password required")
-    return key
+    return key, method
 
 
-def _decrypt_streams(objs: dict[int, bytes], key: bytes) -> dict[int, bytes]:
-    """RC4-decrypt every stream payload in place (length-preserving, so
-    /Length values and body offsets stay valid). Per-object key =
-    md5(file_key + objnum[3 LE] + gen[2 LE])[:min(n+5, 16)]; generation
-    is taken as 0 (the crawled-PDF norm — the object map keys by number
-    only). Dict strings are left encrypted: extraction only reads
-    strings out of (decrypted) content streams, never from dicts."""
+def _decrypt_streams(
+    objs: dict[int, bytes], key: bytes, method: str = "rc4"
+) -> dict[int, bytes]:
+    """Decrypt every stream payload. RC4 is length-preserving (so
+    /Length values and body offsets stay valid); AESV2 shrinks the
+    payload (IV prefix + PKCS#7 padding removed), so the /Length token
+    in the stream dict is patched to the plaintext length. Per-object
+    key = md5(file_key + objnum[3 LE] + gen[2 LE] (+ b"sAlT" for
+    AES))[:min(n+5, 16)]; generation is taken as 0 (the crawled-PDF
+    norm — the object map keys by number only). Dict strings are left
+    encrypted: extraction only reads strings out of (decrypted) content
+    streams, never from dicts."""
     from hashlib import md5
 
     out: dict[int, bytes] = {}
     klen = min(len(key) + 5, 16)
+    salt = b"sAlT" if method == "aes" else b""
     for oid, body in objs.items():
         sm = _STREAM_RE.search(body)
         if sm is None:
@@ -610,9 +784,17 @@ def _decrypt_streams(objs: dict[int, bytes], key: bytes) -> dict[int, bytes]:
             elif seg.endswith((b"\n", b"\r")):
                 hi -= 1
         okey = md5(
-            key + oid.to_bytes(3, "little") + b"\x00\x00"
+            key + oid.to_bytes(3, "little") + b"\x00\x00" + salt
         ).digest()[:klen]
-        out[oid] = body[:lo] + _rc4(okey, body[lo:hi]) + body[hi:]
+        if method == "aes":
+            plain = _aes_cbc_decrypt(okey, body[lo:hi])
+            head = body[:lo]
+            if lm is not None:
+                head = (head[: lm.start(1)] + str(len(plain)).encode()
+                        + head[lm.end(1) :])
+            out[oid] = head + plain + body[hi:]
+        else:
+            out[oid] = body[:lo] + _rc4(okey, body[lo:hi]) + body[hi:]
     return out
 
 
@@ -723,6 +905,109 @@ def encrypt_pdf_rc4(
         f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
     ).encode("ascii")
     return bytes(res)
+
+
+def encrypt_pdf_aes(
+    data: bytes,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
+    permissions: int = -44,
+    file_id: bytes | None = None,
+) -> bytes:
+    """Writer-side AESV2 counterpart (standard security handler V=4
+    R=4, /CF /StdCF /CFM /AESV2, 128-bit): every stream payload becomes
+    IV ∥ AES-CBC ciphertext (PKCS#7), the stream dict's /Length is
+    patched to the ciphertext length, and the /Encrypt dictionary with
+    crypt-filter plumbing + trailer are appended. /O and /U follow the
+    same R≥3 algorithms as RC4 (the /U check is RC4-based even under
+    AES). Deterministic: ``file_id`` defaults like the RC4 writer; the
+    per-stream IV derives from (file_id, object number)."""
+    import struct
+    from hashlib import md5
+
+    n, v, r = 16, 4, 4
+    if file_id is not None:
+        id0 = file_id
+    else:
+        prev = None
+        for prev in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
+            pass
+        if prev is not None:
+            idh = re.sub(rb"\s", b"", prev.group(1))
+            if len(idh) % 2:
+                idh += b"0"
+            id0 = bytes.fromhex(idh.decode("ascii"))
+        else:
+            id0 = md5(data).digest()
+    opad = ((owner_pw or user_pw) + _PW_PAD)[:32]
+    h = md5(opad).digest()
+    for _ in range(50):
+        h = md5(h).digest()
+    okey = h[:n]
+    upad = (user_pw + _PW_PAD)[:32]
+    o = _rc4(okey, upad)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    key = md5(upad + o + struct.pack("<i", permissions) + id0).digest()[:n]
+    for _ in range(50):
+        key = md5(key).digest()[:n]
+    x = _rc4(key, md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    u = x + b"\x00" * 16
+    out = bytearray()
+    cursor = 0
+    max_oid = 0
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        end = _object_body_end(data, m.end())
+        if end == -1:
+            pos = m.end()
+            continue
+        oid = int(m.group(1))
+        max_oid = max(max_oid, oid)
+        body = data[m.end() : end]
+        sm = _STREAM_RE.search(body)
+        pos = end + 6
+        if sm is None:
+            continue
+        lm = _LENGTH_RE.search(body[: sm.start()])
+        if lm is not None:
+            lo, hi = sm.end(), sm.end() + int(lm.group(1))
+        else:
+            hi = body.rfind(b"endstream")
+            lo = sm.end()
+            seg = body[lo:hi]
+            if seg.endswith(b"\r\n"):
+                hi -= 2
+            elif seg.endswith((b"\n", b"\r")):
+                hi -= 1
+        okey_ = md5(
+            key + oid.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+        ).digest()[: min(n + 5, 16)]
+        iv = md5(b"iv" + id0 + oid.to_bytes(3, "little")).digest()[:16]
+        cipher = _aes_cbc_encrypt(okey_, iv, bytes(body[lo:hi]))
+        head = body[:lo]
+        if lm is not None:
+            head = (head[: lm.start(1)] + str(len(cipher)).encode()
+                    + head[lm.end(1) :])
+        out += data[cursor : m.end()]
+        out += head + cipher + body[hi:]
+        cursor = end
+    out += data[cursor:]
+    eid = max_oid + 1
+    out += (
+        f"{eid} 0 obj\n<< /Filter /Standard /V {v} /R {r} /Length 128"
+        f" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+        f" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        f" /O <{o.hex()}> /U <{u.hex()}> /P {permissions} >>\nendobj\n"
+        f"trailer\n<< /Encrypt {eid} 0 R"
+        f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out)
 
 
 def _content_stream(body: bytes) -> bytes:
@@ -1610,9 +1895,9 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
         # RC4 standard security handler with the empty user password
         # (the common crawled case: owner-restricted, user-readable);
         # AES / real passwords raise distinct typed errors
-        key = _std_security_key(data, objs)
-        if key is not None:
-            objs = _decrypt_streams(objs, key)
+        km = _std_security_key(data, objs)
+        if km is not None:
+            objs = _decrypt_streams(objs, km[0], km[1])
     entries = _page_content_entries(objs)
     if not entries:
         raise PdfError("no page content streams")

@@ -539,12 +539,82 @@ def test_real_user_password_typed_error():
         extract_pdf_text(enc)
 
 
-def test_aes_v4_typed_error():
+def test_aes_scope_typed_errors():
+    # r6: V4/R4 with /CFM /AESV2 is now SUPPORTED (see test_aesv2_*);
+    # V4 without a recognized crypt filter and AES-256 (V5/R6) remain
+    # distinct typed errors
     from html5ever_elixir_spark.parser.pdf import PdfError, extract_pdf_text
 
     _, enc = _enc_fixture()
-    with pytest.raises(PdfError, match="AES"):
+    with pytest.raises(PdfError, match="crypt filter"):
         extract_pdf_text(enc.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
+    with pytest.raises(PdfError, match="AES-256"):
+        extract_pdf_text(enc.replace(b"/V 2 /R 3", b"/V 5 /R 6"))
+
+
+def test_aesv2_roundtrip_and_password_gate():
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_aes,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    pdf = make_simple_pdf(["aes secret line", "and a second one"])
+    enc = encrypt_pdf_aes(pdf)
+    assert enc != pdf and b"aes secret" not in enc
+    assert b"/CFM /AESV2" in enc and b"/V 4 /R 4" in enc
+    assert extract_pdf_text(enc) == extract_pdf_text(pdf)
+    # real user password → typed error, not garbage output
+    from html5ever_elixir_spark.parser.pdf import PdfError
+
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_text(encrypt_pdf_aes(pdf, user_pw=b"pw"))
+
+
+def test_aesv2_composes_with_fonts_and_flate():
+    # the ToUnicode stream is itself AES-encrypted and must decode
+    # after decryption (same composition gate as the RC4 variant)
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_aes,
+        extract_pdf_text,
+    )
+    from tests.test_pdf_fonts import _font_pdf, _obj, _stream_obj
+    import zlib as _z
+
+    cmap = (
+        b"begincmap\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar\n<41> <0062>\nendbfchar\n"
+        b"endcmap\n"
+    )
+    fonts = _obj(5, b"<< /Type /Font /ToUnicode 6 0 R >>") + _stream_obj(
+        6, _z.compress(cmap), b" /Filter /FlateDecode"
+    )
+    pdf = _font_pdf(b"BT /F1 10 Tf (A) Tj ET", fonts, b"/F1 5 0 R")
+    assert extract_pdf_text(encrypt_pdf_aes(pdf)) == extract_pdf_text(pdf)
+
+
+def test_aesv2_mutation_fuzz_never_escapes_error_contract():
+    from html5ever_elixir_spark.parser.pdf import (
+        PdfError,
+        encrypt_pdf_aes,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    base = encrypt_pdf_aes(make_simple_pdf(["fuzz target text"]))
+    n = len(base)
+    for trial in range(200):
+        r = (trial * 2654435761) % (2 * n)
+        if trial % 2:
+            i = r % n
+            mut = base[:i] + bytes([base[i] ^ (1 << (r % 8))]) + base[i + 1 :]
+        else:
+            mut = base[: r % n]
+        try:
+            extract_pdf_text(mut)
+        except PdfError:
+            pass
 
 
 def test_nonstandard_handler_typed_error():
