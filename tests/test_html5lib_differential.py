@@ -24,10 +24,20 @@ divergence from the current spec, bucketed three ways:
    table (foster parenting forbids that shape).
 
 html5lib's FRAGMENT mode is substantially less spec-conformant (e.g.
-it pops table-section elements on an ignored ``<table>`` and loses
-rawtext content after integration points), so the fragment algorithm
-is gated by the reviewed batch27/28 conformance cases instead of a
-fragment differential.
+it pops table-section elements on an ignored ``<table>``, loses
+rawtext content after integration points, and — triaged in r6 — uses
+the pre-2014 reset-insertion-mode with no-reconstruct character
+insertion in td/tr/caption contexts). r6 adds a fragment differential
+anyway (sweep 7 below) over contexts/alphabet chosen so that the
+html5lib-1.1 divergence families are mechanically classifiable (equal
+modulo formatting-element structure + two pinned button-rule inputs);
+the fragment algorithm is ALSO gated by the reviewed batch27/28
+conformance cases. r6 further adds a table/foster document sweep
+(sweep 8). Template-heavy soup was probed and NOT added: html5lib 1.1
+predates <template> entirely (no in-template mode, no content
+document; ``<template><td>x`` keeps bare text in a body-level
+template), so every nontrivial input diverges and the differential
+carries no signal — template stays on the conformance corpus.
 
 An exploratory adoption-agency-heavy sweep (8,000 trials over a
 formatting-tag alphabet) was triaged but NOT added to CI: html5lib 1.1
@@ -521,3 +531,173 @@ def test_comment_differential_vs_html5lib():
             unexplained.append((s, mine, theirs))
     assert not unexplained, unexplained[:1]
     assert agree >= 7990, (agree, skipped)
+
+
+# -- r6 sweep 7: fragment-context differential (innerHTML mode) -------------
+#
+# html5lib 1.1 implements the PRE-2014 reset-insertion-mode (html5parser
+# resetInsertionMode maps td→inCell unconditionally; the current spec's
+# td/th rule applies only when last is false, so a td fragment context
+# resolves to "in body"), and its table-scoped phases (inCell/inCaption/
+# inRow) inherit the base Phase.processCharacters which inserts text
+# WITHOUT reconstructing active formatting. The current spec routes those
+# characters through "in body" (directly, or via the in-table anything-
+# else foster path when the current node is not table-scoped), which DOES
+# reconstruct. Net effect: in td/tr/caption fragment contexts html5lib
+# drops formatting-element clones (and once, a second <button>) that the
+# spec requires. Every shrunk repro from the 4,000-trial sweep is in this
+# one family, e.g. (context td) "<a><b></a> ": spec reconstructs <b>
+# around the space, html5lib leaves bare text.
+#
+# Classifier: trees must be equal MODULO formatting/button element
+# structure — strip those element nodes (promoting children) and merge
+# adjacent texts; any other difference is unexplained. Non-table
+# contexts must agree byte-for-byte.
+
+FRAG_ALPHABET = [
+    "x", " ", "yz", "<p>", "</p>", "<div>", "</div>", "<span>", "</span>",
+    "<b>", "</b>", "<i>", "</i>", "<a>", "</a>", "<li>", "</li>",
+    "<td>", "</td>", "<tr>", "</tr>", "<br>", "<img>", "&amp;", "&notin;",
+    "<h1>", "</h1>", "<button>", "</button>", "<dd>", "<dt>", "</dd>",
+    "<em>", "</em>", "</body>", "</html>", "<blockquote>", "</blockquote>",
+]
+FRAG_CONTEXTS = ["div", "p", "span", "a", "b", "li", "td", "tr",
+                 "caption", "h1"]
+_TABLE_SCOPED_CTX = {"td", "tr", "caption"}
+_FMT_STRIP = {"a", "b", "i", "em", "strong", "small", "s", "u", "tt",
+              "code", "font", "nobr", "big", "button"}
+
+# Two pinned inputs (md5 of "ctx\0input") outside the normalizer's
+# reach, both the SAME html5lib-1.1 family: its startTagButton
+# implements the old "imply </button> and reprocess" — the current
+# spec pops through the open button, THEN reconstructs formatting and
+# inserts, producing a sibling <button> with AFE clones (shrunk repros:
+# tr "<button><a><button><h1>yz<h1>" — spec wraps the new button in a
+# cloned <a>; tr "<button><button><h1></button>yz" — spec keeps two
+# sibling buttons). Hand-traced against §13.2.6.4.7; this engine's
+# output matches the spec letter in both.
+KNOWN_DIVERGENT_FRAG = {"8bfce515059b4305", "447e970ed892fe5b"}
+
+
+def _strip_fmt_normalize(tree: str) -> str:
+    """Drop formatting/button element nodes (promote children one level)
+    and merge adjacent text lines at equal depth — the normal form under
+    which the html5lib-1.1 no-reconstruct family collapses."""
+    out: list[tuple[int, str]] = []
+    # depth-shift accumulated per open ancestor depth
+    drops: list[int] = []  # depths (original) of dropped ancestors
+    for ln in tree.splitlines():
+        body = ln[2:]
+        depth = (len(body) - len(body.lstrip(" "))) // 2
+        content = body.strip()
+        while drops and depth <= drops[-1]:
+            drops.pop()
+        eff = depth - len(drops)
+        if content in {f"<{t}>" for t in _FMT_STRIP}:
+            drops.append(depth)
+            continue
+        if (out and content.startswith('"') and out[-1][1].startswith('"')
+                and out[-1][0] == eff):
+            out[-1] = (eff, out[-1][1][:-1] + content[1:])
+            continue
+        out.append((eff, content))
+    return "\n".join("| " + "  " * d + c for d, c in out)
+
+
+def test_fragment_differential_vs_html5lib():
+    from html5ever_elixir_spark.parser.api import parse_fragment
+    from tests.treeconstruction_harness import serialize_fragment
+
+    rng = random.Random(8008)
+    agree = known = 0
+    unexplained = []
+    for _ in range(4000):
+        ctx = rng.choice(FRAG_CONTEXTS)
+        s = "".join(
+            rng.choice(FRAG_ALPHABET) for _ in range(rng.randint(1, 30))
+        )
+        try:
+            theirs = _ser_dom(
+                html5lib.parseFragment(s, container=ctx, treebuilder="dom")
+            )
+        except Exception:
+            continue
+        mine = serialize_fragment(parse_fragment(s, ctx).fragment_root)
+        if mine == theirs:
+            agree += 1
+            continue
+        if ctx in _TABLE_SCOPED_CTX and _strip_fmt_normalize(
+            mine
+        ) == _strip_fmt_normalize(theirs):
+            known += 1  # the documented old-reset/no-reconstruct family
+            continue
+        if hashlib.md5(
+            (ctx + "\0" + s).encode()
+        ).hexdigest()[:16] in KNOWN_DIVERGENT_FRAG:
+            known += 1  # pinned old-startTagButton family
+            continue
+        unexplained.append((ctx, s, mine, theirs))
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained fragment divergence(s); first: "
+        f"{unexplained[0][0]} {unexplained[0][1]!r}\n"
+        f"MINE:\n{unexplained[0][2]}\nH5LIB:\n{unexplained[0][3]}"
+    )
+    assert agree >= 3900 and known >= 20, (agree, known)
+
+
+# -- r6 sweep 8: table/foster-heavy document soup ---------------------------
+#
+# Nested tables, misplaced text, section tags (tbody/thead/tfoot/
+# caption/colgroup), the in-table special cases (<input type=hidden>,
+# <form>, <select>-in-table), rawtext-in-table and foster triggers.
+# Triage at seed 7007: 2,986/3,000 byte-identical; every divergence is
+# the ALREADY-documented html5lib class "element as an illegal direct
+# child of table" (its dd/dt/li close-then-insert loop skips foster
+# parenting — the _illegal_table_child classifier from the main sweep);
+# zero unexplained, zero crashes.
+
+TABLE_ALPHABET = [
+    "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>", "<th>", "</th>",
+    "<tbody>", "</tbody>", "<thead>", "<tfoot>", "</tfoot>", "<caption>",
+    "</caption>", "<colgroup>", "<col>", "</colgroup>", "x", " ", "yz",
+    "<b>", "</b>", "<i>", "</i>", "<div>", "</div>", "<span>", "</span>",
+    "<select>", "</select>", "<option>", "<input type=hidden>", "<input>",
+    "<form>", "</form>", "<li>", "</li>", "<p>", "</p>", "<a>", "</a>",
+    "<style>", "</style>", "<script>", "</script>", "<td><table>",
+    "<table><tr>",
+]
+
+
+def test_table_foster_differential_vs_html5lib():
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(7007)
+    agree = known = skipped = 0
+    unexplained = []
+    for _ in range(3000):
+        s = "".join(
+            rng.choice(TABLE_ALPHABET) for _ in range(rng.randint(1, 24))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+            continue
+        if _elem_in_rawtext(theirs) and not _elem_in_rawtext(mine):
+            known += 1
+            continue
+        if _illegal_table_child(theirs) and not _illegal_table_child(mine):
+            known += 1
+            continue
+        unexplained.append((s, mine, theirs))
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained table divergence(s); first: "
+        f"{unexplained[0][0]!r}\nMINE:\n{unexplained[0][1]}\n"
+        f"H5LIB:\n{unexplained[0][2]}"
+    )
+    assert agree >= 2950 and skipped <= 20, (agree, known, skipped)
