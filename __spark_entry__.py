@@ -1095,75 +1095,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 5 leads with the 17 entries that
-    # had no CORRECTNESS_r04 row, keeps every round-5-NEW/CHANGED query
-    # (curation_chunks_v2; the capped emb_neardup pair; pdf with the RC4
-    # subset; the rounded temperature mix) and the flagship parity gates
-    # inside the window, and rotates 18 long-stable queries to the tail —
-    # every tail entry has a green CORRECTNESS_r04 row AND passes
-    # tools/oracle_check.py (the driver-exact compare) this round, so
-    # after r5 every one of the 68 queries has a driver row in r04 ∪ r05.
+    # "Driver-window rotation").  Round 6 (78 queries): the 25 r5-tail
+    # queries LEAD (each gets its r6 driver row), then the r6 new/changed
+    # queries (media_gif_features, media_jpeg_roundtrip,
+    # html_fragment_tree; url_blocklist with the tail-anchored suffix
+    # window + deep hosts; pdf_extract_text with the RC4/AESV2 mix;
+    # warc_extract on the rewritten streaming record walk), the flagship
+    # parity gates, and 15 stable operators fill the window to exactly
+    # 50; past-window = 28 queries, every one with a green
+    # CORRECTNESS_r05 row AND re-verified via tools/oracle_check.py this
+    # round, so after r6 every query has a driver row in r05 ∪ r06.
     return {
-        # previously past the driver window (r4 tail) — now first
-        "html_error_rows": _q_html_error_rows,
-        "dedup_exact": _q_dedup_exact,
-        "text_token_count": _q_token_count,
-        "text_repetition": _q_text_repetition,
-        "url_dedup": _q_url_dedup,
-        "text_quality": _q_quality,
-        "url_host_counts": _q_url_host_counts,
-        "text_lang_id": _q_lang_id,
-        "html_text_nodes": _q_html_text_nodes,
-        "html_extract_text_v2": _q_html_extract_v2,
-        "html_flat_error_rows": _q_html_flat_error_rows,
-        "html_titles": _q_html_titles,
-        "html_links": _q_html_links,
-        "html_node_histogram": _q_html_node_histogram,
-        "html_node_histogram_fast": _q_html_node_histogram_fast,
-        "html_max_depth": _q_html_max_depth,
-        "html_attrs_by_tag": _q_html_attrs_by_tag,
-        # round-5 new / behavior-changed queries
-        "curation_chunks_v2": _q_curation_chunks_v2,
-        "sample_split": _q_sample_split,
-        "url_blocklist": _q_url_blocklist,
-        "text_nfc": _q_text_nfc,
-        "text_tfidf_topk": _q_text_tfidf,
-        "text_lm_score": _q_text_lm_score,
-        "warc_extract": _q_warc_extract,
-        "html_extract_cp1252": _q_html_extract_cp1252,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "emb_neardup_clusters": _q_emb_neardup_clusters,
-        "pdf_extract_text": _q_pdf_extract_text,
-        "sample_temperature_mix": _q_sample_temperature_mix,
-        # flagship parity gates (load-bearing encoders stay every round)
-        "html_tree_json": _q_html_tree_json,
-        "html_tree_json_maps": _q_html_tree_json_maps,
-        "html_fragment_tree": _q_html_fragment_tree,
-        "html_attrs_map_merge": _q_html_attrs_map_merge,
-        "html_extract_text": _q_html_extract,
-        # stable in-window operators
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
-        "dedup_lsh_cc": _q_dedup_lsh_cc,
-        "dedup_bloom_incremental": _q_dedup_bloom,
-        "dedup_boilerplate_lines": _q_dedup_boilerplate,
-        "dedup_normalized_exact": _q_dedup_norm_exact,
-        "dedup_decontaminate": _q_dedup_decontaminate,
-        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_srp_bucket": _q_ann_srp,
-        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
-        "emb_normalize": _q_emb_normalize,
-        "text_quality_filter": _q_text_quality_filter,
-        "media_features": _q_media_features,
-        "media_raster_features": _q_media_raster_features,
-        "media_gif_features": _q_media_gif_features,
-        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
-        "text_token_budget": _q_text_token_budget,
-        "text_chunks": _q_text_chunks,
-        # ---- 50-row window boundary ----
-        # r5 tail: 25 long-stable queries, all green in CORRECTNESS_r04
-        # and re-verified via tools/oracle_check.py this round
+        # previously past the driver window (r5 tail) — now first
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
@@ -1189,6 +1132,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "media_frame_sample": _q_media_frame_sample,
+        # round-6 new / behavior-changed queries
+        "media_gif_features": _q_media_gif_features,
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "html_fragment_tree": _q_html_fragment_tree,
+        "url_blocklist": _q_url_blocklist,
+        "pdf_extract_text": _q_pdf_extract_text,
+        "warc_extract": _q_warc_extract,
+        # flagship parity gates (load-bearing encoders stay every round)
+        "html_tree_json": _q_html_tree_json,
+        "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
+        "html_extract_text": _q_html_extract,
+        # stable in-window operators
+        "dedup_lsh_cc": _q_dedup_lsh_cc,
+        "dedup_bloom_incremental": _q_dedup_bloom,
+        "dedup_boilerplate_lines": _q_dedup_boilerplate,
+        "dedup_normalized_exact": _q_dedup_norm_exact,
+        "dedup_decontaminate": _q_dedup_decontaminate,
+        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_srp_bucket": _q_ann_srp,
+        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
+        "emb_normalize": _q_emb_normalize,
+        "text_quality_filter": _q_text_quality_filter,
+        "media_features": _q_media_features,
+        "media_raster_features": _q_media_raster_features,
+        "text_token_budget": _q_text_token_budget,
+        "text_chunks": _q_text_chunks,
+        # ---- 50-row window boundary ----
+        # r6 tail: 28 queries, all green in CORRECTNESS_r05 and
+        # re-verified via tools/oracle_check.py this round
+        "html_error_rows": _q_html_error_rows,
+        "dedup_exact": _q_dedup_exact,
+        "text_token_count": _q_token_count,
+        "text_repetition": _q_text_repetition,
+        "url_dedup": _q_url_dedup,
+        "text_quality": _q_quality,
+        "url_host_counts": _q_url_host_counts,
+        "text_lang_id": _q_lang_id,
+        "html_text_nodes": _q_html_text_nodes,
+        "html_extract_text_v2": _q_html_extract_v2,
+        "html_flat_error_rows": _q_html_flat_error_rows,
+        "html_titles": _q_html_titles,
+        "html_links": _q_html_links,
+        "html_node_histogram": _q_html_node_histogram,
+        "html_node_histogram_fast": _q_html_node_histogram_fast,
+        "html_max_depth": _q_html_max_depth,
+        "html_attrs_by_tag": _q_html_attrs_by_tag,
+        "curation_chunks_v2": _q_curation_chunks_v2,
+        "sample_split": _q_sample_split,
+        "text_nfc": _q_text_nfc,
+        "text_tfidf_topk": _q_text_tfidf,
+        "text_lm_score": _q_text_lm_score,
+        "html_extract_cp1252": _q_html_extract_cp1252,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,
+        "sample_temperature_mix": _q_sample_temperature_mix,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
     }
 
 
