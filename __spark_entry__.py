@@ -863,9 +863,9 @@ def _q_pdf_extract_text(spark, sf_dir):
     # documents.text (8-word line wrap), extracted back by the
     # from-scratch PDF reader; oracle reproduces the wrap in pure SQL.
     # Every 4th doc is encrypted (standard security handler, empty
-    # user password), alternating RC4 R3/128 (r5) and AES-128 V4/R4
-    # /CFM /AESV2 (r6) — the roundtrip text must be IDENTICAL, so the
-    # unchanged oracle gates BOTH decrypt paths
+    # user password), cycling RC4 R3/128 (r5), AES-128 V4/R4 /AESV2
+    # (r6) and AES-256 V5/R6 /AESV3 (r6) — the roundtrip text must be
+    # IDENTICAL, so the unchanged oracle gates all three decrypt paths
     from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
 
     pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4)

@@ -77,16 +77,24 @@ def docs_to_pdfs(
     the extraction roundtrip exactly.
 
     ``encrypt_every=k`` encrypts every k-th doc (doc_id % k == 0) with
-    the standard security handler, empty user password, file id derived
-    from doc_id — alternating RC4 (R3/128) and AESV2 (V4/R4, r6) by
-    doc_id % 2k, so ONE unchanged DuckDB oracle gates both decrypt
-    paths via the extraction roundtrip."""
+    the standard security handler, empty user password — cycling RC4
+    (R3/128), AESV2 (V4/R4) and AES-256 (V5/R6, AESV3) by
+    (doc_id // k) % 3, so ONE unchanged DuckDB oracle gates all three
+    decrypt paths via the extraction roundtrip. AES-256 docs share a
+    corpus file_id on purpose: the Algorithm 2.B KDF is designed to be
+    expensive (~0.3 s pure-Python), and shared salts let the reader's
+    lru_cache pay it once per worker."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
 
-        from ..parser.pdf import encrypt_pdf_aes, encrypt_pdf_rc4
+        from ..parser.pdf import (
+            encrypt_pdf_aes,
+            encrypt_pdf_aes256,
+            encrypt_pdf_rc4,
+        )
 
+        aes256_fid = hashlib.md5(b"aes256-corpus").digest()
         for batch in batches:
             ids = batch.column(0).to_pylist()
             texts = batch.column(1).to_pylist()
@@ -102,10 +110,15 @@ def docs_to_pdfs(
                     if encrypt_every and did is not None \
                             and did % encrypt_every == 0:
                         fid = hashlib.md5(str(did).encode()).digest()
-                        if did % (2 * encrypt_every) == 0:
+                        cycle = (did // encrypt_every) % 3
+                        if cycle == 0:
                             pdf = encrypt_pdf_rc4(pdf, file_id=fid)
-                        else:
+                        elif cycle == 1:
                             pdf = encrypt_pdf_aes(pdf, file_id=fid)
+                        else:
+                            pdf = encrypt_pdf_aes256(
+                                pdf, file_id=aes256_fid
+                            )
                     pdfs.append(pdf)
                 except Exception:
                     # writer failure → null payload → pdf_extract emits

@@ -21,11 +21,12 @@ with /Identity-H(-V) CMaps decoded through their 2-byte ToUnicode —
 the dominant layout for crawled non-Latin PDFs. Encrypted files
 decrypt transparently when the USER password is empty — the common
 crawled shape (owner-only restrictions): RC4 (standard security
-handler V1/V2, R2/R3) and, since r6, AES-128-CBC (V4/R4, /CFM /AESV2,
-pure-stdlib FIPS-197 core); see :func:`_std_security_key`. Explicitly
-NOT handled: AES-256 (V5, R5/R6), real user passwords, encrypted files
-whose page tree lives in /ObjStm (RC4-era files use classic xref),
-non-Identity
+handler V1/V2, R2/R3) and, since r6, AES-128-CBC (V4/R4, /CFM /AESV2)
+and AES-256 (V5/R6, /CFM /AESV3, Algorithm 2.B KDF) — all on a
+pure-stdlib FIPS-197 T-table core; see :func:`_std_security_key`.
+Explicitly NOT handled: the deprecated R5/ExtensionLevel-3 scheme,
+real user passwords, encrypted files whose page tree lives in /ObjStm
+(RC4-era files use classic xref), non-Identity
 CID CMaps (GBK-EUC-H etc.), and fonts whose only text mapping is
 embedded glyph programs — a corpus job routes those rows to DISTINCT
 error values / U+FFFD rather than failing (same row-level error
@@ -561,73 +562,183 @@ def _aes_mul(a: int, b: int) -> int:
     return r
 
 
-def _aes_expand_key(key: bytes) -> list[list[int]]:
+_AES_T = None
+
+
+def _aes_ttables():
+    """Word-oriented T-tables (the classic fast software AES layout):
+    one table lookup folds SubBytes+ShiftRows+MixColumns per byte.
+    Needed because Algorithm 2.B (AES-256 KDF) runs ~8k block
+    operations per hash — the byte-wise reference implementation was
+    ~250 µs/block, T-tables ~15 µs."""
+    global _AES_T
+    if _AES_T is None:
+        sbox, isbox = _aes_tables()
+        te = [[0] * 256 for _ in range(4)]
+        td = [[0] * 256 for _ in range(4)]
+        for x in range(256):
+            s = sbox[x]
+            w = (_aes_mul(s, 2) << 24) | (s << 16) | (s << 8) | _aes_mul(s, 3)
+            for i in range(4):
+                te[i][x] = ((w >> (8 * i)) | (w << (32 - 8 * i))) & 0xFFFFFFFF
+            si = isbox[x]
+            w = ((_aes_mul(si, 14) << 24) | (_aes_mul(si, 9) << 16)
+                 | (_aes_mul(si, 13) << 8) | _aes_mul(si, 11))
+            for i in range(4):
+                td[i][x] = ((w >> (8 * i)) | (w << (32 - 8 * i))) & 0xFFFFFFFF
+        _AES_T = (te, td)
+    return _AES_T
+
+
+def _aes_expand_key(key: bytes) -> tuple[list[int], list[int]]:
+    """(encryption words, decryption words) — 4 big-endian 32-bit words
+    per round. Decryption uses the equivalent inverse cipher: middle
+    round keys passed through InvMixColumns (via the Td/Te identity)."""
+    import struct
+
     sbox, _ = _aes_tables()
+    te, td = _aes_ttables()
     nk = len(key) // 4
     nr = nk + 6
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    w = list(struct.unpack(">%dI" % nk, key))
     rcon = 1
     for i in range(nk, 4 * (nr + 1)):
-        t = list(w[i - 1])
+        t = w[i - 1]
         if i % nk == 0:
-            t = t[1:] + t[:1]
-            t = [sbox[b] for b in t]
-            t[0] ^= rcon
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = ((sbox[(t >> 24) & 0xFF] << 24) | (sbox[(t >> 16) & 0xFF] << 16)
+                 | (sbox[(t >> 8) & 0xFF] << 8) | sbox[t & 0xFF])
+            t ^= rcon << 24
             rcon = ((rcon << 1) ^ (0x11B if rcon & 0x80 else 0)) & 0xFF
         elif nk > 6 and i % nk == 4:
-            t = [sbox[b] for b in t]
-        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
+            t = ((sbox[(t >> 24) & 0xFF] << 24) | (sbox[(t >> 16) & 0xFF] << 16)
+                 | (sbox[(t >> 8) & 0xFF] << 8) | sbox[t & 0xFF])
+        w.append(w[i - nk] ^ t)
+    # decryption schedule: reversed rounds, InvMixColumns on the middles
+    dw = []
+    for rnd in range(nr, -1, -1):
+        four = w[4 * rnd : 4 * rnd + 4]
+        if 0 < rnd < nr:
+            four = [
+                td[0][sbox[(x >> 24) & 0xFF]] ^ td[1][sbox[(x >> 16) & 0xFF]]
+                ^ td[2][sbox[(x >> 8) & 0xFF]] ^ td[3][sbox[x & 0xFF]]
+                for x in four
+            ]
+        dw.extend(four)
+    return w, dw
 
 
-def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+def _aes_encrypt_block(rk, block: bytes) -> bytes:
+    import struct
+
+    te, _ = _aes_ttables()
+    te0, te1, te2, te3 = te
     sbox, _ = _aes_tables()
-    nr = len(rk) - 1
-    s = [block[i] ^ rk[0][i] for i in range(16)]
-    for rnd in range(1, nr + 1):
-        s = [sbox[b] for b in s]
-        # ShiftRows on column-major state: byte i = s[(i + 4*(i%4)) % 16]
-        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < nr:
-            t = []
-            for c in range(4):
-                a = s[4 * c : 4 * c + 4]
-                t += [
-                    _aes_mul(a[0], 2) ^ _aes_mul(a[1], 3) ^ a[2] ^ a[3],
-                    a[0] ^ _aes_mul(a[1], 2) ^ _aes_mul(a[2], 3) ^ a[3],
-                    a[0] ^ a[1] ^ _aes_mul(a[2], 2) ^ _aes_mul(a[3], 3),
-                    _aes_mul(a[0], 3) ^ a[1] ^ a[2] ^ _aes_mul(a[3], 2),
-                ]
-            s = t
-        s = [s[i] ^ rk[rnd][i] for i in range(16)]
-    return bytes(s)
+    w = rk[0]
+    nr = len(w) // 4 - 1
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    s0 ^= w[0]; s1 ^= w[1]; s2 ^= w[2]; s3 ^= w[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = (te0[(s0 >> 24) & 0xFF] ^ te1[(s1 >> 16) & 0xFF]
+              ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ w[k])
+        t1 = (te0[(s1 >> 24) & 0xFF] ^ te1[(s2 >> 16) & 0xFF]
+              ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ w[k + 1])
+        t2 = (te0[(s2 >> 24) & 0xFF] ^ te1[(s3 >> 16) & 0xFF]
+              ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ w[k + 2])
+        t3 = (te0[(s3 >> 24) & 0xFF] ^ te1[(s0 >> 16) & 0xFF]
+              ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ w[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    out = []
+    for a, b, c, d in ((s0, s1, s2, s3), (s1, s2, s3, s0),
+                       (s2, s3, s0, s1), (s3, s0, s1, s2)):
+        out.append(
+            ((sbox[(a >> 24) & 0xFF] << 24) | (sbox[(b >> 16) & 0xFF] << 16)
+             | (sbox[(c >> 8) & 0xFF] << 8) | sbox[d & 0xFF]) ^ w[k]
+        )
+        k += 1
+    return struct.pack(">4I", *out)
 
 
-def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+def _aes_decrypt_block(rk, block: bytes) -> bytes:
+    import struct
+
+    _, td = _aes_ttables()
+    td0, td1, td2, td3 = td
     _, isbox = _aes_tables()
-    nr = len(rk) - 1
-    s = [block[i] ^ rk[nr][i] for i in range(16)]
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows: byte i came from s[(i - 4*(i%4)) % 16]
-        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
-        s = [isbox[b] for b in s]
-        s = [s[i] ^ rk[rnd][i] for i in range(16)]
-        if rnd > 0:
-            t = []
-            for c in range(4):
-                a = s[4 * c : 4 * c + 4]
-                t += [
-                    _aes_mul(a[0], 14) ^ _aes_mul(a[1], 11)
-                    ^ _aes_mul(a[2], 13) ^ _aes_mul(a[3], 9),
-                    _aes_mul(a[0], 9) ^ _aes_mul(a[1], 14)
-                    ^ _aes_mul(a[2], 11) ^ _aes_mul(a[3], 13),
-                    _aes_mul(a[0], 13) ^ _aes_mul(a[1], 9)
-                    ^ _aes_mul(a[2], 14) ^ _aes_mul(a[3], 11),
-                    _aes_mul(a[0], 11) ^ _aes_mul(a[1], 13)
-                    ^ _aes_mul(a[2], 9) ^ _aes_mul(a[3], 14),
-                ]
-            s = t
-    return bytes(s)
+    w = rk[1]
+    nr = len(w) // 4 - 1
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    s0 ^= w[0]; s1 ^= w[1]; s2 ^= w[2]; s3 ^= w[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = (td0[(s0 >> 24) & 0xFF] ^ td1[(s3 >> 16) & 0xFF]
+              ^ td2[(s2 >> 8) & 0xFF] ^ td3[s1 & 0xFF] ^ w[k])
+        t1 = (td0[(s1 >> 24) & 0xFF] ^ td1[(s0 >> 16) & 0xFF]
+              ^ td2[(s3 >> 8) & 0xFF] ^ td3[s2 & 0xFF] ^ w[k + 1])
+        t2 = (td0[(s2 >> 24) & 0xFF] ^ td1[(s1 >> 16) & 0xFF]
+              ^ td2[(s0 >> 8) & 0xFF] ^ td3[s3 & 0xFF] ^ w[k + 2])
+        t3 = (td0[(s3 >> 24) & 0xFF] ^ td1[(s2 >> 16) & 0xFF]
+              ^ td2[(s1 >> 8) & 0xFF] ^ td3[s0 & 0xFF] ^ w[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    out = []
+    for a, b, c, d in ((s0, s3, s2, s1), (s1, s0, s3, s2),
+                       (s2, s1, s0, s3), (s3, s2, s1, s0)):
+        out.append(
+            ((isbox[(a >> 24) & 0xFF] << 24) | (isbox[(b >> 16) & 0xFF] << 16)
+             | (isbox[(c >> 8) & 0xFF] << 8) | isbox[d & 0xFF]) ^ w[k]
+        )
+        k += 1
+    return struct.pack(">4I", *out)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """No-padding CBC (AESV3 key wrapping uses exact 2-block payloads)."""
+    if len(data) % 16:
+        raise PdfError("encrypted PDF: bad AES block length")
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        if encrypt:
+            prev = _aes_encrypt_block(
+                rk, bytes(a ^ b for a, b in zip(blk, prev))
+            )
+            out += prev
+        else:
+            dec = _aes_decrypt_block(rk, blk)
+            out += bytes(a ^ b for a, b in zip(dec, prev))
+            prev = blk
+    return bytes(out)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened KDF (R6): iterated
+    SHA-256/384/512 selected by an AES-CBC feedback block. Used for
+    both the /U validation hash and the /UE intermediate key.
+    lru_cached: the KDF is DESIGNED to cost ~10^4 AES blocks (anti
+    brute-force), ~0.3 s in pure Python — a corpus whose files share
+    salts (the synthetic driver gate does this deliberately) pays it
+    once per worker process; mixed-salt real corpora simply miss."""
+    from hashlib import sha256, sha384, sha512
+
+    k = sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, encrypt=True)
+        k = (sha256, sha384, sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -696,8 +807,26 @@ def _std_security_key(data: bytes, objs: dict[int, bytes]) -> bytes | None:
         if stmf is not None and stmf.group(1) == b"Identity":
             raise PdfError("encrypted PDF: Identity StmF unsupported")
         method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
+    elif v == 5 and r == 6:
+        # AES-256 (AESV3, ISO 32000-2): /U = hash(32) ∥ validation
+        # salt(8) ∥ key salt(8); file key unwrapped from /UE. The key is
+        # used directly per stream (no per-object derivation). R5 (the
+        # deprecated ExtensionLevel-3 scheme) stays a typed error.
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if cfm is None or cfm.group(1) != b"AESV3":
+            raise PdfError("encrypted PDF: unsupported crypt filter")
+        u5 = _dict_string(enc, b"U")
+        ue = _dict_string(enc, b"UE")
+        if u5 is None or ue is None or len(u5) < 48 or len(ue) < 32:
+            raise PdfError("encrypted PDF: malformed /Encrypt dictionary")
+        vsalt, ksalt = u5[32:40], u5[40:48]
+        if _hash_2b(b"", vsalt, b"") != u5[:32]:
+            raise PdfError("encrypted PDF: password required")
+        ikey = _hash_2b(b"", ksalt, b"")
+        return _aes_cbc_raw(ikey, b"\x00" * 16, ue[:32], False), "aes256"
     elif v >= 4 or r >= 4:
-        raise PdfError("encrypted PDF: AES-256 (V>=5) unsupported")
+        raise PdfError("encrypted PDF: AES-256 (R5/ExtensionLevel-3) "
+                       "or unknown V/R unsupported")
     elif v not in (1, 2) or r not in (2, 3):
         raise PdfError(f"encrypted PDF: V={v}/R={r} unsupported")
     o = _dict_string(enc, b"O")
@@ -783,10 +912,13 @@ def _decrypt_streams(
                 hi -= 2
             elif seg.endswith((b"\n", b"\r")):
                 hi -= 1
-        okey = md5(
-            key + oid.to_bytes(3, "little") + b"\x00\x00" + salt
-        ).digest()[:klen]
-        if method == "aes":
+        if method == "aes256":
+            okey = key  # R6: the file key is used directly per stream
+        else:
+            okey = md5(
+                key + oid.to_bytes(3, "little") + b"\x00\x00" + salt
+            ).digest()[:klen]
+        if method in ("aes", "aes256"):
             plain = _aes_cbc_decrypt(okey, body[lo:hi])
             head = body[:lo]
             if lm is not None:
@@ -1006,6 +1138,97 @@ def encrypt_pdf_aes(
         f" /O <{o.hex()}> /U <{u.hex()}> /P {permissions} >>\nendobj\n"
         f"trailer\n<< /Encrypt {eid} 0 R"
         f" /ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out)
+
+
+def encrypt_pdf_aes256(
+    data: bytes,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
+    permissions: int = -44,
+    file_id: bytes | None = None,
+) -> bytes:
+    """AES-256 writer (standard security handler V=5 R=6, /CFM /AESV3,
+    ISO 32000-2): 32-byte file key wrapped into /UE and /OE via the
+    Algorithm 2.B hardened KDF; /U = 2.B(user_pw, vsalt) ∥ salts,
+    /O = 2.B(owner_pw, ovsalt, U48) ∥ salts; /Perms = AES-ECB of the
+    permissions block. Streams become IV ∥ AES-256-CBC ∥ PKCS#7 with
+    the file key used directly (no per-object derivation), /Length
+    patched. Deterministic: salts/key/IVs derive from ``file_id``.
+    NOTE: the reader shares :func:`_hash_2b` with this writer (same
+    situation as the RC4 /O·/U algorithms) — the driver gate proves
+    the end-to-end roundtrip, not KDF interop with external files."""
+    import struct
+    from hashlib import md5, sha256
+
+    if file_id is None:
+        file_id = md5(data).digest()
+    d = sha256(b"aes256" + file_id).digest
+    filekey = sha256(b"key" + file_id).digest()
+    vsalt = d()[:8]
+    ksalt = sha256(b"ksalt" + file_id).digest()[:8]
+    u = _hash_2b(user_pw, vsalt, b"") + vsalt + ksalt
+    ue = _aes_cbc_raw(_hash_2b(user_pw, ksalt, b""), b"\x00" * 16,
+                      filekey, True)
+    ovsalt = sha256(b"ovsalt" + file_id).digest()[:8]
+    oksalt = sha256(b"oksalt" + file_id).digest()[:8]
+    o = _hash_2b(owner_pw, ovsalt, u) + ovsalt + oksalt
+    oe = _aes_cbc_raw(_hash_2b(owner_pw, oksalt, u), b"\x00" * 16,
+                      filekey, True)
+    perms_blk = (struct.pack("<i", permissions) + b"\xff\xff\xff\xff"
+                 + b"Tadb" + sha256(b"perms" + file_id).digest()[:4])
+    perms = _aes_encrypt_block(_aes_expand_key(filekey), perms_blk)
+    out = bytearray()
+    cursor = 0
+    max_oid = 0
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        end = _object_body_end(data, m.end())
+        if end == -1:
+            pos = m.end()
+            continue
+        oid = int(m.group(1))
+        max_oid = max(max_oid, oid)
+        body = data[m.end() : end]
+        sm = _STREAM_RE.search(body)
+        pos = end + 6
+        if sm is None:
+            continue
+        lm = _LENGTH_RE.search(body[: sm.start()])
+        if lm is not None:
+            lo, hi = sm.end(), sm.end() + int(lm.group(1))
+        else:
+            hi = body.rfind(b"endstream")
+            lo = sm.end()
+            seg = body[lo:hi]
+            if seg.endswith(b"\r\n"):
+                hi -= 2
+            elif seg.endswith((b"\n", b"\r")):
+                hi -= 1
+        iv = md5(b"iv" + file_id + oid.to_bytes(3, "little")).digest()[:16]
+        cipher = _aes_cbc_encrypt(filekey, iv, bytes(body[lo:hi]))
+        head = body[:lo]
+        if lm is not None:
+            head = (head[: lm.start(1)] + str(len(cipher)).encode()
+                    + head[lm.end(1) :])
+        out += data[cursor : m.end()]
+        out += head + cipher + body[hi:]
+        cursor = end
+    out += data[cursor:]
+    eid = max_oid + 1
+    out += (
+        f"{eid} 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256"
+        f" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+        f" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        f" /O <{o.hex()}> /U <{u.hex()}>"
+        f" /OE <{oe.hex()}> /UE <{ue.hex()}>"
+        f" /Perms <{perms.hex()}> /P {permissions} >>\nendobj\n"
+        f"trailer\n<< /Encrypt {eid} 0 R"
+        f" /ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n%%EOF\n"
     ).encode("ascii")
     return bytes(out)
 

@@ -540,16 +540,58 @@ def test_real_user_password_typed_error():
 
 
 def test_aes_scope_typed_errors():
-    # r6: V4/R4 with /CFM /AESV2 is now SUPPORTED (see test_aesv2_*);
-    # V4 without a recognized crypt filter and AES-256 (V5/R6) remain
-    # distinct typed errors
+    # r6: V4/R4 /CFM /AESV2 and V5/R6 /CFM /AESV3 are now SUPPORTED
+    # (see test_aesv2_* / test_aes256_*); V4/V5 without a recognized
+    # crypt filter and the deprecated R5 remain distinct typed errors
     from html5ever_elixir_spark.parser.pdf import PdfError, extract_pdf_text
 
     _, enc = _enc_fixture()
     with pytest.raises(PdfError, match="crypt filter"):
         extract_pdf_text(enc.replace(b"/V 2 /R 3", b"/V 4 /R 4"))
-    with pytest.raises(PdfError, match="AES-256"):
+    with pytest.raises(PdfError, match="crypt filter"):
         extract_pdf_text(enc.replace(b"/V 2 /R 3", b"/V 5 /R 6"))
+    with pytest.raises(PdfError, match="R5|unsupported"):
+        extract_pdf_text(enc.replace(b"/V 2 /R 3", b"/V 5 /R 5"))
+
+
+def test_aes256_roundtrip_and_password_gate():
+    from html5ever_elixir_spark.parser.pdf import (
+        PdfError,
+        encrypt_pdf_aes256,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    pdf = make_simple_pdf(["aes256 secret body", "second line"])
+    enc = encrypt_pdf_aes256(pdf)
+    assert enc != pdf and b"aes256 secret" not in enc
+    assert b"/CFM /AESV3" in enc and b"/V 5 /R 6" in enc
+    assert extract_pdf_text(enc) == extract_pdf_text(pdf)
+    with pytest.raises(PdfError, match="password required"):
+        extract_pdf_text(encrypt_pdf_aes256(pdf, user_pw=b"pw"))
+
+
+def test_aes256_mutation_fuzz_never_escapes_error_contract():
+    from html5ever_elixir_spark.parser.pdf import (
+        PdfError,
+        encrypt_pdf_aes256,
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    base = encrypt_pdf_aes256(make_simple_pdf(["fuzz 256"]))
+    n = len(base)
+    for trial in range(120):
+        r = (trial * 2654435761) % (2 * n)
+        if trial % 2:
+            i = r % n
+            mut = base[:i] + bytes([base[i] ^ (1 << (r % 8))]) + base[i + 1 :]
+        else:
+            mut = base[: r % n]
+        try:
+            extract_pdf_text(mut)
+        except PdfError:
+            pass
 
 
 def test_aesv2_roundtrip_and_password_gate():
