@@ -152,6 +152,34 @@ def run_suite(spark, sf_dir: str):
             _build_warc, "warc_id bigint, content binary"
         )
     ))))
+    # round-6: the baseline-JPEG encode→decode roundtrip (third
+    # mapInArrow family; DC fast path + marker/Huffman walk under load)
+    from html5ever_elixir_spark.operators.multimodal import (
+        _decode_raster,
+        encode_jpeg_gray_blocks,
+    )
+
+    def _jpeg_rt(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            ok = []
+            for did, t in zip(ids, texts):
+                vals = (t or "x").encode()
+                w, _, px = _decode_raster(encode_jpeg_gray_blocks(
+                    vals, restart_interval=7 if did % 3 == 0 else 0
+                ))
+                ok.append(int(all(
+                    px[3 * w + 8 * i + 3] == v for i, v in enumerate(vals)
+                )))
+            yield pa.RecordBatch.from_pydict({"media_id": ids, "ok": ok})
+
+    timed("jpeg_roundtrip", lambda: _noop(
+        docs.selectExpr("doc_id AS media_id", "text")
+        .mapInArrow(_jpeg_rt, "media_id bigint, ok bigint")
+    ))
     return n_docs, timings
 
 
