@@ -774,13 +774,16 @@ def _q_media_gif_features(spark, sf_dir):
 
 
 def _q_media_jpeg_roundtrip(spark, sf_dir):
-    # the REAL baseline-JPEG decode path, driver-gated (r5 verdict ask
-    # #3): each doc's text becomes a genuine JFIF stream of DC-only
-    # constant blocks (quant all-ones, DC = 8·(v−128) → integer-exact
-    # IDCT), every 3rd doc with restart markers — decode walks markers,
-    # canonical Huffman, destuffing, RSTn, and the DC fast path, then
-    # the block centers reconstruct the text byte-for-byte. Oracle: the
-    # text itself plus the synthesized geometry.
+    # the REAL JPEG decode path, driver-gated (r5 verdict ask #3):
+    # each doc's text becomes a genuine JFIF stream of DC-only constant
+    # blocks (quant all-ones, DC = 8·(v−128) → integer-exact IDCT),
+    # every 3rd doc with restart markers, and every 5th doc a
+    # PROGRESSIVE (SOF2) stream — DC first/refinement scans + an AC
+    # band scan through the multi-scan player (r6). Decode walks
+    # markers, canonical Huffman, destuffing, RSTn, successive
+    # approximation, and the DC fast path; the block centers
+    # reconstruct the text byte-for-byte. Oracle: the text itself plus
+    # the synthesized geometry.
     import pyarrow as pa
 
     from html5ever_elixir_spark.operators.multimodal import (
@@ -796,7 +799,11 @@ def _q_media_jpeg_roundtrip(spark, sf_dir):
             for did, t in zip(ids, texts):
                 vals = t.encode("utf-8")
                 jp = encode_jpeg_gray_blocks(
-                    vals, restart_interval=7 if did % 3 == 0 else 0
+                    vals,
+                    restart_interval=(
+                        7 if did % 3 == 0 and did % 5 != 0 else 0
+                    ),
+                    progressive=did % 5 == 0,
                 )
                 w, h, px = _decode_raster(jp)
                 out["text_rt"].append(

@@ -563,6 +563,43 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
+def _jpeg_idct_into(ybuf, yplane_w, bx, by, coefs, nz):
+    """Reconstruct one 8×8 block into the luma plane: integer-exact
+    DC-only fast path, else separable float IDCT (cols then rows)."""
+    if not nz:
+        v = (coefs[0] + 4) >> 3 if coefs[0] >= 0 \
+            else -((-coefs[0] + 4) >> 3)
+        v = min(255, max(0, v + 128))
+        row = bytes([v]) * 8
+        for yy in range(8):
+            off = (by + yy) * yplane_w + bx
+            ybuf[off : off + 8] = row
+        return
+    cos, cc = _idct_tables()
+    tmp = [0.0] * 64
+    for u in range(8):
+        col = [coefs[v8 * 8 + u] for v8 in range(8)]
+        if not any(col):
+            continue
+        for yy in range(8):
+            s_ = 0.0
+            for v8 in range(8):
+                if col[v8]:
+                    s_ += cc[v8] * col[v8] * cos[yy][v8]
+            tmp[yy * 8 + u] = s_
+    for yy in range(8):
+        off = (by + yy) * yplane_w + bx
+        base = yy * 8
+        for xx in range(8):
+            s_ = 0.0
+            for u in range(8):
+                tv = tmp[base + u]
+                if tv:
+                    s_ += cc[u] * tv * cos[xx][u]
+            v = int(round(s_ / 4)) + 128
+            ybuf[off + xx] = min(255, max(0, v))
+
+
 def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python baseline-sequential JPEG decode (ITU T.81): marker
     walk (DQT/DHT/SOF0-1/SOS/DRI, APPn/COM skipped), canonical Huffman
@@ -583,6 +620,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     qt: dict[int, list[int]] = {}
     huffs: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
     pos = 2
     while True:
@@ -635,7 +673,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                         i += 1
                     code <<= 1
                 huffs[(tc, th)] = table
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise CorruptRasterError(f"JPEG precision {prec} unsupported")
@@ -645,15 +683,23 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
             sof = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF, 0xDE):
             raise CorruptRasterError(
-                "progressive/arithmetic/hierarchical JPEG unsupported")
+                "arithmetic/lossless/hierarchical JPEG unsupported")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise CorruptRasterError("JPEG SOS before SOF")
+            if progressive:
+                # hand off at the FFDA marker itself: the progressive
+                # player owns the multi-scan marker walk from here
+                return _decode_jpeg_progressive(
+                    payload, pos - seglen - 2, qt, huffs, sof,
+                    restart_interval,
+                )
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -692,7 +738,6 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     ybw = mcux * y["h"]  # luma blocks per row
     yplane_w = ybw * 8
     ybuf = bytearray(yplane_w * mcuy * y["v"] * 8)
-    cos, cc = _idct_tables()
     bits = _JpegBits(payload, pos)
     pred = {c["id"]: 0 for c in order}
     mcu_seen = 0
@@ -737,38 +782,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                             continue  # chroma: decoded, not reconstructed
                         bx = (mx * y["h"] + bh) * 8
                         by = (my * y["v"] + bv) * 8
-                        if not nz:  # DC-only: flat block, integer-exact
-                            v = (coefs[0] + 4) >> 3 if coefs[0] >= 0 \
-                                else -((-coefs[0] + 4) >> 3)
-                            v = min(255, max(0, v + 128))
-                            row = bytes([v]) * 8
-                            for yy in range(8):
-                                off = (by + yy) * yplane_w + bx
-                                ybuf[off : off + 8] = row
-                            continue
-                        # separable IDCT: columns then rows
-                        tmp = [0.0] * 64
-                        for u in range(8):
-                            col = [coefs[v8 * 8 + u] for v8 in range(8)]
-                            if not any(col):
-                                continue
-                            for yy in range(8):
-                                s_ = 0.0
-                                for v8 in range(8):
-                                    if col[v8]:
-                                        s_ += cc[v8] * col[v8] * cos[yy][v8]
-                                tmp[yy * 8 + u] = s_
-                        for yy in range(8):
-                            off = (by + yy) * yplane_w + bx
-                            base = yy * 8
-                            for xx in range(8):
-                                s_ = 0.0
-                                for u in range(8):
-                                    tv = tmp[base + u]
-                                    if tv:
-                                        s_ += cc[u] * tv * cos[xx][u]
-                                v = int(round(s_ / 4)) + 128
-                                ybuf[off + xx] = min(255, max(0, v))
+                        _jpeg_idct_into(ybuf, yplane_w, bx, by, coefs, nz)
     # crop the padded plane to (w, h); upsample if Y is subsampled
     sx = hmax // y["h"] if y["h"] else 1
     sy = vmax // y["v"] if y["v"] else 1
@@ -783,16 +797,322 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
     return w, h, px
 
 
-def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
-    """Deterministic grayscale baseline JPEG writer for synthesis
-    (tests/driver gates — no external data): one 8-row image of
-    len(values) constant 8×8 blocks, quantization table all-ones, DC
-    coefficient 8·(v−128) per block — DC-only blocks reconstruct
-    integer-exactly, so decode returns each byte of ``values`` 64×.
-    Real marker stream: JFIF APP0, DQT, SOF0, two DHTs (12-symbol DC
-    table, single-EOB AC table), SOS, stuffed entropy bytes, EOI.
+def _decode_jpeg_progressive(
+    payload: bytes, pos: int, qt, huffs, sof, restart_interval
+) -> tuple[int, int, list[int]]:
+    """Progressive JPEG (SOF2) scan player: accumulates dequantization-
+    pending coefficients per block across DC/AC first + refinement
+    scans (spectral selection Ss..Se, successive approximation Ah/Al,
+    EOB runs per T.81 §G.1.2), then dequantizes and IDCTs the luma
+    plane once at EOI. Chroma coefficients are entropy-consumed but not
+    reconstructed, matching the baseline path. Restart intervals reset
+    DC predictors AND the EOB run."""
+    import struct
+
+    n = len(payload)
+    w, h, comps = sof
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_SAMPLES:
+        raise CorruptRasterError(f"JPEG geometry {w}x{h} out of bounds")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise CorruptRasterError("JPEG bad sampling factors")
+    for c in comps:
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise CorruptRasterError("JPEG sampling factors unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {}
+    for c in comps:
+        c["pw"] = mcux * c["h"]          # padded plane width in blocks
+        c["ph"] = mcuy * c["v"]
+        cw = -(-(w * c["h"]) // hmax)    # component sample dims
+        ch = -(-(h * c["v"]) // vmax)
+        c["bw"] = -(-cw // 8)            # data-unit dims (non-interleaved)
+        c["bh"] = -(-ch // 8)
+        c["coef"] = [None] * (c["pw"] * c["ph"])  # lazy [0]*64 blocks
+        by_id[c["id"]] = c
+
+    def blk(c, idx):
+        b = c["coef"][idx]
+        if b is None:
+            b = c["coef"][idx] = [0] * 64
+        return b
+
+    zz = _JPEG_ZIGZAG
+    n_scans = 0
+    while True:
+        # ---- marker walk between scans ----
+        if pos + 2 > n:
+            break  # truncated after last scan: reconstruct what we have
+        if payload[pos] != 0xFF:
+            raise CorruptRasterError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if 0xD0 <= m <= 0xD7 or m == 0xD8:
+            continue
+        if pos + 2 > n:
+            raise CorruptRasterError("truncated JPEG marker segment")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise CorruptRasterError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if m == 0xC4:  # DHT may precede any scan
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                i += 17
+                table = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        if i >= len(body):
+                            raise CorruptRasterError("truncated DHT")
+                        table[(length, code)] = body[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huffs[(tc, th)] = table
+            continue
+        if m == 0xDD:
+            if len(body) < 2:
+                raise CorruptRasterError("truncated DRI")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+            continue
+        if m != 0xDA:
+            continue  # DQT updates/APPn/COM between scans: skip
+        # ---- one scan ----
+        n_scans += 1
+        if n_scans > 200:
+            raise CorruptRasterError("JPEG scan count out of bounds")
+        if not body or len(body) < 4 + 2 * body[0]:
+            raise CorruptRasterError("truncated JPEG scan header")
+        ns = body[0]
+        scomp = []
+        for si in range(ns):
+            cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+            c = by_id.get(cs)
+            if c is None:
+                raise CorruptRasterError("JPEG scan names unknown component")
+            scomp.append((c, tt >> 4, tt & 15))
+        ss, se, aa = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+        ah, al = aa >> 4, aa & 15
+        if ss > se or se > 63 or (ss == 0 and se != 0):
+            raise CorruptRasterError("JPEG bad spectral selection")
+        if ss > 0 and ns != 1:
+            raise CorruptRasterError("JPEG AC scan must be single-component")
+        bits = _JpegBits(payload, pos)
+        eobrun = 0
+        pred = {c["id"]: 0 for c, _, _ in scomp}
+
+        def restart():
+            nonlocal eobrun
+            bits.restart()
+            eobrun = 0
+            for k in pred:
+                pred[k] = 0
+
+        dc_tab = {}
+        ac_tab = {}
+        for c, dc_id, ac_id in scomp:
+            if ss == 0 and ah == 0:
+                dc_tab[c["id"]] = huffs.get((0, dc_id))
+                if dc_tab[c["id"]] is None:
+                    raise CorruptRasterError("JPEG scan references missing DHT")
+            if ss > 0 and ah == 0:
+                ac_tab[c["id"]] = huffs.get((1, ac_id))
+                if ac_tab[c["id"]] is None:
+                    raise CorruptRasterError("JPEG scan references missing DHT")
+            if ss > 0 and ah > 0:
+                ac_tab[c["id"]] = huffs.get((1, ac_id))
+                if ac_tab[c["id"]] is None:
+                    raise CorruptRasterError("JPEG scan references missing DHT")
+
+        def dc_first(c, coefs):
+            t = bits.huff(dc_tab[c["id"]])
+            if t > 11:
+                raise CorruptRasterError("JPEG bad DC category")
+            diff = _jpeg_extend(bits.bits(t), t) if t else 0
+            pred[c["id"]] += diff
+            coefs[0] = pred[c["id"]] << al
+
+        def dc_refine(coefs):
+            if bits.bits(1):
+                coefs[0] |= 1 << al
+
+        def ac_first(c, coefs):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = bits.huff(ac_tab[c["id"]])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.bits(r)
+                    return
+                k += r
+                if k > se:
+                    raise CorruptRasterError("JPEG AC overflow")
+                coefs[zz[k]] = _jpeg_extend(bits.bits(s), s) << al
+                k += 1
+
+        def ac_refine(c, coefs):
+            # T.81 §G.1.2.3 correction-bit pass (history-aware runs)
+            nonlocal eobrun
+            p1 = 1 << al
+            m1 = -1 << al
+
+            def correct(z):
+                if bits.bits(1) and (coefs[z] & p1) == 0:
+                    coefs[z] += p1 if coefs[z] >= 0 else m1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = bits.huff(ac_tab[c["id"]])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        val = 0  # ZRL: pass 16 zero-history coefficients
+                    elif s == 1:
+                        val = p1 if bits.bits(1) else m1
+                    else:
+                        raise CorruptRasterError("JPEG bad refine symbol")
+                    while k <= se:
+                        z = zz[k]
+                        if coefs[z] != 0:
+                            correct(z)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        coefs[zz[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = zz[k]
+                    if coefs[z] != 0:
+                        correct(z)
+                    k += 1
+                eobrun -= 1
+
+        def do_unit(c, coefs):
+            if ss == 0:
+                if ah == 0:
+                    dc_first(c, coefs)
+                else:
+                    dc_refine(coefs)
+            else:
+                if ah == 0:
+                    ac_first(c, coefs)
+                else:
+                    ac_refine(c, coefs)
+
+        mcu_seen = 0
+        if ns == 1:
+            # non-interleaved: data units in component raster order over
+            # the UNPADDED block grid (bw × bh)
+            c = scomp[0][0]
+            for row in range(c["bh"]):
+                for col in range(c["bw"]):
+                    if restart_interval and mcu_seen and \
+                            mcu_seen % restart_interval == 0:
+                        restart()
+                    mcu_seen += 1
+                    do_unit(c, blk(c, row * c["pw"] + col))
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_seen and \
+                            mcu_seen % restart_interval == 0:
+                        restart()
+                    mcu_seen += 1
+                    for c, _, _ in scomp:
+                        for bv in range(c["v"]):
+                            for bh_ in range(c["h"]):
+                                idx = ((my * c["v"] + bv) * c["pw"]
+                                       + mx * c["h"] + bh_)
+                                do_unit(c, blk(c, idx))
+        # advance past this scan's entropy data to the next marker (the
+        # marker walk at the loop top skips any stray RSTn itself)
+        p = bits.pos
+        if bits.marker is None:
+            while p + 1 < n and not (
+                payload[p] == 0xFF and payload[p + 1] != 0x00
+            ):
+                p += 1
+        pos = p
+    if n_scans == 0:
+        raise CorruptRasterError("JPEG has no scan data")
+    # ---- reconstruct the luma plane ----
+    y = comps[0]
+    if y["tq"] not in qt:
+        raise CorruptRasterError("JPEG missing quantization table")
+    q = qt[y["tq"]]
+    yplane_w = y["pw"] * 8
+    ybuf = bytearray(yplane_w * y["ph"] * 8)
+    for row in range(y["ph"]):
+        for col in range(y["pw"]):
+            raw = y["coef"][row * y["pw"] + col]
+            if raw is None:
+                coefs = [0] * 64
+                nz = False
+            else:
+                coefs = [0] * 64
+                nz = False
+                for k in range(64):
+                    z = zz[k]
+                    if raw[z]:
+                        coefs[z] = raw[z] * q[k]
+                        if k:
+                            nz = True
+            _jpeg_idct_into(ybuf, yplane_w, col * 8, row * 8, coefs, nz)
+    sx = hmax // y["h"]
+    sy = vmax // y["v"]
+    px: list[int] = []
+    for yy in range(h):
+        off = (yy // sy) * yplane_w
+        rowb = ybuf[off : off + yplane_w]
+        if sx == 1:
+            px.extend(rowb[:w])
+        else:
+            px.extend(rowb[xx // sx] for xx in range(w))
+    return w, h, px
+
+
+def encode_jpeg_gray_blocks(
+    values: bytes, restart_interval: int = 0, progressive: bool = False
+) -> bytes:
+    """Deterministic grayscale JPEG writer for synthesis (tests/driver
+    gates — no external data): one 8-row image of len(values) constant
+    8×8 blocks, quantization table all-ones, DC coefficient 8·(v−128)
+    per block — DC-only blocks reconstruct integer-exactly, so decode
+    returns each byte of ``values`` 64×. Real marker stream: JFIF APP0,
+    DQT, SOF0, two DHTs (12-symbol DC table, single-EOB AC table), SOS,
+    stuffed entropy bytes, EOI.
     ``restart_interval`` > 0 adds a DRI segment and RSTn markers every
-    N MCUs with DC-predictor reset (the crawled-camera-JPEG norm)."""
+    N MCUs with DC-predictor reset (the crawled-camera-JPEG norm).
+    ``progressive=True`` emits SOF2 with THREE scans instead — DC first
+    (Al=1), DC refinement (Al=0), and an all-EOB AC band scan — the
+    reconstruction (dc>>1)<<1 | bit is exact for every byte value, so
+    the same roundtrip contract holds through the progressive player."""
     import struct
 
     if not values:
@@ -802,7 +1122,8 @@ def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xdb\x00\x43\x00" + bytes([1] * 64)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">HBHHB", 11, 8, h, w, 1)
     out += struct.pack(">BBB", 1, 0x11, 0)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -813,7 +1134,6 @@ def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
     # AC table: single EOB symbol, 1-bit code "0"
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x10)
     out += bytes([1] + [0] * 15) + b"\x00"
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
     acc = nbits = 0
     data = bytearray()
 
@@ -834,6 +1154,43 @@ def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
         if nbits:
             emit((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
 
+    def emit_dc(diff: int):
+        t = abs(diff).bit_length()
+        emit(t, 4)  # DC category (4-bit canonical code == symbol index)
+        if t:
+            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    if progressive:
+        # scan 1: DC first at Al=1 (floor-shifted diffs)
+        out += (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + b"\x01\x00\x00\x00\x01")
+        pred = 0
+        for v in values:
+            dc1 = (8 * (v - 128)) >> 1
+            emit_dc(dc1 - pred)
+            pred = dc1
+        pad_align()
+        out += data
+        data = bytearray()
+        # scan 2: DC refinement to Al=0 (two's-complement bit 0)
+        out += (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + b"\x01\x00\x00\x00\x10")
+        for v in values:
+            emit((8 * (v - 128)) & 1, 1)
+        pad_align()
+        out += data
+        data = bytearray()
+        # scan 3: AC band 1..63 first pass, every block EOB
+        out += (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                + b"\x01\x00\x01\x3f\x00")
+        for _ in values:
+            emit(0, 1)  # EOB
+        pad_align()
+        out += data
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
     pred = 0
     rst = 0
     for i, v in enumerate(values):
@@ -843,12 +1200,8 @@ def encode_jpeg_gray_blocks(values: bytes, restart_interval: int = 0) -> bytes:
             rst = (rst + 1) % 8
             pred = 0
         dc = 8 * (v - 128)
-        diff = dc - pred
+        emit_dc(dc - pred)
         pred = dc
-        t = abs(diff).bit_length()
-        emit(t, 4)  # DC category (4-bit canonical code == symbol index)
-        if t:
-            emit(diff if diff >= 0 else diff + (1 << t) - 1, t)
         emit(0, 1)  # AC EOB
     pad_align()
     out += data
