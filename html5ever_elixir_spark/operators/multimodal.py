@@ -382,9 +382,8 @@ def _decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python GIF87a/89a decode, first frame only: logical screen
     descriptor, global/local color tables, extension-block skip, LZW
     image data (:func:`_gif_lzw`), palette resolved to BT.601 luma like
-    PNG's PLTE path. Interlaced frames raise CorruptRasterError
-    (recognized magic, unsupported body — row-level error, never stub
-    features); animation frames past the first are ignored (a curation
+    PNG's PLTE path. Interlaced frames are deinterlaced (appendix E
+    four-pass row order); animation frames past the first are ignored (a curation
     featurizer keyframes, it doesn't compose). Transparency is ignored
     (the transparent index keeps its palette color)."""
     import struct
@@ -417,8 +416,7 @@ def _decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
             raise CorruptRasterError("truncated GIF image descriptor")
         _l, _t, w, h, ip = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if ip & 0x40:
-            raise CorruptRasterError("interlaced GIF unsupported")
+        interlaced = bool(ip & 0x40)
         table = gct
         if ip & 0x80:
             ncol = 2 << (ip & 7)
@@ -457,9 +455,20 @@ def _decode_gif(payload: bytes) -> tuple[int, int, list[int]]:
             for i in range(len(table) // 3)
         ]
         try:
-            return w, h, [lum[i] for i in idx[: w * h]]
+            px = [lum[i] for i in idx[: w * h]]
         except IndexError:
             raise CorruptRasterError("GIF palette index out of range") from None
+        if interlaced:
+            # GIF89a appendix E: rows stored in four passes
+            # (0,8,16..), (4,12..), (2,6,10..), (1,3,5..) — reorder to
+            # top-down raster
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            out_rows: list[list[int]] = [[]] * h
+            for file_row, screen_row in enumerate(order):
+                out_rows[screen_row] = px[file_row * w : (file_row + 1) * w]
+            px = [v for row in out_rows for v in row]
+        return w, h, px
     raise CorruptRasterError("GIF has no image data")
 
 

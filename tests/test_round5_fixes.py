@@ -370,8 +370,6 @@ def test_gif_corrupt_variants_are_errors():
 
     palette = [(0, 0, 0), (255, 255, 255)]
     good = _make_gif(2, 2, [0, 1, 1, 0], palette)
-    with pytest.raises(CorruptRasterError, match="interlaced"):
-        _decode_raster(_make_gif(2, 2, [0, 1, 1, 0], palette, interlace=True))
     with pytest.raises(CorruptRasterError):
         _decode_raster(good[:15])  # truncated mid-stream
     with pytest.raises(CorruptRasterError, match="no image data"):
@@ -426,6 +424,27 @@ def test_gif_through_media_features(spark):
     rows = {r.media_id: r for r in extract_media_features(df).collect()}
     assert rows[1].decode_error is None and len(rows[1].feature) == 8
     assert rows[2].decode_error is not None and rows[2].feature is None
+
+
+def test_gif_interlaced_deinterlace():
+    # r6: interlace is a row REORDER (appendix E four passes), not an
+    # unsupported body — per-row distinct palette indices prove the
+    # reorder is exact for both a full 8-row cycle and an odd height
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    for h in (8, 11):
+        pal = [(i * 20, i * 20, i * 20) for i in range(h)]
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        idx_file = [r for r in order for _ in range(4)]
+        w, hh, px = _decode_raster(
+            _make_gif(4, h, idx_file, pal, interlace=True)
+        )
+        assert (w, hh) == (4, h)
+        lum = [(i * 20 * 299 + i * 20 * 587 + i * 20 * 114) // 1000
+               for i in range(h)]
+        assert all(px[r * 4 + c] == lum[r]
+                   for r in range(h) for c in range(4))
 
 
 def test_encode_gif_roundtrip_byte_lossless():
