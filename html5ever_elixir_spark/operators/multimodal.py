@@ -78,9 +78,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     verification, concatenated-IDAT zlib inflate, per-scanline unfilter
     (types 0-4 — the same predictor math parser/pdf.py applies for PNG
     predictors), 8-bit gray / gray+alpha / RGB / RGBA / paletted
-    (PLTE). Interlaced and non-8-bit images raise CorruptRasterError
-    (recognized magic, unsupported body — a row-level error, never stub
-    features). Returns (w, h, grayscale via BT.601 integer luma, alpha
+    (PLTE). Adam7-interlaced images are deinterlaced (per-pass
+    unfiltering — each pass is its own filtered sub-image); non-8-bit
+    depths raise CorruptRasterError (recognized magic, unsupported
+    body — a row-level error, never stub features). Returns (w, h, grayscale via BT.601 integer luma, alpha
     ignored)."""
     import struct
 
@@ -113,8 +114,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     if ihdr is None or not idat:
         raise CorruptRasterError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if interlace:
-        raise CorruptRasterError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise CorruptRasterError(f"PNG interlace method {interlace}")
     if comp or filt:
         raise CorruptRasterError(f"PNG compression/filter method {comp}/{filt}")
     if depth != 8:
@@ -133,8 +134,15 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         ]
     if w <= 0 or h <= 0 or w * h * nchan > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"PNG geometry {w}x{h}x{nchan} out of bounds")
-    rowlen = w * nchan
-    want = h * (rowlen + 1)
+    if interlace:
+        # Adam7: total bytes = Σ passes of ph*(pw*nchan + 1)
+        want = sum(
+            ph * (pw * nchan + 1)
+            for pw, ph in (_adam7_dims(w, h, p) for p in range(7))
+            if pw and ph
+        )
+    else:
+        want = h * (w * nchan + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), want)
@@ -142,10 +150,46 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         raise CorruptRasterError(f"PNG inflate failed: {e}") from None
     if len(raw) != want or not (d.eof or d.flush(1) == b""):
         raise CorruptRasterError("PNG pixel data length mismatch")
-    px: list[int] = []
+    if not interlace:
+        px: list[int] = []
+        for row in _png_unfilter_rows(raw, 0, w, h, nchan):
+            px.extend(_png_row_luma(row, nchan, palette))
+        return w, h, px
+    # Adam7 deinterlace: each pass is its own filtered sub-image
+    grid = [0] * (w * h)
+    off = 0
+    for p in range(7):
+        pw, ph = _adam7_dims(w, h, p)
+        if not pw or not ph:
+            continue
+        x0, y0, dx, dy = _ADAM7[p]
+        for j, row in enumerate(_png_unfilter_rows(raw, off, pw, ph, nchan)):
+            lum = _png_row_luma(row, nchan, palette)
+            base = (y0 + j * dy) * w
+            for i, v in enumerate(lum):
+                grid[base + x0 + i * dx] = v
+        off += ph * (pw * nchan + 1)
+    return w, h, grid
+
+
+# Adam7 pass geometry: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_dims(w: int, h: int, p: int) -> tuple[int, int]:
+    x0, y0, dx, dy = _ADAM7[p]
+    return -(-(w - x0) // dx) if w > x0 else 0, \
+        -(-(h - y0) // dy) if h > y0 else 0
+
+
+def _png_unfilter_rows(raw, off: int, w: int, h: int, nchan: int):
+    """Yield unfiltered scanlines of a (sub-)image whose filtered bytes
+    start at ``off`` (shared by the sequential and Adam7 paths)."""
+    rowlen = w * nchan
     prev = bytearray(rowlen)
     for r in range(h):
-        base = r * (rowlen + 1)
+        base = off + r * (rowlen + 1)
         ft = raw[base]
         row = bytearray(raw[base + 1 : base + 1 + rowlen])
         if ft == 1:  # Sub
@@ -171,21 +215,25 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         elif ft != 0:
             raise CorruptRasterError(f"PNG filter type {ft}")
         prev = row
-        if palette is not None:
-            try:
-                px.extend(palette[b] for b in row)
-            except IndexError:
-                raise CorruptRasterError("PNG palette index out of range") from None
-        elif nchan == 1:
-            px.extend(row)
-        elif nchan == 2:  # gray + alpha
-            px.extend(row[0::2])
-        else:  # RGB / RGBA
-            for k in range(0, rowlen, nchan):
-                px.append(
-                    (row[k] * 299 + row[k + 1] * 587 + row[k + 2] * 114) // 1000
-                )
-    return w, h, px
+        yield row
+
+
+def _png_row_luma(row, nchan: int, palette) -> list[int]:
+    if palette is not None:
+        try:
+            return [palette[b] for b in row]
+        except IndexError:
+            raise CorruptRasterError(
+                "PNG palette index out of range"
+            ) from None
+    if nchan == 1:
+        return list(row)
+    if nchan == 2:  # gray + alpha
+        return list(row[0::2])
+    return [  # RGB / RGBA
+        (row[k] * 299 + row[k + 1] * 587 + row[k + 2] * 114) // 1000
+        for k in range(0, len(row), nchan)
+    ]
 
 
 def _gif_lzw(data: bytes, mcs: int, max_px: int) -> list[int]:

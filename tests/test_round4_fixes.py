@@ -323,7 +323,9 @@ def test_png_corrupt_variants_are_row_errors():
     # truncated IDAT
     with pytest.raises(CorruptRasterError):
         _decode_image(good[:-20])
-    # interlaced flag set (Adam7 unsupported → typed error, not garbage)
+    # interlace flag flipped on sequential data (r6: Adam7 is now
+    # SUPPORTED, so this fails as a pass-layout length mismatch — still
+    # a typed error, never garbage)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
     interlaced = (b"\x89PNG\r\n\x1a\n"
                   + struct.pack(">I", 13) + b"IHDR" + ihdr

@@ -1279,3 +1279,48 @@ def test_odd_length_hex_never_escapes():
         _font_pdf(b"BT /F1 10 Tf (A) Tj ET", fonts, b"/F1 5 0 R")
     )
     assert isinstance(text, str)
+
+
+def test_png_adam7_deinterlace():
+    # r6: Adam7 is per-pass unfiltering + scatter, verified against a
+    # hand-built 7-pass stream with alternating None/Sub filters
+    import struct
+    import zlib as _z
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        _ADAM7,
+        _adam7_dims,
+        _decode_raster,
+    )
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF))
+
+    w, h = 10, 9
+    img = [[(x * 13 + y * 31) % 256 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    for p in range(7):
+        pw, ph = _adam7_dims(w, h, p)
+        if not pw or not ph:
+            continue
+        x0, y0, dx, dy = _ADAM7[p]
+        for j in range(ph):
+            rowpix = [img[y0 + j * dy][x0 + i * dx] for i in range(pw)]
+            if j % 2 == 0:
+                raw.append(0)
+                raw.extend(rowpix)
+            else:  # Sub filter
+                raw.append(1)
+                prev = 0
+                for v in rowpix:
+                    raw.append((v - prev) & 0xFF)
+                    prev = v
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+           + chunk(b"IDAT", _z.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    dw, dh, px = _decode_raster(png)
+    assert (dw, dh) == (w, h)
+    assert all(px[y * w + x] == img[y][x]
+               for y in range(h) for x in range(w))
