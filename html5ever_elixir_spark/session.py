@@ -37,6 +37,12 @@ def get_spark(
         # one Arrow batch ≈ a few hundred docs: bounds Python-worker memory
         # even when a batch contains 100×-median oversized documents
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # BYTE cap (Spark 4): the binding bound for blob-scale rows —
+        # a batch of GiB WARC blobs truncates at 32 MiB regardless of
+        # record count (the r5 verdict's batch-memory-cliff hardening;
+        # the WARC walk itself is O(one record) via the rolling buffer)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(32 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
