@@ -231,6 +231,19 @@ class Tokenizer:
                         self._read_tag(is_start=False)
                         return
                     if s[p + 1 : p + 4] == "!--":
+                        # "<!--" lands in escaped DASH DASH state: more
+                        # dashes loop there, and ">" aborts straight
+                        # back to plain script data — only any OTHER
+                        # char commits to escaped (caught by the r6
+                        # script-soup differential: "<!-->" must leave
+                        # a following "</script>" able to close)
+                        q = p + 4
+                        while q < n and s[q] == "-":
+                            q += 1
+                        if q < n and s[q] == ">":
+                            buf.append(s[p : q + 1])
+                            p = q + 1
+                            continue
                         escaped = True
                         double = False
                         buf.append("<!--")

@@ -701,3 +701,40 @@ def test_table_foster_differential_vs_html5lib():
         f"H5LIB:\n{unexplained[0][2]}"
     )
     assert agree >= 2950 and skipped <= 20, (agree, known, skipped)
+
+
+# -- r6 sweep 9: script-data escaped / double-escaped states ----------------
+#
+# The "<script><!-- … --> dance" tokenizer states. This sweep caught a
+# REAL bug on first triage: "<!--" lands in the escaped DASH DASH
+# state, where ">" aborts the escape straight back to plain script
+# data — the tokenizer had committed to escaped immediately, so after
+# "<script><!-->" a subsequent "<script …>" opened double-escape and
+# "</script>" could no longer close the element (fixed in
+# tokenizer._script_data; 4/6,000 trials diverged before, 0 after).
+
+SCRIPT_ALPHABET = [
+    "<script>", "</script>", "<!--", "-->", "--!>", "<script", "</scrip",
+    "x", " ", "-", "--", "<", ">", "</", "<!", "s", "<style>", "</style>",
+    "</SCRIPT>", "<ScRiPt>", "alert(1)", "//", "<!-- <script> -->",
+    "<script><!--", "--></script>", "<script src=x>", "</script >",
+    "</script x>", "<textarea>", "</textarea>", "<title>", "</title>",
+    "<b>", "</b>", "<p>",
+]
+
+
+def test_script_data_differential_vs_html5lib():
+    # 5,999/6,000 byte-identical after the escape-abort fix; the one
+    # divergence is the main sweep's documented class 2 (html5lib
+    # reconstructs active formatting INSIDE a textarea — RCDATA
+    # elements can only contain text), same classifier applied here
+    agree, _, skipped, unexplained = _sweep(
+        9009, 6000, SCRIPT_ALPHABET, set()
+    )
+    unexplained = [
+        (s, mine, theirs)
+        for s, mine, theirs in unexplained
+        if not (_elem_in_rawtext(theirs) and not _elem_in_rawtext(mine))
+    ]
+    assert not unexplained, unexplained[:1]
+    assert agree >= 5990, (agree, skipped)
