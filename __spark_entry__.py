@@ -952,11 +952,13 @@ def _q_text_tfidf(spark, sf_dir):
 
 def _q_warc_extract(spark, sf_dir):
     # end-to-end crawl-container gate: pages → WARC files (20 blobs,
-    # ~25 records each, half of them per-record-gzip like Common Crawl)
-    # → WARC reader → HTML parse + extraction. Roundtrip losslessness
-    # means the ORACLE IS THE SAME SQL as html_extract_text — a reader
-    # bug anywhere (member inflation, Content-Length walk, HTTP payload
-    # split) breaks the value hash
+    # ~25 records each, half of them per-record-gzip like Common Crawl;
+    # half ALSO cycle raw HTTP transfer shapes — Content-Encoding: gzip,
+    # Transfer-Encoding: chunked, chunked-over-gzip (r6)) → WARC reader
+    # → HTML parse + extraction. Roundtrip losslessness means the
+    # ORACLE IS THE SAME SQL as html_extract_text — a reader bug
+    # anywhere (member inflation, Content-Length walk, HTTP payload
+    # split, dechunk, entity decompress) breaks the value hash
     import pandas as pd
 
     from html5ever_elixir_spark.sources.warc import make_warc, warc_to_pages
@@ -978,7 +980,8 @@ def _q_warc_extract(spark, sf_dir):
         return pd.DataFrame(
             {
                 "warc_id": [grp],
-                "content": [make_warc(recs, gzip_records=bool(grp % 2))],
+                "content": [make_warc(recs, gzip_records=bool(grp % 2),
+                                      http_encode=bool(grp % 4 < 2))],
             }
         )
 

@@ -42,13 +42,35 @@ def make_warc_record(
     html: bytes,
     rec_type: str = "response",
     http_status: str = "200 OK",
+    content_encoding: str | None = None,
+    chunked: bool = False,
 ) -> bytes:
-    """One WARC/1.0 record with an HTTP response payload."""
+    """One WARC/1.0 record with an HTTP response payload.
+    ``content_encoding="gzip"`` gzips the entity and adds the header;
+    ``chunked=True`` applies Transfer-Encoding: chunked (7-byte chunks)
+    — both are how raw crawled captures actually arrive, and the
+    reader must undo them."""
+    body = html
+    extra = ""
+    if content_encoding == "gzip":
+        co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        body = co.compress(body) + co.flush()
+        extra += "Content-Encoding: gzip\r\n"
+    if chunked:
+        chunks = bytearray()
+        for i in range(0, len(body), 7):
+            part = body[i : i + 7]
+            chunks += f"{len(part):x}\r\n".encode("ascii") + part + b"\r\n"
+        chunks += b"0\r\n\r\n"
+        body = bytes(chunks)
+        extra += "Transfer-Encoding: chunked\r\n"
+    else:
+        extra += f"Content-Length: {len(body)}\r\n"
     http = (
         f"HTTP/1.1 {http_status}\r\n"
         "Content-Type: text/html; charset=utf-8\r\n"
-        f"Content-Length: {len(html)}\r\n\r\n"
-    ).encode("ascii") + html
+        f"{extra}\r\n"
+    ).encode("ascii") + body
     headers = (
         "WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
@@ -61,11 +83,15 @@ def make_warc_record(
 
 
 def make_warc(
-    records: list[tuple[str, str, bytes]], gzip_records: bool = False
+    records: list[tuple[str, str, bytes]],
+    gzip_records: bool = False,
+    http_encode: bool = False,
 ) -> bytes:
     """Concatenated WARC records (optionally per-record gzip members —
     the Common Crawl layout), preceded by a warcinfo record the reader
-    must skip."""
+    must skip. ``http_encode=True`` cycles the records through the raw
+    HTTP transfer shapes crawls capture: plain, Content-Encoding: gzip,
+    Transfer-Encoding: chunked, and chunked-over-gzip."""
     info_body = b"software: html5ever_elixir_spark\r\n"
     info = (
         "WARC/1.0\r\n"
@@ -73,7 +99,12 @@ def make_warc(
         "Content-Type: application/warc-fields\r\n"
         f"Content-Length: {len(info_body)}\r\n\r\n"
     ).encode("ascii") + info_body + b"\r\n\r\n"
-    out = [info] + [make_warc_record(u, d, h) for u, d, h in records]
+    out = [info]
+    for i, (u, d, h) in enumerate(records):
+        ce = "gzip" if http_encode and i % 4 in (1, 3) else None
+        ck = bool(http_encode and i % 4 in (2, 3))
+        out.append(make_warc_record(u, d, h, content_encoding=ce,
+                                    chunked=ck))
     if gzip_records:
         # per-record gzip members, concatenated (wb9 deterministic)
         def gz(b: bytes) -> bytes:
@@ -232,7 +263,84 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         split = body.find(b"\r\n\r\n")
         if split == -1 or not body.startswith(b"HTTP/"):
             raise WarcError(f"record for {url!r}: malformed HTTP payload")
-        yield {"url": url, "date": date, "html": body[split + 4 :]}
+        http_headers: dict[str, str] = {}
+        for line in body[:split].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                http_headers[k.strip().lower().decode("latin-1")] = (
+                    v.strip().lower().decode("latin-1")
+                )
+        entity = body[split + 4 :]
+        # raw captures preserve the wire shape: dechunk, then undo
+        # Content-Encoding. A failure here is a PER-RECORD error row
+        # (url carried), never a blob failure.
+        try:
+            if "chunked" in http_headers.get("transfer-encoding", ""):
+                entity = _dechunk(entity)
+            entity = _decode_entity(
+                entity, http_headers.get("content-encoding", "")
+            )
+        except WarcError as e:
+            yield {"url": url, "date": date, "html": None,
+                   "error": str(e)}
+            continue
+        yield {"url": url, "date": date, "html": entity}
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Undo HTTP/1.1 Transfer-Encoding: chunked (hex size lines,
+    optional chunk extensions, trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = data.find(b"\r\n", pos)
+        if nl == -1:
+            raise WarcError("truncated chunked body")
+        tok = data[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            raise WarcError("malformed chunk size") from None
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > len(data):
+            raise WarcError("truncated chunk")
+        out += data[pos : pos + size]
+        pos += size + 2  # trailing CRLF
+
+
+# per-RECORD entity inflate floor (blob-level budget is larger)
+_ENTITY_FLOOR = 64 * 1024 * 1024
+
+
+def _decode_entity(entity: bytes, ce: str) -> bytes:
+    """Undo Content-Encoding. gzip/x-gzip and deflate (both zlib-wrapped
+    and raw) decode with a bomb budget; brotli/zstd have no stdlib
+    decoder and become typed PER-RECORD errors rather than feeding
+    compressed bytes to the HTML parser as if they were markup."""
+    ce = ce.strip()
+    if ce in ("", "identity", "none"):
+        return entity
+    budget = max(_ENTITY_FLOOR, _INFLATE_RATIO_CAP * len(entity))
+    if ce in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    elif ce == "deflate":
+        # some servers send raw deflate despite the zlib-wrapper spec
+        d = zlib.decompressobj(
+            zlib.MAX_WBITS if entity[:1] in (b"\x78", b"\x58") else
+            -zlib.MAX_WBITS
+        )
+    else:
+        raise WarcError(f"unsupported content-encoding: {ce}")
+    try:
+        out = d.decompress(entity, budget + 1)
+        if len(out) > budget:
+            raise WarcError("entity inflate budget exceeded")
+        out += d.flush()
+    except zlib.error as e:
+        raise WarcError(f"entity inflate failed: {e}") from None
+    return out
 
 
 def warc_to_pages(
@@ -297,8 +405,10 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
                         out["warc_ts"].append(rec["date"])
                         out["html"].append(rec["html"])
                         out["warc_id"].append(wid)
-                        out["error"].append(None)
-                        held += len(rec["html"]) + 64
+                        # per-record errors (bad content-encoding etc.)
+                        # carry their url, unlike blob-level errors
+                        out["error"].append(rec.get("error"))
+                        held += len(rec["html"] or b"") + 64
                         if held >= flush_bytes or len(out["url"]) >= flush_rows:
                             yield flush()
                 except WarcError as e:

@@ -1324,3 +1324,73 @@ def test_png_adam7_deinterlace():
     assert (dw, dh) == (w, h)
     assert all(px[y * w + x] == img[y][x]
                for y in range(h) for x in range(w))
+
+
+def test_warc_http_transfer_shapes_roundtrip():
+    # r6: raw captures preserve the wire shape — Content-Encoding: gzip,
+    # Transfer-Encoding: chunked, and chunked-over-gzip must all decode
+    # back to the original entity bytes
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc,
+        parse_warc_records,
+    )
+
+    recs = _recs(8)
+    for gz in (False, True):
+        got = list(parse_warc_records(
+            make_warc(recs, gzip_records=gz, http_encode=True)
+        ))
+        assert len(got) == 8
+        assert all("error" not in g and g["html"] == r[2]
+                   for g, r in zip(got, recs))
+
+
+def test_warc_unsupported_content_encoding_is_per_record_error():
+    # a brotli-marked record becomes an ERROR ROW carrying its url;
+    # the rest of the blob still parses (per-record, not blob-level)
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_records,
+    )
+
+    http = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: 2\r\n\r\nxx")
+    br_rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://br.example/\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii") + http + b"\r\n\r\n"
+    good = make_warc_record("https://ok.example/",
+                            "2024-01-01T00:00:00Z", b"<p>ok</p>")
+    got = list(parse_warc_records(br_rec + good))
+    assert got[0]["url"] == "https://br.example/"
+    assert "content-encoding: br" in got[0]["error"]
+    assert got[0]["html"] is None
+    assert got[1]["html"] == b"<p>ok</p>" and "error" not in got[1]
+
+
+def test_warc_corrupt_entity_gzip_is_per_record_error(spark):
+    # corrupted gzip ENTITY (valid WARC framing) → per-record error row
+    # with the url, surfaced through warc_to_pages
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        warc_to_pages,
+    )
+
+    bad_gz = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+              b"Content-Length: 8\r\n\r\n\x1f\x8bGARBAG")
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://bad.example/\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(bad_gz)}\r\n\r\n"
+    ).encode("ascii") + bad_gz + b"\r\n\r\n"
+    good = make_warc_record("https://fine.example/",
+                            "2024-01-01T00:00:00Z", b"<p>x</p>")
+    df = spark.createDataFrame(
+        [(1, bytearray(rec + good))], "warc_id bigint, content binary"
+    )
+    rows = {r.url: r for r in warc_to_pages(df).collect()}
+    assert rows["https://bad.example/"].error is not None
+    assert rows["https://fine.example/"].error is None
