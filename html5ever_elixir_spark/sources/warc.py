@@ -28,7 +28,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 PAGES_FIELDS = (
-    "url string, warc_ts string, html binary, warc_id bigint, error string"
+    "url string, warc_ts string, html binary, warc_id bigint, "
+    "http_status int, error string"
 )
 
 
@@ -263,6 +264,11 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         split = body.find(b"\r\n\r\n")
         if split == -1 or not body.startswith(b"HTTP/"):
             raise WarcError(f"record for {url!r}: malformed HTTP payload")
+        status_line = body[: body.find(b"\r\n")].split(b" ")
+        try:
+            status = int(status_line[1])
+        except (IndexError, ValueError):
+            status = None
         http_headers: dict[str, str] = {}
         for line in body[:split].split(b"\r\n")[1:]:
             k, sep, v = line.partition(b":")
@@ -282,9 +288,10 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
             )
         except WarcError as e:
             yield {"url": url, "date": date, "html": None,
-                   "error": str(e)}
+                   "status": status, "error": str(e)}
             continue
-        yield {"url": url, "date": date, "html": entity}
+        yield {"url": url, "date": date, "html": entity,
+               "status": status}
 
 
 def _dechunk(data: bytes) -> bytes:
@@ -347,10 +354,14 @@ def warc_to_pages(
     df: DataFrame, id_col: str = "warc_id", content_col: str = "content"
 ) -> DataFrame:
     """(warc_id, content binary) → one row per response record
-    (url, warc_ts string, html binary, warc_id, error). A broken WARC
-    blob yields ONE error row carrying its warc_id (error contract of
-    the parse/pdf operators); request/warcinfo records are skipped
-    silently. mapInArrow: binary end-to-end, 2-column pruned input."""
+    (url, warc_ts string, html binary, warc_id, http_status, error).
+    A broken WARC blob yields ONE error row carrying its warc_id
+    (error contract of the parse/pdf operators); a record whose HTTP
+    payload cannot be decoded (unsupported content-encoding, corrupt
+    entity gzip) yields a PER-RECORD error row carrying its url;
+    request/warcinfo records are skipped silently. ``http_status`` is
+    the parsed status-line code (real crawls carry 3xx/4xx/5xx bodies
+    a curation pipeline filters on — downstream keeps 200s). mapInArrow: binary end-to-end, 2-column pruned input."""
     import pyarrow as pa
     from pyspark.sql import functions as F
 
@@ -371,7 +382,7 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
     schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.string()),
         ("html", pa.binary()), ("warc_id", pa.int64()),
-        ("error", pa.string()),
+        ("http_status", pa.int32()), ("error", pa.string()),
     ])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -381,14 +392,14 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
         # record walk this keeps worker memory ~O(one record), not
         # O(inflated blob)
         out = {"url": [], "warc_ts": [], "html": [], "warc_id": [],
-               "error": []}
+               "http_status": [], "error": []}
         held = 0
 
         def flush():
             nonlocal out, held
             batch = pa.RecordBatch.from_pydict(out, schema=schema)
             out = {"url": [], "warc_ts": [], "html": [], "warc_id": [],
-                   "error": []}
+                   "http_status": [], "error": []}
             held = 0
             return batch
 
@@ -405,6 +416,7 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
                         out["warc_ts"].append(rec["date"])
                         out["html"].append(rec["html"])
                         out["warc_id"].append(wid)
+                        out["http_status"].append(rec.get("status"))
                         # per-record errors (bad content-encoding etc.)
                         # carry their url, unlike blob-level errors
                         out["error"].append(rec.get("error"))
@@ -416,6 +428,7 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
                     out["warc_ts"].append(None)
                     out["html"].append(None)
                     out["warc_id"].append(wid)
+                    out["http_status"].append(None)
                     out["error"].append(str(e))
         yield flush()
 

@@ -1394,3 +1394,27 @@ def test_warc_corrupt_entity_gzip_is_per_record_error(spark):
     rows = {r.url: r for r in warc_to_pages(df).collect()}
     assert rows["https://bad.example/"].error is not None
     assert rows["https://fine.example/"].error is None
+
+
+def test_warc_http_status_column(spark):
+    # r6: real crawls carry 3xx/4xx bodies — the reader surfaces the
+    # parsed status code so curation can filter to 200s
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc_record,
+        warc_to_pages,
+    )
+
+    blob = (
+        make_warc_record("https://a.example/", "2024-01-01T00:00:00Z",
+                         b"<p>ok</p>")
+        + make_warc_record("https://b.example/", "2024-01-01T00:00:00Z",
+                           b"<p>gone</p>", http_status="404 Not Found")
+        + make_warc_record("https://c.example/", "2024-01-01T00:00:00Z",
+                           b"", http_status="301 Moved Permanently")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "warc_id bigint, content binary"
+    )
+    rows = {r.url: r.http_status for r in warc_to_pages(df).collect()}
+    assert rows == {"https://a.example/": 200, "https://b.example/": 404,
+                    "https://c.example/": 301}
