@@ -80,7 +80,12 @@ def main():
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
             .alias("warc_error_rows"),
         )
-        pages = recs.where("error IS NULL").select(
+        # keep 200s (and records whose status line didn't parse): 3xx/
+        # 4xx/5xx bodies are redirect stubs / error pages, not training
+        # text — the standard crawl-curation filter
+        pages = recs.where(
+            "error IS NULL AND (http_status IS NULL OR http_status = 200)"
+        ).select(
             "url",
             F.to_timestamp(
                 F.replace(F.replace("warc_ts", F.lit("T"), F.lit(" ")),
