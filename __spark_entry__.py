@@ -834,6 +834,70 @@ FROM documents WHERE length(text) > 0
 """
 
 
+def _q_media_wav_features(spark, sf_dir):
+    # the REAL RIFF/PCM16 audio decode path, driver-gated (r6): each
+    # doc's text becomes a mono WAV whose sample i is (byte_i−128)·256
+    # — exactly representable int16 — and the gate compares INTEGER
+    # per-window sums of |sample| (the container walk + PCM decode is
+    # what's under test; the final float normalization stays
+    # pytest-covered, dodging cross-engine float rounding entirely).
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        _wav_samples,
+        docs_to_wavs,
+    )
+
+    wavs = docs_to_wavs(_docs(spark, sf_dir).where("length(text) > 0"))
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out = {"media_id": ids, "n_samples": []}
+            for d in range(8):
+                out[f"s{d}"] = []
+            for p in payloads:
+                ss = _wav_samples(bytes(p))
+                k = len(ss)
+                out["n_samples"].append(k)
+                for d in range(8):
+                    lo, hi = d * k // 8, (d + 1) * k // 8
+                    out[f"s{d}"].append(sum(ss[lo:hi]))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [("media_id", pa.int64()), ("n_samples", pa.int64())]
+                    + [(f"s{d}", pa.int64()) for d in range(8)]
+                ),
+            )
+
+    return wavs.mapInArrow(
+        fn,
+        "media_id bigint, n_samples bigint, "
+        + ", ".join(f"s{d} bigint" for d in range(8)),
+    )
+
+
+def _oracle_media_wav_sql() -> str:
+    # DuckDB list slices are 1-based and end-inclusive: python window
+    # [i*k//8, (i+1)*k//8) maps to s[(i*k//8)+1 : (i+1)*k//8]
+    cols = ", ".join(
+        f"coalesce(list_sum(s[(({d} * n) // 8) + 1 : (({d} + 1) * n) // 8]),"
+        f" 0)::BIGINT AS s{d}"
+        for d in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> abs(ord(substr(text, i, 1)) - 128) * 256) AS s
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id AS media_id, n::BIGINT AS n_samples, {cols} FROM b
+"""
+
+
 def _oracle_media_raster_sql() -> str:
     fcols = ", ".join(
         "round(cast(list_sum(list_transform(range(0, len(px)), "
@@ -1112,7 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window + deep hosts; pdf_extract_text with the RC4/AESV2 mix;
     # warc_extract on the rewritten streaming record walk), the flagship
     # parity gates, and 15 stable operators fill the window to exactly
-    # 50; past-window = 28 queries, every one with a green
+    # 50; past-window = 29 queries, every one with a green
     # CORRECTNESS_r05 row AND re-verified via tools/oracle_check.py this
     # round, so after r6 every query has a driver row in r05 ∪ r06.
     return {
@@ -1145,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 new / behavior-changed queries
         "media_gif_features": _q_media_gif_features,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "media_wav_features": _q_media_wav_features,
         "html_fragment_tree": _q_html_fragment_tree,
         "url_blocklist": _q_url_blocklist,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -1169,10 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_raster_features": _q_media_raster_features,
         "text_token_budget": _q_text_token_budget,
-        "text_chunks": _q_text_chunks,
         # ---- 50-row window boundary ----
-        # r6 tail: 28 queries, all green in CORRECTNESS_r05 and
+        # r6 tail: 29 queries, all green in CORRECTNESS_r05 and
         # re-verified via tools/oracle_check.py this round
+        "text_chunks": _q_text_chunks,
         "html_error_rows": _q_html_error_rows,
         "dedup_exact": _q_dedup_exact,
         "text_token_count": _q_token_count,
@@ -1357,6 +1422,7 @@ SELECT * FROM (
         # the decoded features equal the raster formula over the text
         "media_gif_features": _oracle_media_raster_sql(),
         "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_ORACLE,
+        "media_wav_features": _oracle_media_wav_sql(),
         # balanced 4-way byte split; text is ASCII so varchar slicing
         # equals the operator's byte slicing
         "media_frame_sample": """

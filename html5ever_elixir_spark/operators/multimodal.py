@@ -1365,12 +1365,12 @@ def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
     raise ValueError("unrecognized raster magic")
 
 
-def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
-    """Pure-Python decode of RIFF/WAVE PCM16: per-window mean absolute
-    amplitude (n_dims contiguous windows, normalized to [0,1]) — the
-    real audio-feature branch, running without any media library.
-    ValueError on non-RIFF magic (caller falls through to the stub),
-    CorruptMediaError on a recognized-but-bad container."""
+def _wav_samples(payload: bytes) -> list[int]:
+    """RIFF/WAVE PCM16 container walk → absolute sample values (the
+    integer core shared by the float featurizer and the driver-gated
+    integer-sum query). ValueError on non-RIFF magic (caller falls
+    through to the stub), CorruptMediaError on a recognized-but-bad
+    container."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1401,7 +1401,15 @@ def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
         raise CorruptMediaError("missing fmt/data chunk")
     if len(data) < 2:
         raise CorruptMediaError("empty PCM data")
-    samples = [abs(v[0]) for v in struct.iter_unpack("<h", data[: len(data) & ~1])]
+    return [abs(v[0])
+            for v in struct.iter_unpack("<h", data[: len(data) & ~1])]
+
+
+def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Pure-Python decode of RIFF/WAVE PCM16: per-window mean absolute
+    amplitude (n_dims contiguous windows, normalized to [0,1]) — the
+    real audio-feature branch, running without any media library."""
+    samples = _wav_samples(payload)
     k = len(samples)
     out = []
     for i in range(n_dims):
@@ -1409,6 +1417,52 @@ def _decode_audio(payload: bytes, n_dims: int = 8) -> list[float]:
         win = samples[lo:hi]
         out.append(round(sum(win) / (len(win) * 32768.0), 6) if win else 0.0)
     return out
+
+
+def make_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 writer for synthesis (tests/driver
+    gates — no external data): mono, little-endian int16 samples."""
+    import struct
+
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, s)))
+                    for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def docs_to_wavs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic WAV corpus from the documents table:
+    sample i = (byte_i − 128) · 256 — exactly representable int16, so
+    |sample| is SQL-predictable from the text and the driver gate can
+    compare INTEGER window sums (no cross-engine float rounding)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            wavs = [
+                make_wav_pcm16([(b - 128) * 256
+                                for b in (t or "").encode("utf-8")])
+                for t in texts
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": ids, "payload": wavs},
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("payload", pa.binary()),
+                ]),
+            )
+
+    pruned = docs.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInArrow(fn, "media_id bigint, payload binary")
 
 
 def _pool_features(px: list[int], n_dims: int) -> list[float]:

@@ -1418,3 +1418,17 @@ def test_warc_http_status_column(spark):
     rows = {r.url: r.http_status for r in warc_to_pages(df).collect()}
     assert rows == {"https://a.example/": 200, "https://b.example/": 404,
                     "https://c.example/": 301}
+
+
+def test_wav_writer_reader_roundtrip():
+    from html5ever_elixir_spark.operators.multimodal import (
+        _decode_audio,
+        _wav_samples,
+        make_wav_pcm16,
+    )
+
+    vals = [(b - 128) * 256 for b in b"wav roundtrip 42"]
+    wav = make_wav_pcm16(vals)
+    assert _wav_samples(wav) == [abs(v) for v in vals]
+    feats = _decode_audio(wav)
+    assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
