@@ -286,6 +286,27 @@ def _parse_xref_stream(data: bytes, off: int):
     return entries, _int_key(head, b"Prev"), body
 
 
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """Materialize objects out of every /ObjStm body present in
+    ``objs`` that is loadable NOW (used after stream decryption, when
+    the xref-walk-time expansion necessarily failed on the encrypted
+    bodies). Existing ids are never overwritten — direct definitions
+    win, matching the xref builder's precedence."""
+    new: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        sm = _STREAM_RE.search(body)
+        if sm is None or b"/ObjStm" not in body[: sm.start()]:
+            continue
+        try:
+            loaded = _load_objstm(body)
+        except PdfError:
+            continue
+        for oid, b2 in loaded or []:
+            if oid not in objs:
+                new[oid] = b2
+    objs.update(new)
+
+
 def _load_objstm(body: bytes) -> list[tuple[int, bytes]] | None:
     """Decode an object stream (/Type /ObjStm): header of N
     (objnum, offset) pairs, then the concatenated object bodies at
@@ -2121,6 +2142,13 @@ def extract_pdf_text(data: bytes) -> tuple[str, int]:
         km = _std_security_key(data, objs)
         if km is not None:
             objs = _decrypt_streams(objs, km[0], km[1])
+            # encrypted /ObjStm bodies could not be expanded during the
+            # xref walk (they inflate only AFTER stream decryption, and
+            # ISO 32000 encrypts the ObjStm as ONE stream — contained
+            # objects come out plaintext). Expanding now restores the
+            # real page tree / fonts for AES-era files instead of the
+            # structure-blind salvage heuristic (r6).
+            _expand_objstms(objs)
     entries = _page_content_entries(objs)
     if not entries:
         raise PdfError("no page content streams")

@@ -1432,3 +1432,25 @@ def test_wav_writer_reader_roundtrip():
     assert _wav_samples(wav) == [abs(v) for v in vals]
     feats = _decode_audio(wav)
     assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_encrypted_objstm_page_tree_restored():
+    # r6: AES-era files keep catalog/pages/fonts inside /ObjStm, whose
+    # body only inflates AFTER stream decryption — the post-decrypt
+    # expansion must restore the REAL page tree (not just the salvage
+    # heuristic). Proof: a ToUnicode font that rewrites the glyphs
+    # lives in the ObjStm; without expansion the salvage path loses it
+    # and emits passthrough text.
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_aes,
+        encrypt_pdf_aes256,
+        encrypt_pdf_rc4,
+        extract_pdf_text,
+        make_objstm_pdf,
+    )
+
+    pdf = make_objstm_pdf(["objstm secret", "second line"])
+    exp = extract_pdf_text(pdf)
+    assert "objstm secret" in exp[0]
+    for enc_fn in (encrypt_pdf_rc4, encrypt_pdf_aes, encrypt_pdf_aes256):
+        assert extract_pdf_text(enc_fn(pdf)) == exp, enc_fn.__name__
