@@ -738,3 +738,100 @@ def test_script_data_differential_vs_html5lib():
     ]
     assert not unexplained, unexplained[:1]
     assert agree >= 5990, (agree, skipped)
+
+
+# -- r6 sweep 10: foreign-content (SVG/MathML) soup -------------------------
+#
+# Integration points, breakout tags, <annotation-xml encoding=text/html>,
+# camelCase SVG names, mglyph/malignmark at text IPs. 5,934/6,000 agree
+# byte-for-byte; every one of the 66 divergences (pinned below) is ONE
+# html5lib-1.1 family, pre-dating the current spec's foreign end-tag
+# rules — hand-traced shrunk repros:
+#   * "<CLIPPATH><math><mo></CLIPPATH><mglyph>": the foreign
+#     any-other-end-tag walk finds the HTML ancestor and delegates to
+#     HTML rules WITHOUT popping (spec: the walk pops only on a name
+#     match); the in-body walk then hits the CURRENT node mo, which is
+#     in the spec's special category (MathML text IPs are), and ignores
+#     the token — clippath stays open and <mglyph> becomes a MathML
+#     child of mo. html5lib pops through mo/math and closes clippath.
+#   * "<b><math><mn></b>x": mn is a SCOPE BARRIER (has-element-in-scope
+#     lists the MathML/SVG IP elements), so the adoption agency refuses
+#     </b> outright (parse error, ignore) and "x" stays inside mn;
+#     html5lib's scope walk misses the foreign barriers and clones b
+#     outside.
+# This engine keeps content INSIDE the foreign/IP subtree in every
+# repro, per the spec letter; html5lib relocates it out.
+
+FOREIGN_ALPHABET = [
+    "<svg>", "</svg>", "<math>", "</math>", "<foreignObject>",
+    "</foreignObject>", "<desc>", "<title>", "</title>", "<mtext>",
+    "<mi>", "</mi>", "<ms>", "<annotation-xml>", "</annotation-xml>",
+    "<annotation-xml encoding=text/html>", "<g>", "</g>", "<circle>",
+    "<path d=M0>", "<b>", "</b>", "<p>", "</p>", "<div>", "</div>",
+    "x", " ", "<font>", "<font color=red>", "<font size=1>", "<img>",
+    "<br>", "<table>", "</table>", "<td>", "<CLIPPATH>", "</CLIPPATH>",
+    "<textPath>", "<feBlend>", "&notin;", "&amp;", "<!--c-->",
+    "<mglyph>", "<malignmark>", "<mo>", "<mn>", "</mn>", "<h1>", "</h1>",
+    "<li>", "<ul>", "</ul>", "<embed>", "<span>", "</span>",
+]
+
+KNOWN_DIVERGENT_FOREIGN = {
+    "a5163f94cf935fcf", "41569e51c60c1722", "87779d4a5c262786",
+    "67f0d95bc15f41cf", "b24e2cbbaf934e88", "c5f7256319681052",
+    "59c93bbdec3076f8", "ee161560ca9c5a2a", "9282ff3ad9c7948f",
+    "b861d91034137b54", "d27a3d70213b9757", "4cbf9979ecde1d8d",
+    "4fa7dac530af0d75", "347552c3401a027d", "83b5f2305c44df4c",
+    "7abed1abc81131f7", "c513207c67c64dad", "d62979982bbc19dd",
+    "526adeb09db1e2c5", "e7e88658f9dd0c7f", "73397da1685a3596",
+    "50c700c66776e828", "95e818f03f6a3786", "246dbf18b492c89e",
+    "27e8cf6c0895f76f", "013525ed739dc54b", "af4307b0674dc8d5",
+    "5797f1315412fdd6", "a31c751d1ab421db", "58c7b7b866ba95bf",
+    "669a1fe0c1d18c10", "242009a919fc4092", "80fb21a562350b90",
+    "b86a5a0c8a28dc1a", "ebc64bc442408fc6", "c54efcf1eda65d2d",
+    "2d84c1ce4001b042", "e495c28fb23bfd50", "87e0c394b07be247",
+    "347ba1e8a4fdd0a7", "6e647efc105c4882", "852609ddcca09984",
+    "9d849c54d30745bc", "c1898a0d9ed6b2eb", "2f8e8675cc0cdc35",
+    "70ba0c1d15015485", "8846992f258d4b9d", "4c9ab5fda3dcb850",
+    "79425fca3c2f8218", "ed83b2c4add04f9c", "9e9248f13dc7ba15",
+    "fafca1c214f0a99b", "1819261c514cdc03", "45e411945152bc9d",
+    "7292356c0f07d8f1", "e940d44107873a39", "4d9a912c7e5a2202",
+    "d943eea056ddc455", "20a03fd8cb2f4897", "208da112024cade7",
+    "7c21c793d7b83ec1", "e3208af4d08429f8", "93e4997d9e66c2d8",
+    "6f3146b960dfb42a", "c7376717868241ef", "19a12ad1d315ddf3",
+}
+
+
+def test_foreign_content_differential_vs_html5lib():
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(11011)
+    agree = known = skipped = 0
+    unexplained = []
+    for _ in range(6000):
+        s = "".join(
+            rng.choice(FOREIGN_ALPHABET) for _ in range(rng.randint(1, 40))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+            continue
+        if _elem_in_rawtext(theirs) and not _elem_in_rawtext(mine):
+            known += 1
+            continue
+        if hashlib.md5(s.encode()).hexdigest()[:16] in \
+                KNOWN_DIVERGENT_FOREIGN:
+            known += 1
+            continue
+        unexplained.append((s, mine, theirs))
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained foreign divergence(s); first: "
+        f"{unexplained[0][0]!r}\nMINE:\n{unexplained[0][1]}\n"
+        f"H5LIB:\n{unexplained[0][2]}"
+    )
+    assert agree >= 5900 and skipped <= 20, (agree, known, skipped)
