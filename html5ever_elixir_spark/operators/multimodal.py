@@ -1343,12 +1343,81 @@ def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
         w, h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         comp = struct.unpack_from("<I", payload, 30)[0]
-        if bpp != 24 or comp != 0:
-            raise CorruptRasterError(f"only 24-bit BI_RGB BMP (got {bpp}/{comp})")
+        if (bpp, comp) not in ((24, 0), (8, 0), (8, 1)):
+            raise CorruptRasterError(
+                f"unsupported BMP variant (bpp={bpp}, compression={comp})")
         if w <= 0 or h == 0:
             raise CorruptRasterError(f"bad BMP geometry {w}x{h}")
         flip = h > 0  # positive height = bottom-up storage
         h = abs(h)
+        if w * h > _PNG_MAX_SAMPLES:
+            raise CorruptRasterError(f"BMP geometry {w}x{h} out of bounds")
+        if bpp == 8:
+            # palette: BGRX quads after the info header (r6 — 8-bit
+            # paletted BMPs, incl. RLE8, are the old-crawl norm)
+            n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+            pal_at = 14 + hdr_size
+            if pal_at + 4 * n_colors > len(payload):
+                raise CorruptRasterError("truncated BMP palette")
+            pal = [
+                (payload[pal_at + 4 * i + 2] * 299
+                 + payload[pal_at + 4 * i + 1] * 587
+                 + payload[pal_at + 4 * i] * 114) // 1000
+                for i in range(n_colors)
+            ]
+            idx = bytearray(w * h)  # file-order rows
+            if comp == 1:  # RLE8
+                p = data_off
+                x = y = 0
+                n = len(payload)
+                while p + 1 < n:
+                    cnt, val = payload[p], payload[p + 1]
+                    p += 2
+                    if cnt:  # encoded run
+                        if y >= h or x + cnt > w:
+                            raise CorruptRasterError("RLE8 run overflow")
+                        idx[y * w + x : y * w + x + cnt] = bytes(
+                            [val]) * cnt
+                        x += cnt
+                    elif val == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif val == 1:  # end of bitmap
+                        break
+                    elif val == 2:  # delta
+                        if p + 1 >= n:
+                            raise CorruptRasterError("truncated RLE8 delta")
+                        x += payload[p]
+                        y += payload[p + 1]
+                        p += 2
+                        if x > w or y > h:
+                            raise CorruptRasterError("RLE8 delta overflow")
+                    else:  # absolute mode: val literal pixels, word pad
+                        if y >= h or x + val > w or p + val > n:
+                            raise CorruptRasterError("RLE8 absolute overflow")
+                        idx[y * w + x : y * w + x + val] = payload[
+                            p : p + val]
+                        x += val
+                        p += val + (val & 1)
+                else:
+                    raise CorruptRasterError("unterminated RLE8 stream")
+            else:
+                rowlen = (w + 3) & ~3
+                for r in range(h):
+                    ro = data_off + r * rowlen
+                    if ro + w > len(payload):
+                        raise CorruptRasterError("truncated BMP pixel data")
+                    idx[r * w : (r + 1) * w] = payload[ro : ro + w]
+            px = [0] * (w * h)
+            try:
+                for r in range(h):
+                    y = (h - 1 - r) if flip else r
+                    base = r * w
+                    row = [pal[i] for i in idx[base : base + w]]
+                    px[y * w : (y + 1) * w] = row
+            except IndexError:
+                raise CorruptRasterError(
+                    "BMP palette index out of range") from None
+            return w, h, px
         rowlen = (w * 3 + 3) & ~3  # rows padded to 4 bytes
         px = [0] * (w * h)
         for r in range(h):

@@ -1454,3 +1454,51 @@ def test_encrypted_objstm_page_tree_restored():
     assert "objstm secret" in exp[0]
     for enc_fn in (encrypt_pdf_rc4, encrypt_pdf_aes, encrypt_pdf_aes256):
         assert extract_pdf_text(enc_fn(pdf)) == exp, enc_fn.__name__
+
+
+def _bmp8(w, h, rows, rle=None, n_colors=256):
+    import struct
+
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(n_colors))
+    if rle is None:
+        rowlen = (w + 3) & ~3
+        data = b"".join(bytes(r) + b"\x00" * (rowlen - w) for r in rows)
+        comp = 0
+    else:
+        data = rle
+        comp = 1
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, comp,
+                         len(data), 0, 0, n_colors, 0))
+    return hdr + pal + data
+
+
+def test_bmp_8bit_paletted_and_rle8():
+    # r6: 8-bit paletted BMPs (plain + RLE8 runs/absolute/delta/EOL/EOB)
+    # — the old-crawl norm — decode through the gray palette; bottom-up
+    # row order honored in both layouts
+    from html5ever_elixir_spark.operators.multimodal import (
+        CorruptRasterError,
+        _decode_raster,
+    )
+    import pytest as _pytest
+
+    w, h, px = _decode_raster(_bmp8(3, 2, [[10, 20, 30], [40, 50, 60]]))
+    assert (w, h, px) == (3, 2, [40, 50, 60, 10, 20, 30])
+    rle = bytes([1, 10, 1, 20, 1, 30, 0, 0,
+                 1, 40, 1, 50, 1, 60, 0, 1])
+    assert _decode_raster(_bmp8(3, 2, None, rle=rle))[2] == \
+        [40, 50, 60, 10, 20, 30]
+    rle2 = bytes([0, 3, 10, 20, 30, 0, 0, 0, 0, 2, 1, 0, 2, 99, 0, 1])
+    assert _decode_raster(_bmp8(3, 2, None, rle=rle2))[2] == \
+        [0, 99, 99, 10, 20, 30]
+    # hostile variants are typed errors
+    with _pytest.raises(CorruptRasterError, match="overflow"):
+        _decode_raster(_bmp8(3, 2, None, rle=bytes([200, 7, 0, 1])))
+    with _pytest.raises(CorruptRasterError, match="unterminated"):
+        _decode_raster(_bmp8(3, 2, None, rle=bytes([1, 10])))
+    # palette index beyond a short palette
+    with _pytest.raises(CorruptRasterError, match="palette index"):
+        _decode_raster(_bmp8(3, 2, [[10, 20, 30], [40, 50, 60]],
+                             n_colors=8))
