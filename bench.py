@@ -169,7 +169,11 @@ def run_suite(spark, sf_dir: str):
             for did, t in zip(ids, texts):
                 vals = (t or "x").encode()
                 w, _, px = _decode_raster(encode_jpeg_gray_blocks(
-                    vals, restart_interval=7 if did % 3 == 0 else 0
+                    vals,
+                    restart_interval=(
+                        7 if did % 3 == 0 and did % 5 != 0 else 0
+                    ),
+                    progressive=did % 5 == 0,
                 ))
                 ok.append(int(all(
                     px[3 * w + 8 * i + 3] == v for i, v in enumerate(vals)

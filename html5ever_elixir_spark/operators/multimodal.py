@@ -79,10 +79,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     (types 0-4 — the same predictor math parser/pdf.py applies for PNG
     predictors), 8-bit gray / gray+alpha / RGB / RGBA / paletted
     (PLTE). Adam7-interlaced images are deinterlaced (per-pass
-    unfiltering — each pass is its own filtered sub-image); non-8-bit
-    depths raise CorruptRasterError (recognized magic, unsupported
-    body — a row-level error, never stub features). Returns (w, h, grayscale via BT.601 integer luma, alpha
-    ignored)."""
+    unfiltering — each pass is its own filtered sub-image); 16-bit
+    depths decode via high-byte downsample (r6); other depths raise
+    CorruptRasterError (recognized magic, unsupported body — a
+    row-level error, never stub features). Returns (w, h, grayscale
+    via BT.601 integer luma, alpha ignored)."""
     import struct
 
     pos, n = 8, len(payload)
@@ -118,11 +119,15 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         raise CorruptRasterError(f"PNG interlace method {interlace}")
     if comp or filt:
         raise CorruptRasterError(f"PNG compression/filter method {comp}/{filt}")
-    if depth != 8:
+    if depth not in (8, 16) or (depth == 16 and color == 3):
         raise CorruptRasterError(f"PNG bit depth {depth} unsupported")
     nchan = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nchan is None:
         raise CorruptRasterError(f"PNG color type {color} unsupported")
+    # 16-bit: unfilter at 2 bytes/sample, then keep the high byte per
+    # sample (the standard 16→8 downsample for a featurizer)
+    sampw = depth // 8
+    bypp = nchan * sampw
     palette: list[int] | None = None
     if color == 3:
         if plte is None:
@@ -135,14 +140,14 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     if w <= 0 or h <= 0 or w * h * nchan > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"PNG geometry {w}x{h}x{nchan} out of bounds")
     if interlace:
-        # Adam7: total bytes = Σ passes of ph*(pw*nchan + 1)
+        # Adam7: total bytes = Σ passes of ph*(pw*bypp + 1)
         want = sum(
-            ph * (pw * nchan + 1)
+            ph * (pw * bypp + 1)
             for pw, ph in (_adam7_dims(w, h, p) for p in range(7))
             if pw and ph
         )
     else:
-        want = h * (w * nchan + 1)
+        want = h * (w * bypp + 1)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), want)
@@ -152,8 +157,8 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         raise CorruptRasterError("PNG pixel data length mismatch")
     if not interlace:
         px: list[int] = []
-        for row in _png_unfilter_rows(raw, 0, w, h, nchan):
-            px.extend(_png_row_luma(row, nchan, palette))
+        for row in _png_unfilter_rows(raw, 0, w, h, bypp):
+            px.extend(_png_row_luma(row, nchan, palette, sampw))
         return w, h, px
     # Adam7 deinterlace: each pass is its own filtered sub-image
     grid = [0] * (w * h)
@@ -163,12 +168,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
         if not pw or not ph:
             continue
         x0, y0, dx, dy = _ADAM7[p]
-        for j, row in enumerate(_png_unfilter_rows(raw, off, pw, ph, nchan)):
-            lum = _png_row_luma(row, nchan, palette)
+        for j, row in enumerate(_png_unfilter_rows(raw, off, pw, ph, bypp)):
+            lum = _png_row_luma(row, nchan, palette, sampw)
             base = (y0 + j * dy) * w
             for i, v in enumerate(lum):
                 grid[base + x0 + i * dx] = v
-        off += ph * (pw * nchan + 1)
+        off += ph * (pw * bypp + 1)
     return w, h, grid
 
 
@@ -183,10 +188,13 @@ def _adam7_dims(w: int, h: int, p: int) -> tuple[int, int]:
         -(-(h - y0) // dy) if h > y0 else 0
 
 
-def _png_unfilter_rows(raw, off: int, w: int, h: int, nchan: int):
+def _png_unfilter_rows(raw, off: int, w: int, h: int, bypp: int):
     """Yield unfiltered scanlines of a (sub-)image whose filtered bytes
-    start at ``off`` (shared by the sequential and Adam7 paths)."""
-    rowlen = w * nchan
+    start at ``off`` (shared by the sequential and Adam7 paths);
+    ``bypp`` = bytes per pixel (filters reference the PREVIOUS PIXEL's
+    corresponding byte, so 16-bit depths just widen the stride)."""
+    nchan = bypp
+    rowlen = w * bypp
     prev = bytearray(rowlen)
     for r in range(h):
         base = off + r * (rowlen + 1)
@@ -218,7 +226,7 @@ def _png_unfilter_rows(raw, off: int, w: int, h: int, nchan: int):
         yield row
 
 
-def _png_row_luma(row, nchan: int, palette) -> list[int]:
+def _png_row_luma(row, nchan: int, palette, sampw: int = 1) -> list[int]:
     if palette is not None:
         try:
             return [palette[b] for b in row]
@@ -226,6 +234,8 @@ def _png_row_luma(row, nchan: int, palette) -> list[int]:
             raise CorruptRasterError(
                 "PNG palette index out of range"
             ) from None
+    if sampw == 2:  # 16-bit: high byte of each sample
+        row = row[0::2]
     if nchan == 1:
         return list(row)
     if nchan == 2:  # gray + alpha

@@ -332,15 +332,20 @@ def test_png_corrupt_variants_are_row_errors():
                   + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     with pytest.raises(CorruptRasterError):
         _decode_image(interlaced + good[8 + 25:])
-    # 16-bit depth unsupported
+    # 16-bit gray is now SUPPORTED (r6, high-byte downsample): the
+    # 1x1 sample 0x0000 decodes to pixel 0
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    assert _decode_raster(_make_png_depth16()) == (1, 1, [0])
+    # 16-bit PALETTED is not a thing (spec forbids) → typed error
     with pytest.raises(CorruptRasterError):
-        _decode_image(_make_png_depth16())
+        _decode_image(_make_png_depth16(color=3))
 
 
-def _make_png_depth16():
+def _make_png_depth16(color=0):
     import struct
 
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, color, 0, 0, 0)
     def chunk(ctype, body):
         return (struct.pack(">I", len(body)) + ctype + body
                 + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))

@@ -1502,3 +1502,42 @@ def test_bmp_8bit_paletted_and_rle8():
     with _pytest.raises(CorruptRasterError, match="palette index"):
         _decode_raster(_bmp8(3, 2, [[10, 20, 30], [40, 50, 60]],
                              n_colors=8))
+
+
+def test_png_16bit_depth_downsample():
+    # r6: 16-bit gray/RGB decode via high-byte downsample; filters
+    # reference the previous pixel's corresponding BYTE (stride = bypp)
+    import struct
+    import zlib as _z
+
+    from html5ever_elixir_spark.operators.multimodal import _decode_raster
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", _z.crc32(t + b) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    for r in [[0x1234, 0xFF00, 0x0080], [0xABCD, 0x0001, 0x8000]]:
+        raw.append(0)
+        for v in r:
+            raw += struct.pack(">H", v)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert _decode_raster(png) == (3, 2, [0x12, 0xFF, 0x00,
+                                          0xAB, 0x00, 0x80])
+    # 16-bit RGB through the Sub filter (byte-stride = 6)
+    pix = [(0x1000, 0x2000, 0x3000), (0x0100, 0x0100, 0x0100)]
+    orig = b"".join(struct.pack(">HHH", *p) for p in pix)
+    filt = bytes([1]) + bytes(
+        (orig[j] - (orig[j - 6] if j >= 6 else 0)) & 0xFF
+        for j in range(len(orig))
+    )
+    png2 = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(filt))
+            + chunk(b"IEND", b""))
+    exp = [(0x10 * 299 + 0x20 * 587 + 0x30 * 114) // 1000,
+           (0x01 * 299 + 0x01 * 587 + 0x01 * 114) // 1000]
+    assert _decode_raster(png2) == (2, 1, exp)
