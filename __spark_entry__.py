@@ -546,6 +546,27 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_ann_ivf_cells(spark, sf_dir):
+    # IVF coarse quantizer build (r6): deterministic Lloyd's — init =
+    # vectors 0..k-1, 2 fixed rounds, 6dp-rounded L2 with centroid-id
+    # tie-break, 9dp elementwise means folded in vec_id order — so the
+    # whole build unrolls to chained CTEs in DuckDB (the repo's
+    # fixed-iteration oracle discipline). Output: final cell per vector.
+    from html5ever_elixir_spark.operators.similarity import ivf_assign
+
+    assign, _ = ivf_assign(_emb(spark, sf_dir))
+    return assign.select("vec_id", F.col("cell").cast("bigint"))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    # IVF search: nprobe nearest cells per query, exact cosine only
+    # against their members — the recall/cost dial named by the
+    # pipeline mandate alongside the LSH path
+    from html5ever_elixir_spark.operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(spark, sf_dir), n_queries=10)
+
+
 def _q_ann_topk(spark, sf_dir):
     out = similarity.cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -1227,16 +1248,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": _q_dedup_decontaminate,
         "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_cells": _q_ann_ivf_cells,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_srp_bucket": _q_ann_srp,
         "ann_srp_multiprobe": _q_ann_srp_multiprobe,
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
-        "media_features": _q_media_features,
         "media_raster_features": _q_media_raster_features,
-        "text_token_budget": _q_text_token_budget,
         # ---- 50-row window boundary ----
-        # r6 tail: 29 queries, all green in CORRECTNESS_r05 and
+        # r6 tail: 31 queries, all green in CORRECTNESS_r05 and
         # re-verified via tools/oracle_check.py this round
+        "media_features": _q_media_features,
+        "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
         "html_error_rows": _q_html_error_rows,
         "dedup_exact": _q_dedup_exact,
@@ -1395,6 +1418,8 @@ SELECT * FROM (
         "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),
         # same md5-derived hyperplanes inlined as constants (dim=64 fixed
         # by the embeddings table)
+        "ann_ivf_cells": similarity.oracle_ivf_sql(assignment_only=True),
+        "ann_ivf_topk": similarity.oracle_ivf_sql(n_queries=10),
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "ann_srp_multiprobe": similarity.oracle_srp_sql(multiprobe=True),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(

@@ -453,3 +453,219 @@ edges AS (SELECT id_a AS s, id_b AS d FROM pairs
         + ",\n".join(rounds)
         + f"\nSELECT vec_id, lbl AS cluster_id FROM l{max_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the other scale path the pipeline mandate names alongside
+# LSH: a k-means coarse quantizer (fixed-iteration Lloyd's, so the
+# whole build is SQL-expressible per the unrolled-CTE discipline),
+# then probe-limited exact search inside the nprobe nearest cells.
+
+
+def _ivf_vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(x as double))"
+        ).alias("v"),
+    )
+
+
+_L2 = (
+    "round(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+    "cast(0.0 as double), (acc, e) -> acc + e), 6)"
+)
+
+# per-cell centroid: elementwise mean over members folded in vec_id
+# order (the lm_score discipline — a bare elementwise sum would be
+# partial-agg-order-dependent and hash-mismatch the oracle), 9dp
+_CENTROID = """
+transform(array(sort_array(collect_list(struct(vec_id, v)))), arr ->
+  transform(
+    aggregate(arr, transform(arr[0].v, x -> cast(0.0 as double)),
+              (acc, s) -> zip_with(acc, s.v, (x, y) -> x + y)),
+    t -> round(t / size(arr), 9)))[0]
+"""
+
+
+def ivf_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF build: centroids initialized from the vectors
+    with ids 0..k-1, then ``iters`` Lloyd rounds (assign by squared-L2,
+    6dp-rounded with centroid-id tie-break; recompute as the 9dp
+    elementwise mean folded in vec_id order). Returns
+    ``(assignment(vec_id, cell), centroids(cid, c))`` for c_iters —
+    one lazy plan, no driver actions; the centroid side is always k
+    rows and broadcast (constant-key join, never a cartesian node).
+    Fixed iteration count ⇒ the DuckDB oracle unrolls the rounds as
+    chained CTEs (:func:`oracle_ivf_sql`)."""
+    v = _ivf_vectors(emb, id_col, vec_col)
+    cents = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(vs: DataFrame, cs: DataFrame) -> DataFrame:
+        d = (
+            vs.withColumn("_j", F.lit(1))
+            .join(F.broadcast(cs.withColumn("_j", F.lit(1))), "_j")
+            .select("vec_id", "v", "cid", F.expr(_L2).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    for _ in range(iters):
+        a = assign(v, cents)
+        cents = a.groupBy("cid").agg(F.expr(_CENTROID).alias("c"))
+    final = assign(v, cents)
+    return (
+        final.select("vec_id", F.col("cid").alias("cell")),
+        cents,
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k_top: int = 5,
+    k_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest cells and
+    runs exact cosine only against their members — the classic recall/
+    cost dial. Output (query_id, neighbor_id, rank, sim): top-k within
+    the probed cells. At corpus scale the candidate join is an
+    equi-join on cell id (same shape as the SRP bucket join); the
+    centroid table is k rows, always broadcast."""
+    assignment, cents = ivf_assign(emb, k_cells, iters, id_col, vec_col)
+    v = _ivf_vectors(emb, id_col, vec_col)
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qd = (
+        queries.withColumn("_j", F.lit(1))
+        .join(F.broadcast(cents.withColumn("_j", F.lit(1))), "_j")
+        .select(
+            "query_id", "qv", "cid",
+            F.expr(_L2.replace("v, c", "qv, c")).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    members = assignment.join(
+        v, "vec_id"
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell",
+             F.col("v").alias("b"))
+    cand = (
+        probes.withColumnRenamed("qv", "a")
+        .join(members, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.expr(_COS), 6).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("bigint").alias("rank"), "sim")
+    )
+
+
+def oracle_ivf_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    k_cells: int = 8,
+    iters: int = 2,
+    n_queries: int | None = None,
+    k_top: int = 5,
+    nprobe: int = 2,
+    assignment_only: bool = False,
+) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`ivf_assign` /
+    :func:`ann_ivf_topk`: one (assign, recompute) CTE pair per Lloyd
+    round, identical 6dp/9dp rounding and tie-breaks, per-dim means
+    folded in vec_id order (list(... ORDER BY vec_id) + list_sum)."""
+    l2 = (
+        "round(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+    ).format(d=dim)
+    ctes = [
+        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k_cells})",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT v.vec_id, v.v, {prev}.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2.replace('c[', prev + '.c[')}, {prev}.cid) AS rn
+    FROM v, {prev}
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            ctes.append(
+                f"""c{t} AS (
+  SELECT cid, list(dimval ORDER BY d) AS c FROM (
+    SELECT cid, d,
+           round(list_sum(list(v[d] ORDER BY vec_id))
+                 / count(*), 9) AS dimval
+    FROM a{t}, range(1, {dim} + 1) t(d)
+    GROUP BY cid, d
+  ) GROUP BY cid
+)"""
+            )
+    final_a = f"a{iters + 1}"
+    if assignment_only:
+        return ("WITH " + ",\n".join(ctes)
+                + f"\nSELECT vec_id, cid::BIGINT AS cell FROM {final_a}")
+    cf = f"c{iters}"
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cell FROM (
+    SELECT v.vec_id AS query_id, {cf}.cid AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2.replace('c[', cf + '.c[')}, {cf}.cid) AS rn
+    FROM v, {cf}
+    WHERE v.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, m.v), 6) AS sim
+  FROM probes p
+  JOIN {final_a} m ON m.cid = p.cell
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE m.vec_id <> p.query_id
+)"""
+    )
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k_top}""")
