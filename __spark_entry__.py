@@ -1197,7 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window + deep hosts; pdf_extract_text with the RC4/AESV2 mix;
     # warc_extract on the rewritten streaming record walk), the flagship
     # parity gates, and 15 stable operators fill the window to exactly
-    # 50; past-window = 29 queries, every one with a green
+    # 50; past-window = 31 queries, every one with a green
     # CORRECTNESS_r05 row AND re-verified via tools/oracle_check.py this
     # round, so after r6 every query has a driver row in r05 ∪ r06.
     return {
