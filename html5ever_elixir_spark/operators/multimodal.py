@@ -741,7 +741,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                     code <<= 1
                 huffs[(tc, th)] = table
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if len(body) < 6:
+                raise CorruptRasterError("truncated SOF header")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise CorruptRasterError("truncated SOF components")
             if prec != 8:
                 raise CorruptRasterError(f"JPEG precision {prec} unsupported")
             comps = []
@@ -756,6 +760,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             raise CorruptRasterError(
                 "arithmetic/lossless/hierarchical JPEG unsupported")
         elif m == 0xDD:  # DRI
+            if len(body) < 2:
+                raise CorruptRasterError("truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:  # SOS — entropy data follows
             if sof is None:
@@ -767,6 +773,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
                     payload, pos - seglen - 2, qt, huffs, sof,
                     restart_interval,
                 )
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise CorruptRasterError("truncated JPEG scan header")
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -775,11 +783,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[int]]:
             break
         # APPn / COM / others: skipped
     w, h, comps = sof
+    if not comps:
+        raise CorruptRasterError("JPEG SOF has no components")
     if w <= 0 or h <= 0 or w * h > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"JPEG geometry {w}x{h} out of bounds")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if not comps or hmax < 1 or vmax < 1 or len(comps) != len(scan):
+    if hmax < 1 or vmax < 1 or len(comps) != len(scan):
         raise CorruptRasterError("JPEG component/scan mismatch")
     for c in comps:
         if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
@@ -878,6 +888,8 @@ def _decode_jpeg_progressive(
 
     n = len(payload)
     w, h, comps = sof
+    if not comps:
+        raise CorruptRasterError("JPEG SOF has no components")
     if w <= 0 or h <= 0 or w * h > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"JPEG geometry {w}x{h} out of bounds")
     hmax = max(c["h"] for c in comps)
