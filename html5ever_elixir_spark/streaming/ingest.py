@@ -325,7 +325,12 @@ def stream_warc_extract(
         F.count(F.when(F.col("error").isNotNull(), 1))
         .alias("warc_error_rows"),
     )
-    pages = recs.where("error IS NULL")
+    # same curation filter as the batch job: keep 200s (and records
+    # whose status line didn't parse) — redirect stubs / error pages
+    # are not training text
+    pages = recs.where(
+        "error IS NULL AND (http_status IS NULL OR http_status = 200)"
+    )
     parsed = parse_and_extract(
         pages, encoding=encoding, passthrough_cols=("warc_ts",)
     )
