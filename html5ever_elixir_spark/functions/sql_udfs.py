@@ -96,6 +96,41 @@ def _udf_pdf_text(payload):
     return payload.map(ext)
 
 
+def _udf_fragment_json(html):
+    """Scalar §13.4 fragment parse (div context) → ["#frag",…] JSON;
+    NULL on invalid UTF-8 (same typed-error contract as h5_tree_json)."""
+    from ..parser.api import fragment_to_json, parse_fragment
+
+    def frag(h):
+        if h is None:
+            return None
+        try:
+            if isinstance(h, (bytes, bytearray, memoryview)):
+                h = bytes(h).decode("utf-8", errors="strict")
+            return fragment_to_json(parse_fragment(h, "div"))
+        except UnicodeDecodeError:
+            return None
+
+    return html.map(frag)
+
+
+def _udf_image_luma_mean(payload):
+    """Scalar raster decode (PNG/GIF/JPEG/PNM/BMP) → mean luma 0-255
+    rounded 3dp; NULL on typed decode errors / unknown magic."""
+    from ..operators.multimodal import CorruptMediaError, _decode_raster
+
+    def mean(p):
+        if p is None:
+            return None
+        try:
+            _, _, px = _decode_raster(bytes(p))
+        except (CorruptMediaError, ValueError):
+            return None
+        return round(sum(px) / len(px), 3) if px else None
+
+    return payload.map(mean)
+
+
 _REGISTRY = [
     ("h5_extract_text", _udf_extract_text, "string"),
     ("h5_extract_text_v2", _udf_extract_text_v2, "string"),
@@ -104,6 +139,8 @@ _REGISTRY = [
     ("h5_n_nodes", _udf_n_nodes, "bigint"),
     ("h5_parse_error", _udf_parse_error, "string"),
     ("h5_pdf_text", _udf_pdf_text, "string"),
+    ("h5_fragment_json", _udf_fragment_json, "string"),
+    ("h5_image_luma_mean", _udf_image_luma_mean, "double"),
 ]
 
 

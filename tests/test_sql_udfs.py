@@ -39,3 +39,25 @@ def test_h5_pdf_text_sql_udf(spark):
     got = {r.i: r.t for r in spark.sql("SELECT i, h5_pdf_text(payload) AS t FROM pdfs").collect()}
     assert got[0] == "pdf line one\nand two"
     assert got[1] is None and got[2] is None
+
+
+def test_h5_fragment_and_image_sql_udfs(spark):
+    from html5ever_elixir_spark.functions.sql_udfs import register_all
+    from html5ever_elixir_spark.operators.multimodal import (
+        encode_jpeg_gray_blocks,
+    )
+
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "<p>one<p>two", bytearray(encode_jpeg_gray_blocks(b"\x64"))),
+         (2, None, None)],
+        "id bigint, frag string, img binary",
+    )
+    df.createOrReplaceTempView("t_udf6")
+    rows = {r.id: r for r in spark.sql(
+        "SELECT id, h5_fragment_json(frag) AS fj, "
+        "h5_image_luma_mean(img) AS lm FROM t_udf6"
+    ).collect()}
+    assert rows[1].fj == '["#frag",[["e","p",[],["one"]],["e","p",[],["two"]]]]'
+    assert rows[1].lm == 100.0  # constant 0x64 block
+    assert rows[2].fj is None and rows[2].lm is None
