@@ -1121,6 +1121,17 @@ def _q_text_lm_score(spark, sf_dir):
                     docs.where("doc_id % 10 = 0"))
 
 
+def _q_text_lm_buckets(spark, sf_dir):
+    # CCNet head/middle/tail split (r6): ntile the LM score into 3
+    # buckets PER LANGUAGE (the frame CCNet shards by — which is also
+    # what keeps the ntile window scalable), tie-broken on doc_id
+    from html5ever_elixir_spark.operators.textstats import lm_buckets
+
+    docs = _docs(spark, sf_dir)
+    return lm_buckets(docs.where("doc_id % 10 <> 0"),
+                      docs.where("doc_id % 10 = 0"))
+
+
 def _q_token_count(spark, sf_dir):
     out = textstats.token_count(_docs(spark, sf_dir))
     return out.select(
@@ -1197,7 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window + deep hosts; pdf_extract_text with the RC4/AESV2 mix;
     # warc_extract on the rewritten streaming record walk), the flagship
     # parity gates, and 15 stable operators fill the window to exactly
-    # 50; past-window = 31 queries, every one with a green
+    # 50; past-window = 32 queries, every one with a green
     # CORRECTNESS_r05 row AND re-verified via tools/oracle_check.py this
     # round, so after r6 every query has a driver row in r05 ∪ r06.
     return {
@@ -1250,14 +1261,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_lm_buckets": _q_text_lm_buckets,
         "ann_srp_bucket": _q_ann_srp,
         "ann_srp_multiprobe": _q_ann_srp_multiprobe,
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
-        "media_raster_features": _q_media_raster_features,
         # ---- 50-row window boundary ----
-        # r6 tail: 31 queries, all green in CORRECTNESS_r05 and
+        # r6 tail: 32 queries, all green in CORRECTNESS_r05 and
         # re-verified via tools/oracle_check.py this round
+        "media_raster_features": _q_media_raster_features,
         "media_features": _q_media_features,
         "text_token_budget": _q_text_token_budget,
         "text_chunks": _q_text_chunks,
@@ -1418,6 +1430,7 @@ SELECT * FROM (
         "ann_cosine_topk": similarity.oracle_cosine_topk_sql(),
         # same md5-derived hyperplanes inlined as constants (dim=64 fixed
         # by the embeddings table)
+        "text_lm_buckets": textstats.oracle_lm_buckets_sql(),
         "ann_ivf_cells": similarity.oracle_ivf_sql(assignment_only=True),
         "ann_ivf_topk": similarity.oracle_ivf_sql(n_queries=10),
         "ann_srp_bucket": similarity.oracle_srp_sql(),

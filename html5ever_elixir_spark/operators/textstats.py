@@ -926,3 +926,53 @@ SELECT doc_id, len(ps)::BIGINT AS n_bigrams,
        round(-list_sum(ps) / len(ps), 6) AS lm_score
 FROM folded
 """
+
+
+def lm_buckets(
+    docs: DataFrame,
+    ref: DataFrame,
+    n_buckets: int = 3,
+    part_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: ntile the LM quality score into
+    ``n_buckets`` PER ``part_col`` group (bucket 1 = head = most
+    reference-like). CCNet itself buckets per language, which is also
+    what makes this scale: the ntile window partitions on ``part_col``,
+    so the sort is per-language (the frame CCNet shards by anyway) —
+    an UNpartitioned global ntile would collapse to one reducer at
+    corpus scale. Ties break on ``id_col`` so the split is
+    deterministic and oracle-exact."""
+    from pyspark.sql import Window
+
+    scored = lm_score(docs, ref, text_col, id_col)
+    parts = docs.select(F.col(id_col), F.col(part_col))
+    w = Window.partitionBy(part_col).orderBy(
+        F.asc("lm_score"), F.asc(id_col)
+    )
+    return (
+        scored.join(parts, id_col)
+        .select(
+            id_col, part_col, "lm_score",
+            F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+        )
+    )
+
+
+def oracle_lm_buckets_sql(
+    table: str = "documents",
+    n_buckets: int = 3,
+    docs_pred: str = "doc_id % 10 <> 0",
+    ref_pred: str = "doc_id % 10 = 0",
+) -> str:
+    """ntile over the lm_score oracle, same per-lang frame and
+    tie-break."""
+    return f"""
+WITH scored AS ({oracle_lm_score_sql(table, docs_pred, ref_pred)})
+SELECT s.doc_id, d.lang, s.lm_score,
+       ntile({n_buckets}) OVER (PARTITION BY d.lang
+                                ORDER BY s.lm_score, s.doc_id)::BIGINT
+         AS bucket
+FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+"""

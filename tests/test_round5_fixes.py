@@ -1571,3 +1571,24 @@ def test_ivf_assignment_and_search_semantics(spark):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         sims = [x[1] for x in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lm_buckets_semantics(spark):
+    # CCNet head/middle/tail: per-lang ntile, head = most reference-like
+    # (lowest score); buckets are balanced within ±1 per lang
+    from html5ever_elixir_spark.operators.textstats import lm_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lm_buckets(docs.where("doc_id % 10 <> 0"),
+                     docs.where("doc_id % 10 = 0")).collect()
+    assert {r.bucket for r in out} == {1, 2, 3}
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = [sum(1 for r in rows if r.bucket == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # scores non-decreasing across buckets
+        b1 = max(r.lm_score for r in rows if r.bucket == 1)
+        b3 = min(r.lm_score for r in rows if r.bucket == 3)
+        assert b1 <= b3 + 1e-9
