@@ -137,7 +137,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             (plte[k] * 299 + plte[k + 1] * 587 + plte[k + 2] * 114) // 1000
             for k in range(0, len(plte), 3)
         ]
-    if w <= 0 or h <= 0 or w * h * nchan > _PNG_MAX_SAMPLES:
+    # bound decoded BYTES (w*h*nchan*sampw), not samples: a 16-bit image
+    # would otherwise allocate ~2x the intended cap before inflate
+    if w <= 0 or h <= 0 or w * h * bypp > _PNG_MAX_SAMPLES:
         raise CorruptRasterError(f"PNG geometry {w}x{h}x{nchan} out of bounds")
     if interlace:
         # Adam7: total bytes = Σ passes of ph*(pw*bypp + 1)
@@ -366,6 +368,10 @@ def encode_gif(
 
     if len(pixels) != w * h:
         raise ValueError("pixel count != w*h")
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        # GIF logical-screen fields are uint16; an oversized doc would
+        # otherwise surface as an untyped struct.error inside mapInArrow
+        raise ValueError(f"GIF dimensions {w}x{h} exceed uint16")
     table = bytes(b for i in range(256) for b in (i, i, i))
     out = bytearray(b"GIF" + version)
     out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # GCT, 256 entries
@@ -1197,6 +1203,10 @@ def encode_jpeg_gray_blocks(
     if not values:
         raise ValueError("empty pixel values")
     nblk = len(values)
+    if 8 * nblk > 0xFFFF:
+        # SOF width is uint16: cap blocks so struct.pack can't raise an
+        # untyped task failure on oversized docs
+        raise ValueError(f"{nblk} blocks exceed the uint16 SOF width")
     w, h = 8 * nblk, 8
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"

@@ -131,21 +131,43 @@ def cap_per_group(
     group_col: str = "source",
     order_col: str = "n_chars",
     id_col: str = "doc_id",
+    pre_cap: bool = True,
 ) -> DataFrame:
     """Bound any one group's contribution (the host-bias control of a
     crawl pipeline): keep at most ``k`` rows per group, preferring the
     largest ``order_col`` (ties → smallest id, fully deterministic).
-    One shuffle on the group key; the window is O(group size) per
-    group — hot hosts cost their own size, never a cross-group sort.
+
+    Scale shape: a single window partitioned by the group key is one
+    task per group — fine for bounded per-host caps, a cliff when the
+    key is skewed (one source = half the corpus). With ``pre_cap``
+    (default), a salted local top-k runs first: rows are ranked within
+    (input-partition, group) — ``spark_partition_id`` spreads a hot
+    group across as many window partitions as there are scan tasks —
+    and only the top ``k`` of each survive to the global window, which
+    then sees at most k × P rows per group instead of the group's full
+    size. The global top-k is contained in the union of per-partition
+    top-k's, so the result is EXACTLY the single-window result (the
+    ``sample_cap_per_source`` oracle is unchanged).
     Output = input columns of the surviving rows."""
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
+    src = docs
+    if pre_cap:
+        src = src.withColumn("_pcid", F.spark_partition_id())
+        wl = Window.partitionBy("_pcid", group_col).orderBy(
+            F.desc_nulls_last(order_col), F.asc(id_col)
+        )
+        src = (
+            src.withColumn("_prn", F.row_number().over(wl))
+            .where(F.col("_prn") <= k)
+            .drop("_pcid", "_prn")
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.desc_nulls_last(order_col), F.asc(id_col)
     )
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
+        src.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )

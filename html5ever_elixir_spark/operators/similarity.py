@@ -488,23 +488,53 @@ transform(array(sort_array(collect_list(struct(vec_id, v)))), arr ->
 """
 
 
+def _ivf_train_gate(k: int, train_frac: float, train_salt: str) -> str:
+    """SQL predicate selecting the deterministic hash-sampled TRAINING
+    subset of the corpus: the k seed vectors (ids 0..k-1, always in so
+    the init centroids exist) plus every vector whose layout-independent
+    md5 draw falls under ``train_frac`` — the same gate family as
+    :func:`sampling.stratified_sample`, so the DuckDB oracle mirrors the
+    predicate exactly and the unrolled-CTE hashes still match."""
+    from .sampling import _uniform_expr
+
+    u = _uniform_expr("vec_id", train_salt)
+    return f"vec_id < {k} OR ({u}) < {float(train_frac)!r}"
+
+
 def ivf_assign(
     emb: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float = 0.5,
+    train_salt: str = "h5ivf",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF build: centroids initialized from the vectors
-    with ids 0..k-1, then ``iters`` Lloyd rounds (assign by squared-L2,
-    6dp-rounded with centroid-id tie-break; recompute as the 9dp
-    elementwise mean folded in vec_id order). Returns
-    ``(assignment(vec_id, cell), centroids(cid, c))`` for c_iters —
-    one lazy plan, no driver actions; the centroid side is always k
-    rows and broadcast (constant-key join, never a cartesian node).
-    Fixed iteration count ⇒ the DuckDB oracle unrolls the rounds as
-    chained CTEs (:func:`oracle_ivf_sql`)."""
+    with ids 0..k-1, then ``iters`` Lloyd rounds run over a **bounded
+    deterministic hash-sample** of the corpus (``train_frac`` of rows
+    by md5 draw, plus the k seeds); the full corpus is then assigned
+    once via the broadcast trained centroids. Assign is by squared-L2,
+    6dp-rounded with centroid-id tie-break; recompute is the 9dp
+    elementwise mean folded in vec_id order. Returns
+    ``(assignment(vec_id, cell), centroids(cid, c))`` — one lazy plan,
+    no driver actions; the centroid side is always k rows and broadcast
+    (constant-key join, never a cartesian node).
+
+    Why the sample: the centroid recompute's aggregation buffer holds
+    every member vector of a cell (sort_array(collect_list(...)) — the
+    price of an order-exact cross-engine mean), so training on the full
+    corpus puts ~corpus/k × dim doubles in ONE agg state: executor OOM
+    long before 100 TB. Training on a hash-sample bounds that state to
+    ~|sample|/k vectors — at corpus scale the caller sets ``train_frac``
+    so the sample is a bounded training set (how real IVF builds work:
+    faiss trains the coarse quantizer on a sample, then assigns
+    everything). The sample gate is a pure function of the row key
+    (layout-independent, resumable), so the fixed-iteration build stays
+    SQL-expressible: :func:`oracle_ivf_sql` unrolls the rounds with the
+    identical gate predicate inside the train CTE."""
     v = _ivf_vectors(emb, id_col, vec_col)
+    train = v.where(F.expr(_ivf_train_gate(k, train_frac, train_salt)))
     cents = v.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
@@ -523,7 +553,7 @@ def ivf_assign(
         )
 
     for _ in range(iters):
-        a = assign(v, cents)
+        a = assign(train, cents)
         cents = a.groupBy("cid").agg(F.expr(_CENTROID).alias("c"))
     final = assign(v, cents)
     return (
@@ -541,14 +571,19 @@ def ann_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_frac: float = 0.5,
+    train_salt: str = "h5ivf",
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest cells and
     runs exact cosine only against their members — the classic recall/
     cost dial. Output (query_id, neighbor_id, rank, sim): top-k within
     the probed cells. At corpus scale the candidate join is an
     equi-join on cell id (same shape as the SRP bucket join); the
-    centroid table is k rows, always broadcast."""
-    assignment, cents = ivf_assign(emb, k_cells, iters, id_col, vec_col)
+    centroid table is k rows, always broadcast; the build trains on a
+    bounded hash-sample (see :func:`ivf_assign`)."""
+    assignment, cents = ivf_assign(
+        emb, k_cells, iters, id_col, vec_col, train_frac, train_salt
+    )
     v = _ivf_vectors(emb, id_col, vec_col)
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -600,28 +635,44 @@ def oracle_ivf_sql(
     k_top: int = 5,
     nprobe: int = 2,
     assignment_only: bool = False,
+    train_frac: float = 0.5,
+    train_salt: str = "h5ivf",
 ) -> str:
     """Unrolled-CTE DuckDB mirror of :func:`ivf_assign` /
     :func:`ann_ivf_topk`: one (assign, recompute) CTE pair per Lloyd
-    round, identical 6dp/9dp rounding and tie-breaks, per-dim means
-    folded in vec_id order (list(... ORDER BY vec_id) + list_sum)."""
+    round — run over the same hash-sampled train CTE as the Spark
+    build — identical 6dp/9dp rounding and tie-breaks, per-dim means
+    folded in vec_id order (list(... ORDER BY vec_id) + list_sum);
+    the final assignment CTE runs over the FULL corpus."""
+    if not assignment_only and n_queries is None:
+        raise ValueError(
+            "oracle_ivf_sql: n_queries is required unless "
+            "assignment_only=True (it bounds the probe CTE)"
+        )
     l2 = (
         "round(list_sum(list_transform(range(1, {d} + 1), "
         "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
     ).format(d=dim)
+    gate = (
+        f"vec_id < {k_cells} OR "
+        f"cast(('0x' || substr(md5('{train_salt}' || vec_id::VARCHAR), 1, 8))"
+        f"::BIGINT as double) / {float(1 << 32)} < {float(train_frac)!r}"
+    )
     ctes = [
         f"v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
+        f"tv AS (SELECT vec_id, v FROM v WHERE {gate})",
         f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k_cells})",
     ]
     for t in range(1, iters + 2):
         prev = f"c{t - 1}"
+        src = "tv" if t <= iters else "v"
         ctes.append(
             f"""a{t} AS (
   SELECT vec_id, v, cid FROM (
-    SELECT v.vec_id, v.v, {prev}.cid,
-           row_number() OVER (PARTITION BY v.vec_id
+    SELECT {src}.vec_id, {src}.v, {prev}.cid,
+           row_number() OVER (PARTITION BY {src}.vec_id
                               ORDER BY {l2.replace('c[', prev + '.c[')}, {prev}.cid) AS rn
-    FROM v, {prev}
+    FROM {src}, {prev}
   ) WHERE rn = 1
 )"""
         )

@@ -935,27 +935,75 @@ def lm_buckets(
     part_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_range_parts: int | None = None,
 ) -> DataFrame:
-    """CCNet's head/middle/tail split: ntile the LM quality score into
+    """CCNet's head/middle/tail split: bucket the LM quality score into
     ``n_buckets`` PER ``part_col`` group (bucket 1 = head = most
-    reference-like). CCNet itself buckets per language, which is also
-    what makes this scale: the ntile window partitions on ``part_col``,
-    so the sort is per-language (the frame CCNet shards by anyway) —
-    an UNpartitioned global ntile would collapse to one reducer at
-    corpus scale. Ties break on ``id_col`` so the split is
-    deterministic and oracle-exact."""
+    reference-like), ties broken on ``id_col`` so the split is
+    deterministic and oracle-exact. Output is value-identical to
+    ``ntile(n_buckets) OVER (PARTITION BY part_col ORDER BY lm_score,
+    id)`` — the oracle stays the plain ntile — but the PLAN is not a
+    per-lang window: ``part_col`` is a low-cardinality skewed key (at
+    crawl scale the English partition is ~half the corpus), and a Spark
+    window partition is one task, so per-lang ntile sorts the head
+    language on a single reducer. Instead, exact two-pass bucketing:
+
+    1. range-repartition scored rows on (part, score, id) — a
+       distributed TOTAL sort across ``n_range_parts`` partitions (the
+       key is unique ⇒ strict order, so ranks are exact no matter where
+       the sampled range boundaries land);
+    2. local row_number within (range-partition, part) — every window
+       partition is bounded by corpus/P rows regardless of language
+       skew (``spark_partition_id`` is evaluated in a projection pinned
+       above the range exchange: it is non-deterministic to Catalyst,
+       so it cannot be pushed below the repartition);
+    3. a (P × #parts)-row count manifest gives each (partition, part)
+       its global per-part rank offset and each part its total n —
+       tiny aggregates, broadcast back;
+    4. bucket from rank by the exact ntile rule (the first n mod b
+       buckets get ⌈n/b⌉ rows, the rest ⌊n/b⌋) — all integer
+       arithmetic, so it matches DuckDB's ntile bit-for-bit."""
     from pyspark.sql import Window
 
     scored = lm_score(docs, ref, text_col, id_col)
     parts = docs.select(F.col(id_col), F.col(part_col))
-    w = Window.partitionBy(part_col).orderBy(
+    joined = scored.join(parts, id_col)
+    ranged = joined.repartitionByRange(
+        *([n_range_parts] if n_range_parts else []),
+        F.col(part_col), F.col("lm_score"), F.col(id_col),
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid", part_col).orderBy(
         F.asc("lm_score"), F.asc(id_col)
     )
+    local = ranged.withColumn("_lrn", F.row_number().over(wl))
+    # tiny manifest: rows per (range partition, part) → per-part offset
+    # of each partition (exclusive prefix sum over pid) + per-part total
+    counts = local.groupBy("_pid", part_col).agg(
+        F.count("*").alias("_cnt")
+    )
+    wo = Window.partitionBy(part_col).orderBy("_pid")
+    manifest = counts.select(
+        "_pid", part_col,
+        (F.sum("_cnt").over(wo) - F.col("_cnt")).alias("_off"),
+        F.sum("_cnt").over(
+            Window.partitionBy(part_col)
+        ).alias("_n"),
+    )
+    b = int(n_buckets)
+    # exact ntile: rank r of n rows → first (n % b) buckets take
+    # ceil(n/b) = q+1 rows, the rest take q = n div b
+    bucket = (
+        f"cast(case when _rank <= (_n % {b}) * (_n div {b} + 1) "
+        f"then (_rank + _n div {b}) div (_n div {b} + 1) "
+        f"else (_n % {b}) + ((_rank - (_n % {b}) * (_n div {b} + 1) "
+        f"+ _n div {b} - 1) div (_n div {b})) end as bigint)"
+    )
     return (
-        scored.join(parts, id_col)
+        local.join(F.broadcast(manifest), ["_pid", part_col])
+        .withColumn("_rank", F.col("_off") + F.col("_lrn"))
         .select(
             id_col, part_col, "lm_score",
-            F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+            F.expr(bucket).alias("bucket"),
         )
     )
 

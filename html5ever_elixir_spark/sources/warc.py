@@ -333,11 +333,16 @@ def _decode_entity(entity: bytes, ce: str) -> bytes:
     if ce in ("gzip", "x-gzip"):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
     elif ce == "deflate":
-        # some servers send raw deflate despite the zlib-wrapper spec
-        d = zlib.decompressobj(
-            zlib.MAX_WBITS if entity[:1] in (b"\x78", b"\x58") else
-            -zlib.MAX_WBITS
+        # some servers send raw deflate despite the zlib-wrapper spec;
+        # sniff the zlib header properly (CM==8 in the low CMF nibble +
+        # the FCHECK mod-31 rule) — legal small-window CMF bytes like
+        # 0x08/0x18/0x28 are zlib too, not just 0x78/0x58
+        wrapped = (
+            len(entity) >= 2
+            and (entity[0] & 0x0F) == 8
+            and ((entity[0] << 8) | entity[1]) % 31 == 0
         )
+        d = zlib.decompressobj(zlib.MAX_WBITS if wrapped else -zlib.MAX_WBITS)
     else:
         raise WarcError(f"unsupported content-encoding: {ce}")
     try:
