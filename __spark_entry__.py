@@ -794,6 +794,33 @@ def _q_media_gif_features(spark, sf_dir):
     return out.select(*sel)
 
 
+def _q_media_webp_features(spark, sf_dir):
+    # the REAL WebP/VP8L decode path, driver-gated (r6 verdict ask #3):
+    # each doc's ASCII text becomes a 1×len lossless WebP whose decoded
+    # luma equals the character code (encode→prefix-code→decode
+    # byte-lossless), so DuckDB predicts the pooled features from the
+    # text alone. Even doc_ids route through the subtract-green
+    # transform — the driver row exercises the RIFF walk, both literal
+    # paths, and the transform inverse at once.
+    from html5ever_elixir_spark.operators.multimodal import (
+        docs_to_webps,
+        extract_media_features,
+    )
+
+    webps = docs_to_webps(_docs(spark, sf_dir).where("length(text) > 0"))
+    media = webps.selectExpr(
+        "media_id", "'image' AS kind", "payload",
+        "named_struct('width', 0, 'height', 1, 'mime', 'image/webp') AS meta",
+    )
+    out = extract_media_features(media)
+    sel = [F.col("media_id"), F.col("decode_error")]
+    for d in range(8):
+        sel.append(
+            F.expr(f"round(element_at(feature, {d + 1}), 6)").alias(f"f{d}")
+        )
+    return out.select(*sel)
+
+
 def _q_media_jpeg_roundtrip(spark, sf_dir):
     # the REAL JPEG decode path, driver-gated (r5 verdict ask #3):
     # each doc's text becomes a genuine JFIF stream of DC-only constant
@@ -956,11 +983,13 @@ def _q_pdf_extract_text(spark, sf_dir):
     # from-scratch PDF reader; oracle reproduces the wrap in pure SQL.
     # Every 4th doc is encrypted (standard security handler, empty
     # user password), cycling RC4 R3/128 (r5), AES-128 V4/R4 /AESV2
-    # (r6) and AES-256 V5/R6 /AESV3 (r6) — the roundtrip text must be
-    # IDENTICAL, so the unchanged oracle gates all three decrypt paths
+    # (r6) and AES-256 V5/R6 /AESV3 (r6); every doc_id % 3 == 1 routes
+    # through a Type0 font with an EMBEDDED CID CMap (mixed 1/2-byte
+    # codespace, r7) — the roundtrip text must be IDENTICAL in every
+    # case, so the unchanged oracle gates all decrypt AND font paths
     from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
 
-    pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4)
+    pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4, cid_every=3)
     return pdf_extract(pdfs).select("doc_id", "error", "text", "n_pages")
 
 
@@ -1201,74 +1230,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 6 (78 queries): the 25 r5-tail
-    # queries LEAD (each gets its r6 driver row), then the r6 new/changed
-    # queries (media_gif_features, media_jpeg_roundtrip,
-    # html_fragment_tree; url_blocklist with the tail-anchored suffix
-    # window + deep hosts; pdf_extract_text with the RC4/AESV2 mix;
-    # warc_extract on the rewritten streaming record walk), the flagship
-    # parity gates, and 15 stable operators fill the window to exactly
-    # 50; past-window = 32 queries, every one with a green
-    # CORRECTNESS_r05 row AND re-verified via tools/oracle_check.py this
-    # round, so after r6 every query has a driver row in r05 ∪ r06.
+    # "Driver-window rotation").  Round 7 (83 queries): the 32 r6-tail
+    # queries LEAD (each gets its r7 driver row), then the r7 new/changed
+    # queries (media_webp_features — new VP8L decode gate; ann_ivf_cells/
+    # ann_ivf_topk on the sample-trained build; text_lm_buckets on the
+    # two-pass exact bucketing; sample_cap_per_source with the salted
+    # pre-cap; warc_extract with the zlib-CMF deflate sniff;
+    # pdf_extract_text with the CID-CMap mix), the flagship parity
+    # gates, and 7 stable operators fill the window to exactly 50;
+    # past-window = 33 queries, every one with a green CORRECTNESS_r06
+    # row AND re-verified via tools/oracle_check.py this round, so after
+    # r7 every query has a driver row in r06 ∪ r07.
     return {
-        # previously past the driver window (r5 tail) — now first
-        "text_pack_sequences": _q_text_pack,
-        "text_pack_strict": _q_text_pack_strict,
-        "text_quality_by_source": _q_quality_by_source,
-        "text_scrub_pii": _q_text_scrub_pii,
-        "curation_chunks": _q_curation_chunks,
-        "sample_stratified": _q_sample_stratified,
-        "sample_cap_per_source": _q_sample_cap_per_source,
-        "text_fingerprint": _q_fingerprint,
-        "agg_pricing_summary": _q_pricing,
-        "join_revenue_nation": _q_revenue,
-        "join_supplier_volume": _q_supplier_volume,
-        "window_latest_event": _q_latest_event,
-        "topk_largest_docs": _q_topk_docs,
-        "filter_project_docs": _q_filter_project,
-        "agg_event_type_stats": _q_event_stats,
-        "dedup_dom_normalized": _q_dedup_dom,
-        "dedup_minhash_sig": _q_dedup_minhash,
-        "dedup_keep_longest": _q_dedup_keep_longest,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash64": _q_dedup_simhash64,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "media_frame_sample": _q_media_frame_sample,
-        # round-6 new / behavior-changed queries
-        "media_gif_features": _q_media_gif_features,
-        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
-        "media_wav_features": _q_media_wav_features,
-        "html_fragment_tree": _q_html_fragment_tree,
-        "url_blocklist": _q_url_blocklist,
-        "pdf_extract_text": _q_pdf_extract_text,
-        "warc_extract": _q_warc_extract,
-        # flagship parity gates (load-bearing encoders stay every round)
-        "html_tree_json": _q_html_tree_json,
-        "html_tree_json_maps": _q_html_tree_json_maps,
-        "html_attrs_map_merge": _q_html_attrs_map_merge,
-        "html_extract_text": _q_html_extract,
-        # stable in-window operators
-        "dedup_lsh_cc": _q_dedup_lsh_cc,
-        "dedup_bloom_incremental": _q_dedup_bloom,
-        "dedup_boilerplate_lines": _q_dedup_boilerplate,
-        "dedup_normalized_exact": _q_dedup_norm_exact,
-        "dedup_decontaminate": _q_dedup_decontaminate,
-        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_ivf_cells": _q_ann_ivf_cells,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "text_lm_buckets": _q_text_lm_buckets,
-        "ann_srp_bucket": _q_ann_srp,
-        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
-        "emb_normalize": _q_emb_normalize,
-        "text_quality_filter": _q_text_quality_filter,
-        # ---- 50-row window boundary ----
-        # r6 tail: 32 queries, all green in CORRECTNESS_r05 and
-        # re-verified via tools/oracle_check.py this round
+        # previously past the driver window (r6 tail) — now first
         "media_raster_features": _q_media_raster_features,
         "media_features": _q_media_features,
         "text_token_budget": _q_text_token_budget,
@@ -1301,6 +1275,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature_mix": _q_sample_temperature_mix,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
+        # round-7 new / behavior-changed queries
+        "media_webp_features": _q_media_webp_features,
+        "ann_ivf_cells": _q_ann_ivf_cells,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_lm_buckets": _q_text_lm_buckets,
+        "sample_cap_per_source": _q_sample_cap_per_source,
+        "warc_extract": _q_warc_extract,
+        "pdf_extract_text": _q_pdf_extract_text,
+        # flagship parity gates (load-bearing encoders stay every round)
+        "html_tree_json": _q_html_tree_json,
+        "html_tree_json_maps": _q_html_tree_json_maps,
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
+        "html_extract_text": _q_html_extract,
+        # stable in-window operators
+        "media_gif_features": _q_media_gif_features,
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+        "media_wav_features": _q_media_wav_features,
+        "html_fragment_tree": _q_html_fragment_tree,
+        "url_blocklist": _q_url_blocklist,
+        "dedup_lsh_cc": _q_dedup_lsh_cc,
+        "dedup_bloom_incremental": _q_dedup_bloom,
+        # ---- 50-row window boundary ----
+        # r7 tail: 33 queries, all green in CORRECTNESS_r06 and
+        # re-verified via tools/oracle_check.py this round
+        "text_pack_sequences": _q_text_pack,
+        "text_pack_strict": _q_text_pack_strict,
+        "text_quality_by_source": _q_quality_by_source,
+        "text_scrub_pii": _q_text_scrub_pii,
+        "curation_chunks": _q_curation_chunks,
+        "sample_stratified": _q_sample_stratified,
+        "text_fingerprint": _q_fingerprint,
+        "agg_pricing_summary": _q_pricing,
+        "join_revenue_nation": _q_revenue,
+        "join_supplier_volume": _q_supplier_volume,
+        "window_latest_event": _q_latest_event,
+        "topk_largest_docs": _q_topk_docs,
+        "filter_project_docs": _q_filter_project,
+        "agg_event_type_stats": _q_event_stats,
+        "dedup_dom_normalized": _q_dedup_dom,
+        "dedup_minhash_sig": _q_dedup_minhash,
+        "dedup_keep_longest": _q_dedup_keep_longest,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_duplicate_spans": _q_dedup_duplicate_spans,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "media_frame_sample": _q_media_frame_sample,
+        "dedup_boilerplate_lines": _q_dedup_boilerplate,
+        "dedup_normalized_exact": _q_dedup_norm_exact,
+        "dedup_decontaminate": _q_dedup_decontaminate,
+        "dedup_minhash_jaccard": _q_dedup_minhash_jaccard,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_srp_bucket": _q_ann_srp,
+        "ann_srp_multiprobe": _q_ann_srp_multiprobe,
+        "emb_normalize": _q_emb_normalize,
+        "text_quality_filter": _q_text_quality_filter,
     }
 
 
@@ -1459,6 +1490,7 @@ SELECT * FROM (
         # the GIF roundtrip is byte-lossless (palette i → luma i), so
         # the decoded features equal the raster formula over the text
         "media_gif_features": _oracle_media_raster_sql(),
+        "media_webp_features": _oracle_media_raster_sql(),
         "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_ORACLE,
         "media_wav_features": _oracle_media_wav_sql(),
         # balanced 4-way byte split; text is ASCII so varchar slicing

@@ -428,6 +428,44 @@ def docs_to_gifs(
     return pruned.mapInArrow(fn, "media_id bigint, payload binary")
 
 
+def docs_to_webps(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic synthetic WebP/VP8L corpus from the documents
+    table (driver gate for the pure-Python VP8L decoder — no external
+    data): each doc's ASCII text becomes a 1×len grayscale lossless
+    WebP whose decoded BT.601 luma equals the character code exactly
+    (r=g=b=v → (299+587+114)/1000 = 1). Even doc_ids route through the
+    subtract-green transform (§5.2) so the driver row exercises both
+    the plain-literal and transform-inverse paths. mapInArrow,
+    2-column pruned, binary out."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            webps = []
+            for did, t in zip(ids, texts):
+                px = (t or "").encode("utf-8")
+                webps.append(
+                    encode_webp_vp8l(px, len(px), 1,
+                                     subtract_green=(did % 2 == 0))
+                )
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": ids, "payload": webps},
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("payload", pa.binary()),
+                ]),
+            )
+
+    pruned = docs.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        F.col(text_col).alias("text"),
+    )
+    return pruned.mapInArrow(fn, "media_id bigint, payload binary")
+
+
 def _skip_gif_subblocks(payload: bytes, pos: int) -> int:
     n = len(payload)
     while True:
@@ -1298,6 +1336,618 @@ def encode_jpeg_gray_blocks(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# WebP / VP8L (lossless) — pure-Python decode per RFC 9649 §3-5: RIFF
+# container walk, LSB-first bitstream, canonical prefix codes (simple +
+# code-length-coded normal form), LZ77 backward references with the 2D
+# distance map, color cache, meta prefix codes, and all four transforms
+# (predictor, color, subtract-green, color-indexing incl. sub-byte
+# pixel bundling). Lossy VP8 has no stdlib-feasible decoder and stays a
+# typed CorruptRasterError. The most common crawled image format after
+# JPEG; same featurizer contract as PNG/GIF (BT.601 luma out).
+
+
+class _Vp8lBits:
+    """LSB-first bit reader over the VP8L stream (RFC 9649 §4)."""
+
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def read(self, k: int) -> int:
+        p = self.pos
+        if p + k > self.n:
+            raise CorruptRasterError("VP8L bitstream overrun")
+        v = 0
+        d = self.data
+        for i in range(k):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + k
+        return v
+
+
+class _Vp8lTree:
+    """Canonical prefix decoder: dict[(length, code)] -> symbol, read
+    one bit at a time MSB-first (root-first) out of the LSB-first
+    stream. A single-used-symbol tree is 0-bit (always that symbol)."""
+
+    __slots__ = ("table", "only", "max_len")
+
+    def __init__(self, code_lengths: list[int]):
+        used = [(s, ln) for s, ln in enumerate(code_lengths) if ln > 0]
+        if not used:
+            raise CorruptRasterError("VP8L empty prefix code")
+        if len(used) == 1:
+            self.only: int | None = used[0][0]
+            self.table: dict[tuple[int, int], int] = {}
+            self.max_len = 0
+            return
+        self.only = None
+        kraft = sum(1 << (15 - ln) for _, ln in used)
+        if kraft != 1 << 15:
+            raise CorruptRasterError("VP8L prefix code not complete")
+        self.table = {}
+        code = 0
+        prev_len = 0
+        for s, ln in sorted(used, key=lambda t: (t[1], t[0])):
+            code <<= ln - prev_len
+            prev_len = ln
+            self.table[(ln, code)] = s
+            code += 1
+        self.max_len = prev_len
+
+    def decode(self, br: _Vp8lBits) -> int:
+        if self.only is not None:
+            return self.only
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            s = self.table.get((ln, code))
+            if s is not None:
+                return s
+        raise CorruptRasterError("VP8L invalid prefix code")
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15)
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int) -> _Vp8lTree:
+    """One prefix code: simple (1-2 symbols, §4.2.1.1) or normal
+    (code-length-coded lengths with 16/17/18 repeats, §4.2.1.2)."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        s0 = br.read(8 if first_8bits else 1)
+        lengths = [0] * alphabet_size
+        if s0 >= alphabet_size:
+            raise CorruptRasterError("VP8L simple symbol out of range")
+        if num_symbols == 1:
+            lengths[s0] = 1
+            t = _Vp8lTree.__new__(_Vp8lTree)
+            t.only, t.table, t.max_len = s0, {}, 0
+            return t
+        s1 = br.read(8)
+        if s1 >= alphabet_size or s0 == s1:
+            raise CorruptRasterError("VP8L simple symbols invalid")
+        lengths[s0] = lengths[s1] = 1
+        return _Vp8lTree(lengths)
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_tree = _Vp8lTree(cl_lengths)
+    if br.read(1):  # use a length cap on how many codes are read
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8  # spec default for the first repeat-16
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_tree.decode(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, rep_val = 3 + br.read(2), prev_len
+            elif code_len == 17:
+                repeat, rep_val = 3 + br.read(3), 0
+            else:
+                repeat, rep_val = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise CorruptRasterError("VP8L code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = rep_val
+                symbol += 1
+    return _Vp8lTree(lengths)
+
+
+def _vp8l_prefix_value(code: int, br: _Vp8lBits) -> int:
+    """LZ77 length/distance prefix decoding (§4.2.2): codes 0-3 are
+    literal 1-4; above that, extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# §4.2.2.1 distance mapping: codes 1..120 are 2D neighborhood offsets
+# (dx, dy) relative to the scan width; > 120 map to dist - 120.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _vp8l_decode_pixels(
+    br: _Vp8lBits, w: int, h: int, is_main: bool
+) -> list[int]:
+    """One entropy-coded ARGB image (§4.2.2): optional color cache,
+    optional meta prefix image (main image only), then the LZ77 +
+    prefix-coded pixel stream. Returns row-major ARGB ints."""
+    if w * h > _PNG_MAX_SAMPLES:
+        raise CorruptRasterError(f"VP8L geometry {w}x{h} out of bounds")
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise CorruptRasterError("VP8L color cache too large")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    meta: list[int] | None = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.read(1):
+        meta_bits = 2 + br.read(3)
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = _vp8l_decode_pixels(br, mw, mh, False)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _vp8l_read_code(br, green_alpha),   # green+length+cache
+            _vp8l_read_code(br, 256),           # red
+            _vp8l_read_code(br, 256),           # blue
+            _vp8l_read_code(br, 256),           # alpha
+            _vp8l_read_code(br, 40),            # distance
+        ))
+    px: list[int] = []
+    npix = w * h
+    x = 0
+    mrow_w = (w + (1 << meta_bits) - 1) >> meta_bits if meta else 0
+    g_tree, r_tree, b_tree, a_tree, d_tree = groups[0]
+    while len(px) < npix:
+        if meta is not None:
+            y = len(px) // w
+            gid = (meta[(y >> meta_bits) * mrow_w + (x >> meta_bits)]
+                   >> 8) & 0xFFFF
+            g_tree, r_tree, b_tree, a_tree, d_tree = groups[gid]
+        s = g_tree.decode(br)
+        if s < 256:
+            g = s
+            r = r_tree.decode(br)
+            b = b_tree.decode(br)
+            a = a_tree.decode(br)
+            v = (a << 24) | (r << 16) | (g << 8) | b
+            px.append(v)
+            if cache_size:
+                cache[(0x1E35A7BD * v & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = v
+            x += 1
+            if x == w:
+                x = 0
+        elif s < 280:
+            length = _vp8l_prefix_value(s - 256, br)
+            dist_code = _vp8l_prefix_value(d_tree.decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            if dist > len(px) or len(px) + length > npix:
+                raise CorruptRasterError("VP8L backref out of range")
+            base = len(px) - dist
+            for i in range(length):
+                v = px[base + i]
+                px.append(v)
+                if cache_size:
+                    cache[(0x1E35A7BD * v & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = v
+                x += 1
+                if x == w:
+                    x = 0
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise CorruptRasterError("VP8L cache index out of range")
+            px.append(cache[idx])
+            x += 1
+            if x == w:
+                x = 0
+    return px
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        c = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, c)) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    avg = _vp8l_avg2(l, t)
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 0xFF
+        d = a - ((tl >> sh) & 0xFF)
+        half = d // 2 if d >= 0 else -((-d) // 2)  # C truncation
+        out |= max(0, min(255, a + half)) << sh
+    return out
+
+
+def _vp8l_select(l: int, t: int, tl: int) -> int:
+    pl = pt = 0
+    for sh in (24, 16, 8, 0):
+        p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        pl += abs(p - ((l >> sh) & 0xFF))
+        pt += abs(p - ((t >> sh) & 0xFF))
+    return l if pl < pt else t
+
+
+def _vp8l_predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(l, tr), t)
+    if mode == 6:
+        return _vp8l_avg2(l, tl)
+    if mode == 7:
+        return _vp8l_avg2(l, t)
+    if mode == 8:
+        return _vp8l_avg2(tl, t)
+    if mode == 9:
+        return _vp8l_avg2(t, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(l, tl), _vp8l_avg2(t, tr))
+    if mode == 11:
+        return _vp8l_select(l, t, tl)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(l, t, tl)
+    raise CorruptRasterError(f"VP8L predictor mode {mode}")
+
+
+def _vp8l_add_pixels(a: int, b: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= ((((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: both args as signed int8, product >> 5
+    arithmetic (§5.3)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _decode_vp8l(data: bytes) -> tuple[int, int, list[int]]:
+    """VP8L chunk payload → (w, h, BT.601 luma pixels). Transforms are
+    read front-to-back and inverted back-to-front per §5."""
+    if not data or data[0] != 0x2F:
+        raise CorruptRasterError("bad VP8L signature")
+    br = _Vp8lBits(data[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise CorruptRasterError("VP8L version != 0")
+    if w * h > _PNG_MAX_SAMPLES:
+        raise CorruptRasterError(f"VP8L geometry {w}x{h} out of bounds")
+    transforms: list[tuple[int, object]] = []
+    seen: set[int] = set()
+    cur_w = w  # color-indexing with bundling shrinks the coded width
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise CorruptRasterError("VP8L transform repeated")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color transform
+            size_bits = 2 + br.read(3)
+            bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _vp8l_decode_pixels(br, bw, bh, False)
+            transforms.append((ttype, (size_bits, bw, sub)))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_deltas = _vp8l_decode_pixels(br, n_colors, 1, False)
+            palette = []
+            acc = 0
+            for d in pal_deltas:
+                acc = _vp8l_add_pixels(acc, d)
+                palette.append(acc)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, (width_bits, palette, cur_w)))
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+    px = _vp8l_decode_pixels(br, cur_w, h, True)
+    for ttype, arg in reversed(transforms):
+        if ttype == 3:  # color indexing: unbundle + palette lookup
+            width_bits, palette, out_w = arg
+            if width_bits:
+                per = 1 << width_bits
+                bits = 8 >> width_bits
+                mask = (1 << bits) - 1
+                wide: list[int] = []
+                for y in range(h):
+                    row = px[y * cur_w : (y + 1) * cur_w]
+                    line: list[int] = []
+                    for v in row:
+                        packed = (v >> 8) & 0xFF
+                        for i in range(per):
+                            line.append((packed >> (i * bits)) & mask)
+                    wide.extend(line[:out_w])
+                idxs = wide
+            else:
+                idxs = [(v >> 8) & 0xFF for v in px]
+            px = [
+                palette[i] if i < len(palette) else 0 for i in idxs
+            ]
+            cur_w = out_w
+        elif ttype == 2:  # add green back to red/blue
+            px = [
+                (v & 0xFF000000)
+                | ((((v >> 16) + (v >> 8)) & 0xFF) << 16)
+                | (v & 0xFF00)
+                | ((v + (v >> 8)) & 0xFF)
+                for v in px
+            ]
+        elif ttype == 1:  # color transform inverse
+            size_bits, bw, sub = arg
+            out = []
+            for y in range(h):
+                for x in range(cur_w):
+                    v = px[y * cur_w + x]
+                    cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                    # ColorTransformElement slots: green_to_red = BLUE,
+                    # green_to_blue = GREEN, red_to_blue = RED (§5.3)
+                    g2r = cte & 0xFF
+                    g2b = (cte >> 8) & 0xFF
+                    r2b = (cte >> 16) & 0xFF
+                    g = (v >> 8) & 0xFF
+                    r = ((v >> 16) & 0xFF) + _vp8l_ct_delta(g2r, g)
+                    b = (v & 0xFF) + _vp8l_ct_delta(g2b, g)
+                    b += _vp8l_ct_delta(r2b, r & 0xFF)
+                    out.append((v & 0xFF00FF00) | ((r & 0xFF) << 16)
+                               | (b & 0xFF))
+            px = out
+        else:  # predictor inverse
+            size_bits, bw, sub = arg
+            for y in range(h):
+                for x in range(cur_w):
+                    i = y * cur_w + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = px[i - 1]  # L
+                    elif x == 0:
+                        pred = px[i - cur_w]  # T
+                    else:
+                        mode = (sub[(y >> size_bits) * bw
+                                    + (x >> size_bits)] >> 8) & 0xFF
+                        l = px[i - 1]
+                        t = px[i - cur_w]
+                        tl = px[i - cur_w - 1]
+                        # TR via the linear array (§5.1): for the
+                        # rightmost column i-w+1 lands on the CURRENT
+                        # row's first, already-decoded pixel — the
+                        # spec's wraparound addressing
+                        tr = px[i - cur_w + 1]
+                        pred = _vp8l_predict(mode, l, t, tl, tr)
+                    px[i] = _vp8l_add_pixels(px[i], pred)
+    if cur_w != w:
+        raise CorruptRasterError("VP8L width mismatch after transforms")
+    return w, h, [
+        (((v >> 16) & 0xFF) * 299 + ((v >> 8) & 0xFF) * 587
+         + (v & 0xFF) * 114) // 1000
+        for v in px
+    ]
+
+
+def _decode_webp(payload: bytes) -> tuple[int, int, list[int]]:
+    """RIFF container walk → VP8L decode. Lossy 'VP8 ' and animation
+    frames are typed errors (no stdlib VP8/entropy-DCT path); 'VP8X'
+    extended headers are walked through to find the VP8L chunk."""
+    import struct
+
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WEBP"):
+        raise CorruptRasterError("bad WEBP RIFF header")
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise CorruptRasterError("truncated WEBP chunk")
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise CorruptRasterError("lossy VP8 not supported")
+        if fourcc == b"ANMF":
+            raise CorruptRasterError("animated WebP not supported")
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    raise CorruptRasterError("WEBP: no VP8L chunk")
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer (encoder counterpart of :class:`_Vp8lBits`)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, k: int):
+        self.acc |= (v & ((1 << k) - 1)) << self.nbits
+        self.nbits += k
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, k: int):
+        """Prefix codes are emitted MSB-first (root-first)."""
+        for i in range(k - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def _vp8l_write_simple(bw: _Vp8lWriter, symbol: int):
+    """1-symbol simple code: zero bits per use."""
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # num_symbols - 1 = 0
+    bw.write(1, 1)  # first symbol in 8 bits
+    bw.write(symbol, 8)
+
+
+def _vp8l_write_8bit_code(bw: _Vp8lWriter, tail_zeros: int = 0):
+    """Normal prefix code with all 256 literal symbols at length 8
+    (complete, canonical code == symbol value), then ``tail_zeros``
+    zero-length symbols (24 for green's length symbols, 0 for the
+    plain 256-symbol channels). Code-length code: {8:1, 16:2, 17:2}."""
+    bw.write(0, 1)  # not simple
+    bw.write(12 - 4, 4)  # 12 code-length codes cover order idx of 8
+    for sym in _VP8L_CL_ORDER[:12]:
+        bw.write({8: 1, 16: 2, 17: 2}.get(sym, 0), 3)
+    bw.write(0, 1)  # no max_symbol cap
+    # canonical CL codes: 8 -> '0'; 16 -> '10'; 17 -> '11'
+    bw.write_code(0, 1)  # literal length 8 (symbol 0)
+    left = 255
+    while left:  # repeat-previous (16), 3..6 at a time
+        take = min(6, left if left != 7 else 4)  # never leave 1 or 2
+        bw.write_code(2, 2)
+        bw.write(take - 3, 2)
+        left -= take
+    left = tail_zeros  # zero-fill via 17 (3..10 zeros per use)
+    while left:
+        take = min(10, left if left != 11 else 8)
+        bw.write_code(3, 2)
+        bw.write(take - 3, 3)
+        left -= take
+
+
+def encode_webp_vp8l(
+    pixels: bytes, w: int, h: int, subtract_green: bool = False
+) -> bytes:
+    """Deterministic grayscale WebP/VP8L writer for synthesis (tests /
+    driver gates — no external data): pixel bytes become literal ARGB
+    (255, v, v, v). Green carries the byte through a full 256-symbol
+    length-8 prefix code; red/blue ride 1-symbol simple codes (zero
+    bits each) — equal to green via the inverse subtract-green
+    transform when ``subtract_green`` (exercising §5.2), else as
+    plain literals through their own 8-bit normal codes. Decode is
+    byte-lossless either way, so the driver oracle predicts features
+    from the source text alone (the GIF/PNG discipline)."""
+    if len(pixels) != w * h:
+        raise ValueError("pixel count != w*h")
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"VP8L dimensions {w}x{h} exceed 14 bits")
+    bw = _Vp8lWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # transform type: subtract green
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix image
+    _vp8l_write_8bit_code(bw, tail_zeros=24)  # green + absent lengths
+    if subtract_green:
+        _vp8l_write_simple(bw, 0)  # red residual = 0
+        _vp8l_write_simple(bw, 0)  # blue residual = 0
+        per_pixel_rb = None
+    else:
+        _vp8l_write_8bit_code(bw)  # red literal = v
+        _vp8l_write_8bit_code(bw)  # blue literal = v
+        per_pixel_rb = True
+    _vp8l_write_simple(bw, 255)  # alpha
+    _vp8l_write_simple(bw, 0)  # distance (never used)
+    for v in pixels:
+        bw.write_code(v, 8)  # green
+        if per_pixel_rb:
+            bw.write_code(v, 8)  # red
+            bw.write_code(v, 8)  # blue
+    body = b"\x2f" + bw.bytes()
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+
+
 def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
     """Pure-Python decode of raster formats — the REAL decode branch
     that runs without PIL: PNG (8-bit gray/GA/RGB/RGBA, see
@@ -1317,6 +1967,8 @@ def _decode_raster(payload: bytes) -> tuple[int, int, list[int]]:
         return _decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     if payload[:2] in (b"P5", b"P6"):
         toks: list[bytes] = []
         i, n = 2, len(payload)

@@ -69,6 +69,7 @@ def docs_to_pdfs(
     id_col: str = "doc_id",
     words_per_line: int = 8,
     encrypt_every: int | None = None,
+    cid_every: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic PDF corpus from the documents table
     (tests/benchmarks only — no external data): text wrapped every
@@ -83,7 +84,15 @@ def docs_to_pdfs(
     decrypt paths via the extraction roundtrip. AES-256 docs share a
     corpus file_id on purpose: the Algorithm 2.B KDF is designed to be
     expensive (~0.3 s pure-Python), and shared salts let the reader's
-    lru_cache pay it once per worker."""
+    lru_cache pay it once per worker.
+
+    ``cid_every=k`` routes every doc with doc_id % k == 1 through
+    :func:`make_cid_pdf` — a Type0 composite font with an EMBEDDED CID
+    CMap (mixed 1/2-byte codespace, cidchar+cidrange, 2-byte ToUnicode;
+    the crawled-CJK layout, r7) — whose extraction roundtrips to the
+    identical text, so the SAME oracle gates it; composes with
+    encryption when the residues collide (encrypted CMap streams
+    decrypt before font resolution)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
@@ -92,6 +101,7 @@ def docs_to_pdfs(
             encrypt_pdf_aes,
             encrypt_pdf_aes256,
             encrypt_pdf_rc4,
+            make_cid_pdf,
         )
 
         aes256_fid = hashlib.md5(b"aes256-corpus").digest()
@@ -106,7 +116,11 @@ def docs_to_pdfs(
                     for i in range(0, len(words), words_per_line)
                 ]
                 try:
-                    pdf = make_simple_pdf(lines)
+                    if cid_every and did is not None \
+                            and did % cid_every == 1:
+                        pdf = make_cid_pdf(lines)
+                    else:
+                        pdf = make_simple_pdf(lines)
                     if encrypt_every and did is not None \
                             and did % encrypt_every == 0:
                         fid = hashlib.md5(str(did).encode()).digest()

@@ -16,9 +16,12 @@ predictor) and compressed object streams (/ObjStm type-2 entries,
 where modern PDFs keep their catalog/pages dicts). Text decoding
 covers simple-font /Encoding (WinAnsi / MacRoman / Standard bases,
 /Differences with AGL-subset glyph names), ToUnicode CMaps
-(bfchar/bfrange, both destination forms), and composite Type0 fonts
+(bfchar/bfrange, both destination forms), composite Type0 fonts
 with /Identity-H(-V) CMaps decoded through their 2-byte ToUnicode —
-the dominant layout for crawled non-Latin PDFs. Encrypted files
+the dominant layout for crawled non-Latin PDFs — and, since r7, Type0
+fonts with EMBEDDED CID CMap streams (§9.7.5.3: codespace-range-driven
+variable-width code splitting, begincidchar/begincidrange, ToUnicode
+over the split codes — the crawled-CJK layout). Encrypted files
 decrypt transparently when the USER password is empty — the common
 crawled shape (owner-only restrictions): RC4 (standard security
 handler V1/V2, R2/R3) and, since r6, AES-128-CBC (V4/R4, /CFM /AESV2)
@@ -26,8 +29,10 @@ and AES-256 (V5/R6, /CFM /AESV3, Algorithm 2.B KDF) — all on a
 pure-stdlib FIPS-197 T-table core; see :func:`_std_security_key`.
 Explicitly NOT handled: the deprecated R5/ExtensionLevel-3 scheme,
 real user passwords, encrypted files whose page tree lives in /ObjStm
-(RC4-era files use classic xref), non-Identity
-CID CMaps (GBK-EUC-H etc.), and fonts whose only text mapping is
+(RC4-era files use classic xref), PREDEFINED external CID CMaps
+(GBK-EUC-H, UniGB-UCS2-H etc. — Adobe data files this from-scratch
+reader doesn't carry; their codes decode to U+FFFD, never mojibake),
+and fonts whose only text mapping is
 embedded glyph programs — a corpus job routes those rows to DISTINCT
 error values / U+FFFD rather than failing (same row-level error
 contract as the HTML parser's invalid-UTF-8 path).
@@ -118,6 +123,146 @@ def make_simple_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
     ).encode()
     return bytes(out)
 
+
+
+def make_cid_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
+    """Composite-font PDF for tests/driver gates: one Type0 font whose
+    /Encoding is an EMBEDDED CID CMap stream (not Identity, not a
+    predefined name) with a MIXED codespace — 1-byte code 0x20 for
+    space, 2-byte codes 0x0100+i for every other distinct character —
+    exercising variable-width code splitting, begincidchar AND
+    begincidrange sections, and a 2-byte ToUnicode. Text shows as hex
+    strings of codes; extraction roundtrips to the input lines exactly,
+    so the same SQL oracle that gates :func:`make_simple_pdf` gates
+    this layout too. Flate-compressed streams throughout."""
+    charset = sorted({c for ln in lines for c in ln if c != " "})
+    if len(charset) > 0xFE00:
+        raise ValueError("charset too large for the 2-byte code block")
+    code_of = {c: 0x0100 + i for i, c in enumerate(charset)}
+    hi_code = 0x0100 + max(len(charset) - 1, 0)
+
+    def encode_line(ln: str) -> str:
+        hexs = []
+        for c in ln:
+            if c == " ":
+                hexs.append("20")
+            else:
+                hexs.append(f"{code_of[c]:04X}")
+        return "<" + "".join(hexs) + ">"
+
+    # CMap: first min(4, n) chars via cidchar, the rest one cidrange
+    n_char = min(4, len(charset))
+    cid_lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CIDSystemInfo << /Registry (Test) /Ordering (Roundtrip) "
+        "/Supplement 0 >> def",
+        "/CMapName /Test-Roundtrip-H def",
+        "/CMapType 1 def",
+        "2 begincodespacerange",
+        "<20> <20>",
+        f"<0100> <{hi_code:04X}>",
+        "endcodespacerange",
+    ]
+    if n_char:
+        cid_lines.append(f"{n_char} begincidchar")
+        for i in range(n_char):
+            cid_lines.append(f"<{0x0100 + i:04X}> {1 + i}")
+        cid_lines.append("endcidchar")
+    if len(charset) > n_char:
+        cid_lines += [
+            "1 begincidrange",
+            f"<{0x0100 + n_char:04X}> <{hi_code:04X}> {1 + n_char}",
+            "endcidrange",
+        ]
+    cid_lines += ["endcmap", "end", "end"]
+    cmap_raw = "\n".join(cid_lines).encode("ascii")
+
+    # ToUnicode: 1-byte space bfchar + one bfchar per 2-byte code
+    tou_lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "begincmap",
+        "1 begincodespacerange",
+        "<0100> <FFFF>",
+        "endcodespacerange",
+    ]
+    entries = ["<20> <0020>"] + [
+        f"<{code_of[c]:04X}> <{ord(c):04X}>" for c in charset
+    ]
+    for i in range(0, len(entries), 90):  # ≤100 entries per section
+        block = entries[i : i + 90]
+        tou_lines.append(f"{len(block)} beginbfchar")
+        tou_lines += block
+        tou_lines.append("endbfchar")
+    tou_lines += ["endcmap", "end"]
+    tou_raw = "\n".join(tou_lines).encode("ascii")
+
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, max(len(lines), 1), lines_per_page)
+    ]
+    objs: dict[int, bytes] = {}
+    font_id = 3 + 2 * len(pages)
+    desc_id, cmap_id, tou_id = font_id + 1, font_id + 2, font_id + 3
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
+    )
+    for i, page_lines in enumerate(pages):
+        page_id = 3 + 2 * i
+        content_id = page_id + 1
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"{encode_line(line)} Tj")
+        ops.append("ET")
+        flate = zlib.compress("\n".join(ops).encode("ascii"))
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_id} 0 R "
+            f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>".encode()
+        )
+        objs[content_id] = (
+            f"<< /Length {len(flate)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + flate + b"\nendstream"
+        )
+    objs[font_id] = (
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /TestCID "
+        f"/Encoding {cmap_id} 0 R /DescendantFonts [{desc_id} 0 R] "
+        f"/ToUnicode {tou_id} 0 R >>".encode()
+    )
+    objs[desc_id] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCID "
+        b"/CIDSystemInfo << /Registry (Test) /Ordering (Roundtrip) "
+        b"/Supplement 0 >> >>"
+    )
+    for oid, raw in ((cmap_id, cmap_raw), (tou_id, tou_raw)):
+        flate = zlib.compress(raw)
+        head = f"<< /Length {len(flate)} /Filter /FlateDecode"
+        if oid == cmap_id:
+            head += " /Type /CMap /CMapName /Test-Roundtrip-H"
+        objs[oid] = (
+            (head + " >>\nstream\n").encode() + flate + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    ).encode()
+    return bytes(out)
 
 
 def make_objstm_pdf(lines: list[str], predictor: int = 12) -> bytes:
@@ -1798,9 +1943,85 @@ def _encoding_map(objs: dict[int, bytes], font: bytes) -> dict[int, str] | None:
 
 
 # a resolved font is (code_bytes, code → str): 1-byte simple fonts,
-# 2-byte Identity-H/V Type0 fonts
+# 2-byte Identity-H/V Type0 fonts; code_bytes may instead be a tuple of
+# (nbytes, lo, hi) codespace ranges for embedded-CMap Type0 fonts
+# (variable-width codes, r7)
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
+_ENC_STREAM_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_PREDEF_CMAP_RE = re.compile(rb"/Encoding\s*/([\w-]+)")
+
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+
+
+def _parse_cid_cmap(
+    data: bytes,
+) -> tuple[tuple[tuple[int, int, int], ...], dict[int, int]]:
+    """Embedded CID CMap stream (ISO 32000-2 §9.7.5.3) →
+    (codespace ranges as (nbytes, lo, hi), code → CID). The codespace
+    section defines the code WIDTHS (how a show-string's bytes split
+    into character codes — 1-4 bytes, possibly mixed); cidchar/cidrange
+    give each code its CID in the descendant font's glyph collection.
+    Codes are int-keyed: same-valued codes of different widths would
+    collide, which real CMaps avoid by disjoint codespace design."""
+    codespace: list[tuple[int, int, int]] = []
+    for m in _CODESPACE_RE.finditer(data):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            lo_h, hi_h = pm.group(1), pm.group(2)
+            nbytes = (len(lo_h) + 1) // 2
+            if 1 <= nbytes <= 4:
+                codespace.append(
+                    (nbytes, int(lo_h, 16), int(hi_h, 16))
+                )
+    cid_map: dict[int, int] = {}
+    for m in _CIDCHAR_RE.finditer(data):
+        for cm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)
+        ):
+            cid_map[int(cm.group(1), 16)] = int(cm.group(2))
+    for m in _CIDRANGE_RE.finditer(data):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)", m.group(1)
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            base = int(rm.group(3))
+            if hi - lo > 0xFFFF:  # malformed range bomb guard
+                hi = lo + 0xFFFF
+            for c in range(lo, hi + 1):
+                cid_map[c] = base + (c - lo)
+    return tuple(codespace), cid_map
+
+
+def _split_codes(
+    raw: bytes, codespace: tuple[tuple[int, int, int], ...]
+) -> list[int]:
+    """Split a show-string's bytes into character codes per the CMap's
+    codespace ranges (§9.7.6.3): try widths ascending; a code whose
+    value falls in a range of that width matches; bytes matching no
+    range consume the shortest width and decode as -1 (→ U+FFFD)."""
+    widths = sorted({nb for nb, _, _ in codespace}) or [1]
+    out: list[int] = []
+    i, n = 0, len(raw)
+    while i < n:
+        for w in widths:
+            if i + w <= n:
+                c = int.from_bytes(raw[i : i + w], "big")
+                if any(
+                    nb == w and lo <= c <= hi for nb, lo, hi in codespace
+                ):
+                    out.append(c)
+                    i += w
+                    break
+        else:
+            out.append(-1)
+            i += widths[0]
+    return out
 
 
 def _font_byte_map(
@@ -1813,8 +2034,15 @@ def _font_byte_map(
     /ToUnicode wins over /Encoding per code, /Encoding fills the CMap's
     gaps. Type0 + /Identity-H(-V): two-byte codes through the 2-byte
     ToUnicode ({} when absent — every code decodes to U+FFFD, which is
-    honest: Identity CIDs are glyph ids, not characters). Type0 with a
-    non-Identity CMap stays None (out of scope, module docstring)."""
+    honest: Identity CIDs are glyph ids, not characters). Type0 with an
+    EMBEDDED CMap stream (r7): the CMap's codespace ranges drive
+    variable-width code splitting (code_bytes becomes the range tuple)
+    and ToUnicode maps the split codes; codes the CMap assigns a CID
+    but ToUnicode doesn't cover decode U+FFFD (glyph known, character
+    not). Type0 with a predefined non-Identity CMap name (UniGB-UCS2-H
+    etc.: external data this from-scratch reader doesn't carry) decodes
+    every 2-byte code to U+FFFD rather than passing mojibake through —
+    the module docstring's distinct-degradation contract."""
     if ref in cache:
         return cache[ref]
     body = objs.get(ref)
@@ -1833,6 +2061,31 @@ def _font_byte_map(
         if _TYPE0_RE.search(body):
             if _IDENTITY_RE.search(body):
                 result = (2, tounicode(0xFFFF))
+            else:
+                em = _ENC_STREAM_RE.search(body)
+                enc_obj = objs.get(int(em.group(1))) if em else None
+                if enc_obj is not None and (
+                    b"begincidrange" in enc_obj
+                    or b"begincidchar" in enc_obj
+                    or b"begincodespacerange" in enc_obj
+                    or b"/CMap" in enc_obj
+                ):
+                    try:
+                        cmap_data = _content_stream(enc_obj)
+                    except PdfError:
+                        cmap_data = enc_obj
+                    codespace, cid_map = _parse_cid_cmap(cmap_data)
+                    if codespace:
+                        tou = tounicode(0xFFFFFFFF)
+                        # CID known but character unknown → explicit
+                        # U+FFFD (distinct from unmapped raw bytes)
+                        fmap = {c: "�" for c in cid_map}
+                        fmap.update(tou)
+                        result = (codespace, fmap)  # type: ignore[assignment]
+                elif _PREDEF_CMAP_RE.search(body):
+                    # predefined external CMap (no embedded data):
+                    # 2-byte U+FFFD degradation, never mojibake
+                    result = (2, {})
         else:
             enc = _encoding_map(objs, body) if b"/Encoding" in body else None
             tou = tounicode(0xFF)
@@ -2007,7 +2260,7 @@ def _extract_stream_text(
                             for b in raw
                         )
                     )
-                else:  # 2-byte Identity codes; odd trailing byte → U+FFFD
+                elif nb == 2:  # 2-byte Identity codes; odd tail → U+FFFD
                     cur.append(
                         "".join(
                             "�"
@@ -2017,6 +2270,15 @@ def _extract_stream_text(
                             for i in range(0, len(raw) - 1, 2)
                         )
                         + ("�" if len(raw) % 2 else "")
+                    )
+                else:  # embedded-CMap codespace: variable-width codes
+                    cur.append(
+                        "".join(
+                            "�"
+                            if c < 0 or (mv := fmap.get(c)) is None
+                            else mv
+                            for c in _split_codes(raw, nb)
+                        )
                     )
             else:
                 cur.append(text)

@@ -257,13 +257,16 @@ def test_type0_identity_without_tounicode_is_lossy_not_garbage():
     assert text == "��"
 
 
-def test_type0_non_identity_cmap_stays_passthrough():
+def test_type0_predefined_cmap_degrades_to_replacement():
+    # r7: predefined external CMaps (no embedded data) decode every
+    # 2-byte code to U+FFFD — a distinct degradation, never mojibake
+    # (pre-r7 this passed the raw bytes through as latin-1 "ab")
     fonts = _obj(
         5, b"<< /Type /Font /Subtype /Type0 /Encoding /GBK-EUC-H >>"
     )
     content = b"BT /F1 12 Tf (ab) Tj ET"
     text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
-    assert text == "ab"  # documented out-of-scope: legacy passthrough
+    assert text == "�"
 
 
 def test_tj_kerning_inserts_word_spaces():
@@ -408,3 +411,95 @@ def test_fuzz_font_and_xobject_paths_never_escape_error_contract():
                 assert isinstance(text, str) and n >= 0
             except PdfError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# r7: Type0 fonts with EMBEDDED CID CMaps (ISO 32000-2 §9.7.5.3) —
+# variable-width codespace splitting + cidchar/cidrange + ToUnicode.
+
+
+def _cid_font_objs(cmap_body: bytes, tou_body: bytes | None = None):
+    tou_ref = b" /ToUnicode 7 0 R" if tou_body is not None else b""
+    objs = _obj(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /T "
+        b"/Encoding 6 0 R /DescendantFonts [8 0 R]" + tou_ref + b" >>",
+    ) + _stream_obj(6, cmap_body, b" /Type /CMap")
+    if tou_body is not None:
+        objs += _stream_obj(7, tou_body)
+    objs += _obj(8, b"<< /Type /Font /Subtype /CIDFontType2 >>")
+    return objs
+
+
+_MIXED_CMAP = b"""begincmap
+2 begincodespacerange
+<20> <20>
+<0100> <0102>
+endcodespacerange
+1 begincidchar
+<0100> 1
+endcidchar
+1 begincidrange
+<0101> <0102> 2
+endcidrange
+endcmap"""
+
+
+def test_cid_cmap_mixed_width_with_tounicode():
+    tou = (b"1 begincodespacerange\n<0100> <FFFF>\nendcodespacerange\n"
+           b"4 beginbfchar\n<20> <0020>\n<0100> <0041>\n<0101> <0042>\n"
+           b"<0102> <0043>\nendbfchar")
+    # codes: A space B C  (1-byte space splits between 2-byte codes)
+    content = b"BT /F1 12 Tf <0100200101 0102> Tj ET"
+    text, _ = extract_pdf_text(
+        _font_pdf(content, _cid_font_objs(_MIXED_CMAP, tou), b"/F1 5 0 R")
+    )
+    assert text == "A BC"
+
+
+def test_cid_cmap_without_tounicode_is_fffd_not_garbage():
+    content = b"BT /F1 12 Tf <01000101> Tj ET"
+    text, _ = extract_pdf_text(
+        _font_pdf(content, _cid_font_objs(_MIXED_CMAP), b"/F1 5 0 R")
+    )
+    # CIDs resolve (1, 2) but carry no character mapping
+    assert text == "��"
+
+
+def test_cid_cmap_bytes_outside_codespace_consume_shortest():
+    tou = (b"1 beginbfchar\n<0100> <0058>\nendbfchar")
+    # 0xFF matches no range: consume 1 byte (shortest width) as U+FFFD,
+    # then a valid 2-byte code
+    content = b"BT /F1 12 Tf <FF0100> Tj ET"
+    text, _ = extract_pdf_text(
+        _font_pdf(content, _cid_font_objs(_MIXED_CMAP, tou), b"/F1 5 0 R")
+    )
+    assert text == "�X"
+
+
+def test_make_cid_pdf_roundtrip_and_encrypted_composition():
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_aes,
+        make_cid_pdf,
+    )
+
+    lines = ["Hello CID world", "second line with spaces", "x!@# 42"]
+    pdf = make_cid_pdf(lines)
+    assert extract_pdf_text(pdf)[0] == "\n".join(lines)
+    # >40 lines: page break + per-page font resolution
+    many = [f"line {i} of a longer doc" for i in range(95)]
+    t2, np2 = extract_pdf_text(make_cid_pdf(many))
+    assert t2 == "\n".join(many) and np2 == 3
+    # encryption composes: the CMap/ToUnicode streams decrypt before
+    # font resolution
+    enc = encrypt_pdf_aes(pdf, file_id=b"\x01" * 16)
+    assert extract_pdf_text(enc)[0] == "\n".join(lines)
+
+
+def test_parse_cid_cmap_units():
+    from html5ever_elixir_spark.parser.pdf import _parse_cid_cmap
+
+    codespace, cids = _parse_cid_cmap(_MIXED_CMAP)
+    assert (1, 0x20, 0x20) in codespace
+    assert (2, 0x0100, 0x0102) in codespace
+    assert cids == {0x0100: 1, 0x0101: 2, 0x0102: 3}
