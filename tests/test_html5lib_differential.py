@@ -39,15 +39,20 @@ document; ``<template><td>x`` keeps bare text in a body-level
 template), so every nontrivial input diverges and the differential
 carries no signal — template stays on the conformance corpus.
 
-An exploratory adoption-agency-heavy sweep (8,000 trials over a
-formatting-tag alphabet) was triaged but NOT added to CI: html5lib 1.1
-implements the pre-2014 adoption agency (no inner-loop-counter AFE
-removal), so deep formatting chains diverge by algorithm generation
-(~3% of trials), not by bug — every shrunk repro showed this engine
-producing the current spec's counter-removal signature (e.g.
+r7 closes the adoption-agency gap (VERDICT r6 task #7): sweep 11 runs
+an AA-heavy formatting alphabet with the html5lib-1.1 GENERATION
+difference normalized — their inner loop is ``while innerLoopCounter <
+3`` (pre-2014 spec), the current spec runs unbounded and REMOVES
+nodes whose counter exceeds 3 from the active formatting list (e.g.
 ``<em><s><a><code><u><div></em>``: the 4th inner-loop node ``s`` is
-REMOVED from the list, html5lib clones it). The committed alphabets
-trigger AA shallowly enough that 7 pins cover it.
+removed, html5lib's loop never reaches it). Divergences collapse
+under the formatting-strip normal form (strike included — a spec
+formatting element missing from ``_FMT_STRIP``), the illegal-table-
+child classifier, or two pinned block-placement inputs; zero
+unexplained. The spec-side expectations are additionally pinned by
+hand-traced cases in tree_construction/batch29_adoption_residue.dat —
+including two where the counter-removal only manifests via a later
+``</s>`` hitting the any-other-end-tag walk.
 """
 
 import hashlib
@@ -835,3 +840,102 @@ def test_foreign_content_differential_vs_html5lib():
         f"H5LIB:\n{unexplained[0][2]}"
     )
     assert agree >= 5900 and skipped <= 20, (agree, known, skipped)
+
+
+# -- r7 sweep 11: adoption-agency-heavy document soup ------------------------
+#
+# Formatting-tag chains deep enough to drive the AA inner loop past 3
+# iterations — exactly where html5lib 1.1's algorithm GENERATION
+# differs: its inner loop is `while innerLoopCounter < 3` (the pre-2014
+# spec), while the current spec runs unbounded and REMOVES nodes whose
+# counter exceeds 3 from the active formatting list (and, when no
+# longer listed, from the stack). tests/tree_construction/
+# batch29_adoption_residue.dat pins 12 hand-traced spec expectations
+# for this area (including two where the removal manifests only via a
+# later </s> hitting the any-other-end-tag walk). Triage at seed
+# 11011: 3,964/4,000 byte-identical; 18 collapse under the
+# formatting-strip normal form (strike added — it IS a spec formatting
+# element missing from the fragment sweep's set); 16 are html5lib's
+# already-documented illegal-table-child foster loss; two pinned inputs
+# are the cap family manifesting in BLOCK placement (their early inner-
+# loop exit changes which ancestor receives lastNode, so a <div> chain
+# lands one formatting level deeper than the spec's). Zero unexplained.
+
+AA_ALPHABET = [
+    "<b>", "</b>", "<i>", "</i>", "<em>", "</em>", "<s>", "</s>",
+    "<a>", "</a>", "<code>", "</code>", "<u>", "</u>", "<tt>", "</tt>",
+    "<nobr>", "</nobr>", "<font>", "</font>", "<small>", "</small>",
+    "<big>", "</big>", "<strong>", "</strong>", "<strike>",
+    "<div>", "</div>", "<p>", "</p>", "<span>", "</span>",
+    "x", "y ", "12", "<table>", "</table>", "<td>", "<tr>",
+    "<marquee>", "</marquee>", "<h1>", "</h1>", "<li>", "<ul>", "</ul>",
+]
+
+# the inner-loop-cap family manifesting in non-formatting structure
+# (block lands on a different ancestor) — outside the strip normal
+# form's reach, hand-triaged to the generation difference
+KNOWN_DIVERGENT_AA = {"3898b7a554b3414f", "8a2e6dbeebff0635"}
+
+_AA_STRIP = _FMT_STRIP | {"strike"}
+
+
+def _strip_aa_normalize(tree: str) -> str:
+    """_strip_fmt_normalize with the full spec formatting set (incl.
+    strike) — the normal form under which html5lib-1.1's pre-2014
+    adoption agency collapses when only formatting structure differs."""
+    out: list[tuple[int, str]] = []
+    drops: list[int] = []
+    for ln in tree.splitlines():
+        body = ln[2:]
+        depth = (len(body) - len(body.lstrip(" "))) // 2
+        content = body.strip()
+        while drops and depth <= drops[-1]:
+            drops.pop()
+        eff = depth - len(drops)
+        if content in {f"<{t}>" for t in _AA_STRIP}:
+            drops.append(depth)
+            continue
+        if (out and content.startswith('"') and out[-1][1].startswith('"')
+                and out[-1][0] == eff):
+            out[-1] = (eff, out[-1][1][:-1] + content[1:])
+            continue
+        out.append((eff, content))
+    return "\n".join("| " + "  " * d + c for d, c in out)
+
+
+def test_adoption_agency_differential_vs_html5lib():
+    from html5ever_elixir_spark.parser.api import parse_document
+    from tests.treeconstruction_harness import serialize
+
+    rng = random.Random(11011)
+    agree = known = skipped = 0
+    unexplained = []
+    for _ in range(4000):
+        s = "".join(
+            rng.choice(AA_ALPHABET) for _ in range(rng.randint(1, 40))
+        )
+        try:
+            theirs = _ser_dom(html5lib.parse(s, treebuilder="dom"))
+        except Exception:
+            skipped += 1
+            continue
+        mine = serialize(parse_document(s).doc)
+        if mine == theirs:
+            agree += 1
+            continue
+        if _strip_aa_normalize(mine) == _strip_aa_normalize(theirs):
+            known += 1  # formatting-only restructure (generation diff)
+            continue
+        if _illegal_table_child(theirs) and not _illegal_table_child(mine):
+            known += 1  # html5lib's foster-parenting loss family
+            continue
+        if hashlib.md5(s.encode()).hexdigest()[:16] in KNOWN_DIVERGENT_AA:
+            known += 1
+            continue
+        unexplained.append((s, mine, theirs))
+    assert not unexplained, (
+        f"{len(unexplained)} unexplained AA divergence(s); first: "
+        f"{unexplained[0][0]!r}\nMINE:\n{unexplained[0][1]}\n"
+        f"H5LIB:\n{unexplained[0][2]}"
+    )
+    assert agree >= 3900 and skipped == 0, (agree, known, skipped)
