@@ -184,6 +184,32 @@ def run_suite(spark, sf_dir: str):
         docs.selectExpr("doc_id AS media_id", "text")
         .mapInArrow(_jpeg_rt, "media_id bigint, ok bigint")
     ))
+    # round-7: the WebP/VP8L encode→decode roundtrip (RIFF walk, prefix
+    # codes via the 8-bit LUT fast path, subtract-green inverse on even
+    # ids — the same alternation as the driver gate)
+    from html5ever_elixir_spark.operators.multimodal import (
+        encode_webp_vp8l,
+    )
+
+    def _webp_rt(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            ok = []
+            for did, t in zip(ids, texts):
+                px = (t or "x").encode()
+                _, _, out = _decode_raster(encode_webp_vp8l(
+                    px, len(px), 1, subtract_green=did % 2 == 0
+                ))
+                ok.append(int(bytes(out) == px))
+            yield pa.RecordBatch.from_pydict({"media_id": ids, "ok": ok})
+
+    timed("webp_roundtrip", lambda: _noop(
+        docs.selectExpr("doc_id AS media_id", "text")
+        .mapInArrow(_webp_rt, "media_id bigint, ok bigint")
+    ))
     return n_docs, timings
 
 

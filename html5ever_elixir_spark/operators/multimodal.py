@@ -1348,33 +1348,61 @@ def encode_jpeg_gray_blocks(
 
 
 class _Vp8lBits:
-    """LSB-first bit reader over the VP8L stream (RFC 9649 §4)."""
+    """LSB-first bit reader over the VP8L stream (RFC 9649 §4):
+    64-bit refill buffer; ``peek`` is non-consuming and zero-padded at
+    EOF (prefix decode may look past the last code), ``read``/
+    ``consume`` raise on a true overrun."""
 
-    __slots__ = ("data", "pos", "n")
+    __slots__ = ("data", "nbytes", "bytepos", "buf", "bits", "pos", "n")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.nbytes = len(data)
+        self.bytepos = 0
+        self.buf = 0
+        self.bits = 0
         self.pos = 0
         self.n = len(data) * 8
 
+    def _fill(self, k: int):
+        while self.bits < k and self.bytepos < self.nbytes:
+            self.buf |= self.data[self.bytepos] << self.bits
+            self.bytepos += 1
+            self.bits += 8
+
     def read(self, k: int) -> int:
-        p = self.pos
-        if p + k > self.n:
+        if self.pos + k > self.n:
             raise CorruptRasterError("VP8L bitstream overrun")
-        v = 0
-        d = self.data
-        for i in range(k):
-            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
-        self.pos = p + k
+        self._fill(k)
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.bits -= k
+        self.pos += k
         return v
+
+    def peek(self, k: int) -> int:
+        self._fill(k)
+        return self.buf & ((1 << k) - 1)
+
+    def consume(self, k: int):
+        if self.pos + k > self.n:
+            raise CorruptRasterError("VP8L bitstream overrun")
+        self.buf >>= k
+        self.bits -= k
+        self.pos += k
+
+
+_VP8L_LUT_BITS = 8
 
 
 class _Vp8lTree:
-    """Canonical prefix decoder: dict[(length, code)] -> symbol, read
-    one bit at a time MSB-first (root-first) out of the LSB-first
-    stream. A single-used-symbol tree is 0-bit (always that symbol)."""
+    """Canonical prefix decoder. Codes are read root-first (MSB of the
+    canonical code) out of the LSB-first stream, so the fast path is a
+    2^8 lookup table indexed by the next 8 stream bits (bit-reversed
+    canonical prefix); codes longer than 8 bits fall back to the
+    (length, code) dict walk. A single-used-symbol tree is 0-bit."""
 
-    __slots__ = ("table", "only", "max_len")
+    __slots__ = ("table", "only", "max_len", "lut", "lut_bits")
 
     def __init__(self, code_lengths: list[int]):
         used = [(s, ln) for s, ln in enumerate(code_lengths) if ln > 0]
@@ -1384,30 +1412,51 @@ class _Vp8lTree:
             self.only: int | None = used[0][0]
             self.table: dict[tuple[int, int], int] = {}
             self.max_len = 0
+            self.lut: list | None = None
+            self.lut_bits = 0
             return
         self.only = None
         kraft = sum(1 << (15 - ln) for _, ln in used)
         if kraft != 1 << 15:
             raise CorruptRasterError("VP8L prefix code not complete")
         self.table = {}
+        canon: list[tuple[int, int, int]] = []  # (sym, len, code)
         code = 0
         prev_len = 0
         for s, ln in sorted(used, key=lambda t: (t[1], t[0])):
             code <<= ln - prev_len
             prev_len = ln
             self.table[(ln, code)] = s
+            canon.append((s, ln, code))
             code += 1
         self.max_len = prev_len
+        L = self.lut_bits = min(prev_len, _VP8L_LUT_BITS)
+        lut: list = [None] * (1 << L)
+        for s, ln, c in canon:
+            if ln > L:
+                continue
+            # stream-order index: bit i of idx = bit (ln-1-i) of code
+            idx = 0
+            for i in range(ln):
+                idx |= ((c >> (ln - 1 - i)) & 1) << i
+            for hi in range(1 << (L - ln)):
+                lut[idx | (hi << ln)] = (s, ln)
+        self.lut = lut
 
     def decode(self, br: _Vp8lBits) -> int:
         if self.only is not None:
             return self.only
+        e = self.lut[br.peek(self.lut_bits)]  # type: ignore[index]
+        if e is not None:
+            br.consume(e[1])
+            return e[0]
         code = 0
         for ln in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
-            s = self.table.get((ln, code))
-            if s is not None:
-                return s
+            if ln > self.lut_bits:
+                s = self.table.get((ln, code))
+                if s is not None:
+                    return s
         raise CorruptRasterError("VP8L invalid prefix code")
 
 
