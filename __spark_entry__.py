@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from html5ever_elixir_spark.operators import (
     dedup,
+    graph,
     relational,
     sampling,
     similarity,
@@ -1226,19 +1227,67 @@ def _q_event_stats(spark, sf_dir):
     return relational.event_type_stats(_events(spark, sf_dir))
 
 
+# --- round-7: link graph + PageRank + paragraph dedup --------------------
+
+def _q_graph_link_edges(spark, sf_dir):
+    # REAL parser extraction of the nav-anchor edge set (sources/
+    # pages.py template: /p/{d+1} 'next', /p/{d+2} 'more'), semi-joined
+    # to the corpus node set (dangling targets past the last doc drop,
+    # mirrored by the oracle's inner join on the target doc)
+    edges = graph.link_edges(pages=_pages(spark, sf_dir))
+    in_corpus = _docs(spark, sf_dir).selectExpr("doc_id AS dst")
+    return edges.join(in_corpus, "dst", "semi").select("src", "dst", "anchor")
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    # fixed-point bigint PageRank over the template link graph; the edge
+    # set is built relationally here (same SQL both engines — the
+    # parser-extraction path is gated separately by graph_link_edges; a
+    # production run would persist link_edges() output and feed it in)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fanout = docs.selectExpr("doc_id AS src", "explode(array(1L, 2L)) AS k")
+    edges = (
+        fanout.selectExpr("src", "src + k AS dst")
+        .join(docs.selectExpr("doc_id AS dst"), "dst", "semi")
+        .select("src", "dst")
+    )
+    nodes = docs.selectExpr("doc_id AS node")
+    return graph.pagerank(edges, nodes, iters=3)
+
+
+# shared multi-paragraph synthesis for the paragraph-dedup gate: one
+# universal paragraph (kept only at its global first occurrence, doc 0),
+# a 7-way shared promo paragraph (first kept in docs 0-6), the doc's own
+# unique text, and a unique tail
+_PARA_EXPR = (
+    "'COMMON INTRO' || chr(10) || chr(10) || text || chr(10) || chr(10) || "
+    "'PROMO ' || cast(doc_id % 7 as string) || chr(10) || chr(10) || "
+    "'tail ' || cast(doc_id as string)"
+)
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_PARA_EXPR} AS text"
+    )
+    return dedup.paragraph_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 7 (83 queries): the 32 r6-tail
+    # "Driver-window rotation").  Round 7 (86 queries): the 32 r6-tail
     # queries LEAD (each gets its r7 driver row), then the r7 new/changed
-    # queries (media_webp_features — new VP8L decode gate; ann_ivf_cells/
+    # queries (graph_link_edges/graph_pagerank — new link-graph layer;
+    # dedup_paragraphs — new first-occurrence paragraph dedup;
+    # media_webp_features — new VP8L decode gate; ann_ivf_cells/
     # ann_ivf_topk on the sample-trained build; text_lm_buckets on the
     # two-pass exact bucketing; sample_cap_per_source with the salted
     # pre-cap; warc_extract with the zlib-CMF deflate sniff;
     # pdf_extract_text with the CID-CMap mix), the flagship parity
-    # gates, and 7 stable operators fill the window to exactly 50;
-    # past-window = 33 queries, every one with a green CORRECTNESS_r06
+    # gates, and 4 stable operators fill the window to exactly 50;
+    # past-window = 36 queries, every one with a green CORRECTNESS_r06
     # row AND re-verified via tools/oracle_check.py this round, so after
     # r7 every query has a driver row in r06 ∪ r07.
     return {
@@ -1276,6 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_lsh_clusters": _q_dedup_lsh_clusters,
         # round-7 new / behavior-changed queries
+        "graph_link_edges": _q_graph_link_edges,
+        "graph_pagerank": _q_graph_pagerank,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1293,12 +1345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_wav_features": _q_media_wav_features,
         "html_fragment_tree": _q_html_fragment_tree,
+        # ---- 50-row window boundary ----
+        # r7 tail: 36 queries, all green in CORRECTNESS_r06 and
+        # re-verified via tools/oracle_check.py this round
         "url_blocklist": _q_url_blocklist,
         "dedup_lsh_cc": _q_dedup_lsh_cc,
         "dedup_bloom_incremental": _q_dedup_bloom,
-        # ---- 50-row window boundary ----
-        # r7 tail: 33 queries, all green in CORRECTNESS_r06 and
-        # re-verified via tools/oracle_check.py this round
         "text_pack_sequences": _q_text_pack,
         "text_pack_strict": _q_text_pack_strict,
         "text_quality_by_source": _q_quality_by_source,
@@ -1447,6 +1499,9 @@ SELECT * FROM (
         "dedup_boilerplate_lines": dedup.oracle_boilerplate_lines_sql(
             400, _BOILER_LINES_EXPR
         ),
+        "dedup_paragraphs": dedup.oracle_paragraph_dedup_sql(_PARA_EXPR),
+        "graph_link_edges": graph.oracle_link_edges_sql(),
+        "graph_pagerank": graph.oracle_pagerank_sql(iters=3),
         "dedup_normalized_exact": dedup.oracle_normalized_exact_dedup_sql(
             table="(SELECT doc_id, case when doc_id % 2 = 0 "
             "then upper(text) || '!!' else '  ' || text end AS text "

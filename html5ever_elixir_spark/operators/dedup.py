@@ -1377,3 +1377,120 @@ def oracle_ngram_jaccard_sql(
         "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) "
         f">= {threshold}"  # round BEFORE comparing, same as the Spark side
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (RefinedWeb / MassiveText style)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    pos_base: int = 1_000_000,
+) -> DataFrame:
+    """Global first-occurrence paragraph deduplication — the
+    RefinedWeb/MassiveText exact-substring-lite rule: a paragraph that
+    already appeared anywhere earlier in the corpus (earlier =
+    lexicographically smaller ``(doc_id, position)``) is removed from
+    the later document, preserving each survivor's original order.
+    Catches cross-document template/boilerplate repetition at paragraph
+    granularity without the frequency-threshold tuning of
+    :func:`remove_boilerplate_lines` (which keeps ALL copies below the
+    threshold; this keeps exactly one copy, the first).
+
+    Output: (doc_id, text_clean, n_paras_kept, n_paras_removed) for all
+    input docs; a doc whose every paragraph is a repeat gets ''.
+
+    Plan shape — 100 TB reasoning: one row-local posexplode → ONE
+    groupBy on ``md5(paragraph)`` whose aggregation state is a single
+    bigint (``min(doc_id*pos_base+pos)``, NOT a member list — a viral
+    paragraph repeated in 10^8 docs still folds map-side to one value
+    per partition) → an equi-join back on the same uniform hash key
+    (the keeper probe; AQE's skew split covers the viral-paragraph hot
+    key) → one per-doc groupBy to reassemble, sorting only each doc's
+    own rows. No window over a corpus-level key anywhere.
+
+    ``pos_base`` bounds paragraphs-per-doc for the (doc, pos) integer
+    encoding; doc_id*pos_base must fit int64 (fine to ~9e12 docs at the
+    default).
+    """
+    paras = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "p"),
+        )
+        .withColumn("h", F.md5(F.col("p")))
+        .withColumn(
+            "ord",
+            (F.col(id_col) * F.lit(pos_base) + F.col("pos")).cast("bigint"),
+        )
+    )
+    firsts = paras.groupBy("h").agg(F.min("ord").alias("keep_ord"))
+    kept = paras.join(firsts, "h").where(F.col("ord") == F.col("keep_ord"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws('" + sep.replace("\n", "\\n") + "', "
+            "transform(array_sort(collect_list(struct(pos, p))), s -> s.p))"
+        ).alias("text_clean"),
+        F.count("*").cast("bigint").alias("n_paras_kept"),
+    )
+    n_paras = docs.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.size(F.split(F.col(text_col), sep)),
+        ).otherwise(F.lit(0)).cast("bigint").alias("n_paras"),
+    )
+    return n_paras.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("bigint").alias(
+            "n_paras_kept"
+        ),
+        (F.col("n_paras") - F.coalesce(F.col("n_paras_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_paras_removed"),
+    )
+
+
+def oracle_paragraph_dedup_sql(
+    paras_expr: str,
+    table: str = "documents",
+    pos_base: int = 1_000_000,
+) -> str:
+    """DuckDB mirror over a synthesized multi-paragraph text
+    (``paras_expr`` evaluated identically by both engines; chr(10)chr(10)
+    separator). First occurrence = min(doc_id*pos_base + pos), exactly
+    the Spark side's integer encoding."""
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH src AS (SELECT doc_id, {paras_expr} AS text FROM {table}),
+l AS (SELECT doc_id, str_split(text, {sep}) AS ps FROM src),
+paras AS (
+  SELECT doc_id, unnest(range(1, len(ps) + 1)) - 1 AS pos, unnest(ps) AS p
+  FROM l
+),
+firsts AS (
+  SELECT md5(p) AS h, min(doc_id * {pos_base} + pos) AS keep_ord
+  FROM paras GROUP BY 1
+),
+kept AS (
+  SELECT paras.* FROM paras JOIN firsts
+  ON md5(paras.p) = firsts.h
+  AND paras.doc_id * {pos_base} + paras.pos = firsts.keep_ord
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(p, {sep} ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT src.doc_id,
+       coalesce(text_clean, '') AS text_clean,
+       coalesce(n_kept, 0)::BIGINT AS n_paras_kept,
+       (len(str_split(src.text, {sep})) - coalesce(n_kept, 0))::BIGINT
+         AS n_paras_removed
+FROM src LEFT JOIN rebuilt ON src.doc_id = rebuilt.doc_id
+"""

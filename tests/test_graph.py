@@ -1,0 +1,173 @@
+"""Link-graph layer tests: real-parse href edge extraction, fixed-point
+PageRank (determinism across partitionings + serial-reference parity),
+and paragraph-level first-occurrence dedup."""
+
+import pyspark.sql.functions as F
+
+from html5ever_elixir_spark.operators.dedup import paragraph_dedup
+from html5ever_elixir_spark.operators.graph import link_edges, pagerank
+
+
+def _mk_pages(spark, rows):
+    return spark.createDataFrame(rows, schema="url string, html string")
+
+
+def test_link_edges_real_parse(spark):
+    pages = _mk_pages(
+        spark,
+        [
+            # two well-formed anchors
+            ("https://h.example/page7",
+             '<html><body><a href="/p/8">next</a> '
+             '<a href="/p/9">more</a></body></html>'),
+            # anchor w/o text, anchor w/o href, off-pattern href
+            ("https://h.example/page1",
+             '<html><body><a href="/p/2"></a><a>no href</a>'
+             '<a href="https://other.example/x">ext</a></body></html>'),
+            # url that doesn't match the id pattern → dropped
+            ("https://h.example/about",
+             '<html><body><a href="/p/3">x</a></body></html>'),
+        ],
+    )
+    got = {
+        (r.src, r.dst): r.anchor
+        for r in link_edges(pages=pages).collect()
+    }
+    assert got == {(7, 8): "next", (7, 9): "more", (1, 2): ""}
+
+
+def test_link_edges_multi_text_children(spark):
+    # anchor text = concatenation of the a-element's own text nodes in
+    # node order (formatting splits the text into several nodes)
+    pages = _mk_pages(
+        spark,
+        [("https://h.example/page5",
+          '<html><body><a href="/p/6">click <b>here</b> now</a></body></html>')],
+    )
+    rows = link_edges(pages=pages).collect()
+    assert len(rows) == 1
+    # direct text children only: 'click ' + ' now' ('here' is b's child)
+    assert rows[0].anchor == "click  now"
+
+
+def _ref_pagerank(nodes, edges, iters=3, scale=10**9, damping=85):
+    """Serial reference of the integer update rule."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = {v: scale for v in nodes}
+    base = scale * (100 - damping) // 100
+    n = len(nodes)
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        dang = sum(rank[v] for v in nodes if outdeg[v] == 0)
+        rank = {
+            v: base + (damping * (inflow[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_serial_reference(spark):
+    nodes_l = list(range(6))
+    # a hub (0 <- everyone), a chain, and a dangling node (5)
+    edges_l = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (1, 2), (2, 3),
+               (3, 4), (4, 5)]
+    nodes = spark.createDataFrame([(v,) for v in nodes_l], "node long")
+    edges = spark.createDataFrame(edges_l, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, nodes, iters=3).collect()}
+    assert got == _ref_pagerank(nodes_l, edges_l)
+    # rank mass is conserved up to integer-floor loss (strictly bounded)
+    assert 0 <= len(nodes_l) * 10**9 - sum(got.values()) < 100 * len(edges_l)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # bigint arithmetic ⇒ bit-identical results at any parallelism —
+    # the property float PageRank cannot give (CLAUDE.md double-sum rule)
+    nodes_l = list(range(40))
+    edges_l = [(i, (i * 7 + 1) % 40) for i in range(40)] + [
+        (i, (i + 1) % 40) for i in range(0, 40, 3)
+    ]
+    ref = _ref_pagerank(nodes_l, edges_l)
+    for parts in (1, 7):
+        nodes = spark.createDataFrame(
+            [(v,) for v in nodes_l], "node long"
+        ).repartition(parts)
+        edges = spark.createDataFrame(
+            edges_l, "src long, dst long"
+        ).repartition(parts)
+        got = {
+            r.node: r.rank for r in pagerank(edges, nodes, iters=3).collect()
+        }
+        assert got == ref, f"parallelism changed ranks at P={parts}"
+
+
+def test_pagerank_plan_scale_shape(spark):
+    # agg state must be scalar (no per-dst member lists) and the scalar
+    # attachments must be broadcast constant-key joins, not cartesians
+    nodes = spark.range(100).selectExpr("id AS node")
+    edges = spark.range(99).selectExpr("id AS src", "id + 1 AS dst")
+    df = pagerank(edges, nodes, iters=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+    # the scalar (n, dangling-mass) attaches fold to
+    # BroadcastNestedLoopJoin — acceptable ONLY because every BNLJ build
+    # side here is a broadcast 1-row aggregate (the repo's IVF
+    # constant-key pattern); the corpus-side joins must all be hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # default materialize=True: the final round reads the previous
+    # round's ranks from cache (per-round barrier), not by re-deriving
+    # the whole lineage (the 3^iters lazy blowup)
+    assert "InMemoryTableScan" in plan
+    # lazy mode produces identical values (bigint determinism), just a
+    # bigger plan
+    lazy = {
+        r.node: r.rank
+        for r in pagerank(edges, nodes, iters=2, materialize=False).collect()
+    }
+    assert lazy == {r.node: r.rank for r in df.collect()}
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    sep = "\n\n"
+    docs = spark.createDataFrame(
+        [
+            (0, sep.join(["shared", "only-in-0"])),
+            (1, sep.join(["shared", "only-in-1", "promo"])),
+            (2, sep.join(["promo", "shared"])),  # everything seen before
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[0].text_clean == "shared" + sep + "only-in-0"
+    assert (out[0].n_paras_kept, out[0].n_paras_removed) == (2, 0)
+    assert out[1].text_clean == "only-in-1" + sep + "promo"
+    assert (out[1].n_paras_kept, out[1].n_paras_removed) == (2, 1)
+    assert out[2].text_clean == ""
+    assert (out[2].n_paras_kept, out[2].n_paras_removed) == (0, 2)
+    assert out[3].text_clean == ""
+    assert (out[3].n_paras_kept, out[3].n_paras_removed) == (0, 0)
+
+
+def test_paragraph_dedup_agg_state_is_scalar(spark):
+    # the keeper pass is min-over-bigint, never a collect of members —
+    # the viral-paragraph (10^8 copies) case folds map-side
+    docs = spark.createDataFrame(
+        [(i, "viral\n\nu%d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    df = paragraph_dedup(docs)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan  # only the per-DOC reassembly …
+    first_agg = plan[plan.rfind("Aggregate"):]
+    # … the hash-key (global) aggregate carries min() only
+    assert "min(" in first_agg and "collect_list" not in first_agg
+    kept = {r.doc_id: r.n_paras_kept for r in df.collect()}
+    assert kept[0] == 2 and all(kept[i] == 1 for i in range(1, 50))
