@@ -1273,21 +1273,103 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return dedup.paragraph_dedup(docs)
 
 
+# robots.txt bodies synthesized per host (h = doc_id % 50, the corpus
+# host scheme): h%4=0 exercises longest-match + allow-override; h%4=1
+# exercises agent-group selection (BadBot group must be ignored),
+# case-insensitive directives, and an unknown directive; h%4=2 the
+# empty-Disallow no-rule case; h%4=3 comment stripping. The REAL parser
+# (functions/robots.py) reads these; the oracle predicts the resulting
+# rule table directly from h.
+_ROBOTS_BODY_EXPR = (
+    "case cast(h % 4 as int) "
+    "when 0 then '# crawl policy' || chr(10) || 'User-agent: *' || "
+    "chr(10) || 'Disallow: /page' || chr(10) || 'Allow: /page2' "
+    "when 1 then 'User-agent: BadBot' || chr(10) || 'Disallow: /' || "
+    "chr(10) || chr(10) || 'user-agent: *' || chr(10) || "
+    "'disallow: /' || chr(10) || 'allow: /pag' || chr(10) || "
+    "'Crawl-delay: 2' "
+    "when 2 then 'User-agent: *' || chr(10) || 'Disallow:' "
+    "else 'User-agent: *' || chr(10) || "
+    "'Disallow: /page9 # trailing comment' end"
+)
+
+
+def _q_url_robots_filter(spark, sf_dir):
+    from html5ever_elixir_spark.functions import host_of
+    from html5ever_elixir_spark.functions.robots import (
+        apply_robots,
+        path_of,
+        robots_rules,
+    )
+
+    urls = (
+        _pages(spark, sf_dir)
+        .select("doc_id", "url")
+        .withColumn("host", host_of(F.col("url")))
+        .withColumn("path", path_of(F.col("url")))
+    )
+    robots = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id % 50 AS h")
+        .distinct()
+        .selectExpr(
+            "'host' || cast(h as string) || '.example' AS host",
+            f"{_ROBOTS_BODY_EXPR} AS robots_txt",
+        )
+    )
+    return apply_robots(urls, robots_rules(robots)).select(
+        "doc_id", "url", "allowed", "match_len"
+    )
+
+
+_ROBOTS_ORACLE = """
+WITH hosts AS (SELECT DISTINCT doc_id % 50 AS h FROM documents),
+rules AS (
+  SELECT h, false AS allow, '/page' AS prefix FROM hosts WHERE h % 4 = 0
+  UNION ALL SELECT h, true, '/page2' FROM hosts WHERE h % 4 = 0
+  UNION ALL SELECT h, false, '/' FROM hosts WHERE h % 4 = 1
+  UNION ALL SELECT h, true, '/pag' FROM hosts WHERE h % 4 = 1
+  UNION ALL SELECT h, false, '/page9' FROM hosts WHERE h % 4 = 3
+),
+urls AS (
+  SELECT doc_id,
+         'https://host' || cast(doc_id % 50 as string) || '.example/page'
+           || cast(doc_id as string) AS url,
+         doc_id % 50 AS h,
+         '/page' || cast(doc_id as string) AS path
+  FROM documents
+),
+m AS (
+  SELECT u.doc_id,
+         max(2 * length(r.prefix)
+             + CASE WHEN r.allow THEN 1 ELSE 0 END) AS s
+  FROM urls u
+  JOIN rules r ON u.h = r.h AND starts_with(u.path, r.prefix)
+  GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.url,
+       coalesce(m.s % 2 = 1, true) AS allowed,
+       coalesce(m.s // 2, 0)::BIGINT AS match_len
+FROM urls u LEFT JOIN m ON u.doc_id = m.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 7 (86 queries): the 32 r6-tail
+    # "Driver-window rotation").  Round 7 (87 queries): the 32 r6-tail
     # queries LEAD (each gets its r7 driver row), then the r7 new/changed
     # queries (graph_link_edges/graph_pagerank — new link-graph layer;
     # dedup_paragraphs — new first-occurrence paragraph dedup;
+    # url_robots_filter — new RFC 9309 politeness gate;
     # media_webp_features — new VP8L decode gate; ann_ivf_cells/
     # ann_ivf_topk on the sample-trained build; text_lm_buckets on the
     # two-pass exact bucketing; sample_cap_per_source with the salted
     # pre-cap; warc_extract with the zlib-CMF deflate sniff;
     # pdf_extract_text with the CID-CMap mix), the flagship parity
-    # gates, and 4 stable operators fill the window to exactly 50;
-    # past-window = 36 queries, every one with a green CORRECTNESS_r06
+    # gates, and 3 stable operators fill the window to exactly 50;
+    # past-window = 37 queries, every one with a green CORRECTNESS_r06
     # row AND re-verified via tools/oracle_check.py this round, so after
     # r7 every query has a driver row in r06 ∪ r07.
     return {
@@ -1328,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_edges": _q_graph_link_edges,
         "graph_pagerank": _q_graph_pagerank,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_robots_filter": _q_url_robots_filter,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1343,9 +1426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stable in-window operators
         "media_gif_features": _q_media_gif_features,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
-        "media_wav_features": _q_media_wav_features,
         "html_fragment_tree": _q_html_fragment_tree,
         # ---- 50-row window boundary ----
+        "media_wav_features": _q_media_wav_features,
         # r7 tail: 36 queries, all green in CORRECTNESS_r06 and
         # re-verified via tools/oracle_check.py this round
         "url_blocklist": _q_url_blocklist,
@@ -1500,6 +1583,7 @@ SELECT * FROM (
             400, _BOILER_LINES_EXPR
         ),
         "dedup_paragraphs": dedup.oracle_paragraph_dedup_sql(_PARA_EXPR),
+        "url_robots_filter": _ROBOTS_ORACLE,
         "graph_link_edges": graph.oracle_link_edges_sql(),
         "graph_pagerank": graph.oracle_pagerank_sql(iters=3),
         "dedup_normalized_exact": dedup.oracle_normalized_exact_dedup_sql(
