@@ -1354,22 +1354,86 @@ FROM urls u LEFT JOIN m ON u.doc_id = m.doc_id
 """
 
 
+# metadata-rich head synthesized per doc: title with an entity (decode
+# gate), d%2 meta Description (capital D = case-insensitive name match;
+# d%6 adds a later duplicate — first-wins gate), d%3 og:title, d%4
+# canonical inside a multi-token rel, d%5 JSON-LD with an uppercase
+# type attr, html lang varying on d%7.  The REAL parser extracts; the
+# oracle predicts every field directly from d.
+_META_HTML_EXPR = (
+    "'<!doctype html><html lang=\"l' || cast(d % 7 as string) || "
+    "'\"><head><title>Doc &amp; ' || cast(d as string) || '</title>' || "
+    "case when d % 2 = 0 then '<meta name=\"Description\" "
+    "content=\"desc ' || cast(d as string) || '\">' else '' end || "
+    "case when d % 6 = 0 then '<meta name=\"description\" "
+    "content=\"dup\">' else '' end || "
+    "case when d % 3 = 0 then '<meta property=\"og:title\" "
+    "content=\"OG ' || cast(d as string) || '\">' else '' end || "
+    "case when d % 4 = 0 then '<link rel=\"other canonical\" "
+    "href=\"https://c.example/' || cast(d as string) || '\">' "
+    "else '' end || "
+    "case when d % 5 = 0 then "
+    "'<script type=\"application/LD+JSON\">{\"@type\":\"Article\","
+    "\"n\":\"x' || cast(d as string) || '\"}</script>' else '' end || "
+    "'</head><body><p>' || t || '</p></body></html>'"
+)
+
+
+def _q_html_page_metadata(spark, sf_dir):
+    from html5ever_elixir_spark.operators.metadata import page_metadata
+
+    pages = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id AS d", "text AS t")
+        .selectExpr(
+            "'https://m.example/page' || cast(d as string) AS url",
+            f"{_META_HTML_EXPR} AS html",
+        )
+    )
+    return page_metadata(pages).selectExpr(
+        "cast(regexp_extract(url, 'page([0-9]+)$', 1) as bigint) AS doc_id",
+        "title",
+        "description",
+        "og_title",
+        "canonical",
+        "jsonld_type",
+        "html_lang",
+    )
+
+
+_META_ORACLE = """
+SELECT doc_id,
+       'Doc & ' || cast(doc_id as string) AS title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'desc ' || cast(doc_id as string) END AS description,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'OG ' || cast(doc_id as string) END AS og_title,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'https://c.example/' || cast(doc_id as string)
+            END AS canonical,
+       CASE WHEN doc_id % 5 = 0 THEN 'Article' END AS jsonld_type,
+       'l' || cast(doc_id % 7 as string) AS html_lang
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 7 (87 queries): the 32 r6-tail
+    # "Driver-window rotation").  Round 7 (88 queries): the 32 r6-tail
     # queries LEAD (each gets its r7 driver row), then the r7 new/changed
     # queries (graph_link_edges/graph_pagerank — new link-graph layer;
     # dedup_paragraphs — new first-occurrence paragraph dedup;
     # url_robots_filter — new RFC 9309 politeness gate;
+    # html_page_metadata — new head-metadata extraction gate;
     # media_webp_features — new VP8L decode gate; ann_ivf_cells/
     # ann_ivf_topk on the sample-trained build; text_lm_buckets on the
     # two-pass exact bucketing; sample_cap_per_source with the salted
     # pre-cap; warc_extract with the zlib-CMF deflate sniff;
     # pdf_extract_text with the CID-CMap mix), the flagship parity
-    # gates, and 3 stable operators fill the window to exactly 50;
-    # past-window = 37 queries, every one with a green CORRECTNESS_r06
+    # gates, and 2 stable operators fill the window to exactly 50;
+    # past-window = 38 queries, every one with a green CORRECTNESS_r06
     # row AND re-verified via tools/oracle_check.py this round, so after
     # r7 every query has a driver row in r06 ∪ r07.
     return {
@@ -1411,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_robots_filter": _q_url_robots_filter,
+        "html_page_metadata": _q_html_page_metadata,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1424,12 +1489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
         # stable in-window operators
-        "media_gif_features": _q_media_gif_features,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "html_fragment_tree": _q_html_fragment_tree,
         # ---- 50-row window boundary ----
+        "media_gif_features": _q_media_gif_features,
         "media_wav_features": _q_media_wav_features,
-        # r7 tail: 36 queries, all green in CORRECTNESS_r06 and
+        # r7 tail: 38 queries, all green in CORRECTNESS_r06 and
         # re-verified via tools/oracle_check.py this round
         "url_blocklist": _q_url_blocklist,
         "dedup_lsh_cc": _q_dedup_lsh_cc,
@@ -1584,6 +1649,7 @@ SELECT * FROM (
         ),
         "dedup_paragraphs": dedup.oracle_paragraph_dedup_sql(_PARA_EXPR),
         "url_robots_filter": _ROBOTS_ORACLE,
+        "html_page_metadata": _META_ORACLE,
         "graph_link_edges": graph.oracle_link_edges_sql(),
         "graph_pagerank": graph.oracle_pagerank_sql(iters=3),
         "dedup_normalized_exact": dedup.oracle_normalized_exact_dedup_sql(

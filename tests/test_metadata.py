@@ -1,0 +1,88 @@
+"""page_metadata: head-metadata extraction over real parsed nodes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from html5ever_elixir_spark.operators.metadata import page_metadata
+
+
+def _meta(spark, rows):
+    df = spark.createDataFrame(rows, "url string, html string")
+    return {r["url"]: r.asDict() for r in page_metadata(df).collect()}
+
+
+def test_full_head(spark):
+    out = _meta(
+        spark,
+        [(
+            "u1",
+            '<!doctype html><html lang="fr"><head>'
+            "<title>T &amp; A</title>"
+            '<meta name="Description" content="d1">'
+            '<meta property="og:title" content="o1">'
+            '<link rel="prev canonical" href="https://c/x">'
+            '<script type="application/LD+JSON">'
+            '{"@type":"NewsArticle"}</script>'
+            "</head><body></body></html>",
+        )],
+    )["u1"]
+    assert out["title"] == "T & A"  # entity decoded by the real parser
+    assert out["description"] == "d1"  # capital-D name matched
+    assert out["og_title"] == "o1"
+    assert out["canonical"] == "https://c/x"  # rel token list
+    assert out["jsonld_type"] == "NewsArticle"  # uppercase type attr
+    assert out["html_lang"] == "fr"
+
+
+def test_missing_fields_are_null_and_first_wins(spark):
+    out = _meta(
+        spark,
+        [
+            ("bare", "<html><body><p>no head metadata</p></body></html>"),
+            (
+                "dup",
+                "<head><title>first</title><title>second</title>"
+                '<meta name="description" content="a">'
+                '<meta name="description" content="b"></head>',
+            ),
+        ],
+    )
+    bare = out["bare"]
+    assert all(
+        bare[k] is None
+        for k in ("title", "description", "og_title", "canonical",
+                  "jsonld_type", "html_lang")
+    )
+    assert out["dup"]["title"] == "first"
+    assert out["dup"]["description"] == "a"
+
+
+def test_non_matching_rel_and_type(spark):
+    out = _meta(
+        spark,
+        [(
+            "u",
+            '<head><link rel="canonicalish" href="https://no">'
+            '<script type="text/javascript">{"@type":"No"}</script></head>',
+        )],
+    )["u"]
+    assert out["canonical"] is None  # token match, not substring
+    assert out["jsonld_type"] is None
+
+
+def test_error_rows_absent(spark):
+    df = spark.createDataFrame(
+        [("ok", bytearray(b"<title>t</title>")),
+         ("bad", bytearray(bytes([0xFF, 0xFE, 0x91])))],
+        "url string, html binary",
+    )
+    urls = {r.url for r in page_metadata(df).collect()}
+    assert urls == {"ok"}  # undecodable page contributes no metadata row
+
+
+def test_plan_has_no_window(spark):
+    df = spark.createDataFrame([("u", "<title>t</title>")],
+                               "url string, html string")
+    plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
