@@ -1417,6 +1417,48 @@ FROM documents
 """
 
 
+# CSS-selector gate over the standard template corpus: each count is
+# predictable from d (template in sources/pages.py).  c_adj proves the
+# matcher skips the d%3 comment between <h1> and the div when testing
+# `+` adjacency; c_nth2/c_notfirst hit the d%5 second paragraph.
+_SELECT_GATE = {
+    "c_content_p": "div.content > p",
+    "c_nav_links": 'div.nav a[href^="/p/"]',
+    "c_adj": "h1 + div",
+    "c_nth2": "div.content > p:nth-child(2)",
+    "c_body_children": "body > *",
+    "c_sib": "div.content ~ footer",
+    "c_notfirst": "div.content p:not(:first-child)",
+    "c_miss": "#missing",
+}
+
+
+def _q_html_css_select(spark, sf_dir):
+    from html5ever_elixir_spark.operators.select import select_counts
+
+    return select_counts(_pages(spark, sf_dir), _SELECT_GATE).selectExpr(
+        "cast(regexp_extract(url, 'page([0-9]+)$', 1) as bigint) AS doc_id",
+        *_SELECT_GATE,
+    )
+
+
+_SELECT_ORACLE = """
+SELECT doc_id,
+       cast(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END as bigint)
+         AS c_content_p,
+       cast(2 as bigint) AS c_nav_links,
+       cast(1 as bigint) AS c_adj,
+       cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END as bigint)
+         AS c_nth2,
+       cast(4 as bigint) AS c_body_children,
+       cast(1 as bigint) AS c_sib,
+       cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END as bigint)
+         AS c_notfirst,
+       cast(0 as bigint) AS c_miss
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
@@ -1476,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
+        "html_css_select": _q_html_css_select,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1489,9 +1532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
         # stable in-window operators
-        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "html_fragment_tree": _q_html_fragment_tree,
         # ---- 50-row window boundary ----
+        "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_gif_features": _q_media_gif_features,
         "media_wav_features": _q_media_wav_features,
         # r7 tail: 38 queries, all green in CORRECTNESS_r06 and
@@ -1650,6 +1693,7 @@ SELECT * FROM (
         "dedup_paragraphs": dedup.oracle_paragraph_dedup_sql(_PARA_EXPR),
         "url_robots_filter": _ROBOTS_ORACLE,
         "html_page_metadata": _META_ORACLE,
+        "html_css_select": _SELECT_ORACLE,
         "graph_link_edges": graph.oracle_link_edges_sql(),
         "graph_pagerank": graph.oracle_pagerank_sql(iters=3),
         "dedup_normalized_exact": dedup.oracle_normalized_exact_dedup_sql(
