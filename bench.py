@@ -210,6 +210,23 @@ def run_suite(spark, sf_dir: str):
         docs.selectExpr("doc_id AS media_id", "text")
         .mapInArrow(_webp_rt, "media_id bigint, ok bigint")
     ))
+    # round-7: CSS selector matching (8 selectors, one parse pass per
+    # doc — measures matcher overhead on top of the parse itself)
+    from html5ever_elixir_spark.operators.select import select_counts
+
+    timed("css_select_counts", lambda: _noop(select_counts(
+        pages.limit(n_docs // 4).repartition(par),
+        {
+            "c_content_p": "div.content > p",
+            "c_nav_links": 'div.nav a[href^="/p/"]',
+            "c_adj": "h1 + div",
+            "c_nth2": "div.content > p:nth-child(2)",
+            "c_body_children": "body > *",
+            "c_sib": "div.content ~ footer",
+            "c_notfirst": "div.content p:not(:first-child)",
+            "c_miss": "#missing",
+        },
+    )))
     return n_docs, timings
 
 

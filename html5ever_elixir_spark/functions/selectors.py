@@ -55,7 +55,7 @@ _TOKEN = re.compile(
   | (?P<class>\.[-\w]+)
   | (?P<attr>\[\s*[-\w]+\s*(?:(?:[~^$*|]?=)\s*
         (?:"[^"]*"|'[^']*'|[-\w]+)\s*)?\])
-  | (?P<pseudo>:[-\w]+(?:\([^()]*\))?)
+  | (?P<pseudo>:[-\w]+(?:\((?:[^()]|\([^()]*\))*\))?)
   | (?P<type>[-\w]+|\*)
     """,
     re.VERBOSE,

@@ -131,6 +131,39 @@ def _udf_image_luma_mean(payload):
     return payload.map(mean)
 
 
+def _udf_css_count(html, selector):
+    """Scalar ``h5_css_count(html, selector)`` → number of elements
+    matching the CSS selector (NULL html / row-level parse errors →
+    NULL). A malformed SELECTOR is caller error and raises
+    ``SelectorError`` — selectors are normally literals, so per-batch
+    compilation is cached per distinct string."""
+    import pandas as pd
+
+    from .selectors import _matches_complex, compile_selector, iter_elements
+
+    cache: dict = {}
+
+    def count(h, s):
+        if h is None or s is None:
+            return None
+        try:
+            compiled = cache[s]
+        except KeyError:
+            compiled = cache[s] = compile_selector(s)
+        d = _doc_or_none(h)
+        if d is None:
+            return None
+        return sum(
+            1
+            for e in iter_elements(d)
+            if any(_matches_complex(e, alt) for alt in compiled)
+        )
+
+    return pd.Series(
+        [count(h, s) for h, s in zip(html, selector)], dtype="object"
+    )
+
+
 _REGISTRY = [
     ("h5_extract_text", _udf_extract_text, "string"),
     ("h5_extract_text_v2", _udf_extract_text_v2, "string"),
@@ -141,6 +174,7 @@ _REGISTRY = [
     ("h5_pdf_text", _udf_pdf_text, "string"),
     ("h5_fragment_json", _udf_fragment_json, "string"),
     ("h5_image_luma_mean", _udf_image_luma_mean, "double"),
+    ("h5_css_count", _udf_css_count, "bigint"),
 ]
 
 

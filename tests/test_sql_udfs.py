@@ -61,3 +61,24 @@ def test_h5_fragment_and_image_sql_udfs(spark):
     assert rows[1].fj == '["#frag",[["e","p",[],["one"]],["e","p",[],["two"]]]]'
     assert rows[1].lm == 100.0  # constant 0x64 block
     assert rows[2].fj is None and rows[2].lm is None
+
+
+def test_h5_css_count_sql_udf(spark):
+    from html5ever_elixir_spark.functions.sql_udfs import register_all
+
+    register_all(spark)
+    spark.createDataFrame(
+        [
+            (1, '<div class="a"><p>x</p><p>y</p></div><p>z</p>'),
+            (2, "<span>no para</span>"),
+            (3, None),
+        ],
+        "id bigint, html string",
+    ).createOrReplaceTempView("t_udf_css")
+    rows = {r.id: r for r in spark.sql(
+        "SELECT id, h5_css_count(html, 'div.a > p') AS c1, "
+        "h5_css_count(html, 'p:last-child') AS c2 FROM t_udf_css"
+    ).collect()}
+    assert (rows[1].c1, rows[1].c2) == (2, 2)  # p.y last in div, p.z in body
+    assert (rows[2].c1, rows[2].c2) == (0, 0)
+    assert rows[3].c1 is None and rows[3].c2 is None
