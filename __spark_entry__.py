@@ -20,8 +20,10 @@ from html5ever_elixir_spark.operators import (
     dedup,
     graph,
     relational,
+    markdown,
     sampling,
     similarity,
+    tables,
     textstats,
 )
 from html5ever_elixir_spark.operators.parse import flat_parse_nodes, parse_and_extract
@@ -1459,6 +1461,24 @@ FROM documents
 """
 
 
+def _q_html_markdown(spark, sf_dir):
+    pages = _docs(spark, sf_dir).selectExpr(
+        "doc_id", markdown.docs_to_md_html_expr() + " AS html"
+    )
+    return markdown.to_markdown(pages, id_col="doc_id").select(
+        "doc_id", "markdown"
+    )
+
+
+def _q_html_table_cells(spark, sf_dir):
+    pages = _docs(spark, sf_dir).selectExpr(
+        "doc_id", tables.docs_to_table_html_expr() + " AS html"
+    )
+    return tables.extract_table_cells(pages, id_col="doc_id").select(
+        "doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
@@ -1469,15 +1489,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_paragraphs — new first-occurrence paragraph dedup;
     # url_robots_filter — new RFC 9309 politeness gate;
     # html_page_metadata — new head-metadata extraction gate;
-    # media_webp_features — new VP8L decode gate; ann_ivf_cells/
-    # ann_ivf_topk on the sample-trained build; text_lm_buckets on the
-    # two-pass exact bucketing; sample_cap_per_source with the salted
-    # pre-cap; warc_extract with the zlib-CMF deflate sniff;
-    # pdf_extract_text with the CID-CMap mix), the flagship parity
-    # gates, and 2 stable operators fill the window to exactly 50;
-    # past-window = 38 queries, every one with a green CORRECTNESS_r06
-    # row AND re-verified via tools/oracle_check.py this round, so after
-    # r7 every query has a driver row in r06 ∪ r07.
+    # html_css_select — new CSS selector engine; html_table_cells — new
+    # table-cell extraction; html_markdown — new HTML→Markdown
+    # conversion; media_webp_features — new VP8L decode gate;
+    # ann_ivf_cells/ann_ivf_topk on the sample-trained build;
+    # text_lm_buckets on the two-pass exact bucketing;
+    # sample_cap_per_source with the salted pre-cap; warc_extract with
+    # the zlib-CMF deflate sniff; pdf_extract_text with the CID-CMap
+    # mix) and 3 of the 4 flagship parity gates fill the window to
+    # exactly 50 (html_attrs_map_merge rotates just past the boundary
+    # this round — green r06 driver row, still in the oracle_check
+    # sweep); past-window = 41 queries, every one with a green
+    # CORRECTNESS_r06 row AND re-verified via tools/oracle_check.py
+    # this round, so after r7 every query has a driver row in
+    # r06 ∪ r07.
     return {
         # previously past the driver window (r6 tail) — now first
         "media_raster_features": _q_media_raster_features,
@@ -1519,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
+        "html_table_cells": _q_html_table_cells,
+        "html_markdown": _q_html_markdown,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1529,11 +1556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship parity gates (load-bearing encoders stay every round)
         "html_tree_json": _q_html_tree_json,
         "html_tree_json_maps": _q_html_tree_json_maps,
-        "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_extract_text": _q_html_extract,
-        # stable in-window operators
-        "html_fragment_tree": _q_html_fragment_tree,
         # ---- 50-row window boundary ----
+        "html_attrs_map_merge": _q_html_attrs_map_merge,
+        "html_fragment_tree": _q_html_fragment_tree,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_gif_features": _q_media_gif_features,
         "media_wav_features": _q_media_wav_features,
@@ -1588,6 +1614,14 @@ def oracle_sql() -> dict[str, str]:
         # pair-list oracle (single attrs throughout)
         "html_tree_json_maps": _TREE_JSON_MAPS_ORACLE,
         "html_fragment_tree": _FRAGMENT_TREE_ORACLE,
+        # one row per <th>/<td>: both engines derive cells from the same
+        # token rule; Spark round-trips through real HTML + the §13.2
+        # table parser, DuckDB predicts the rows directly
+        "html_table_cells": tables.oracle_table_cells_sql(),
+        # markdown predicted byte-for-byte from the shared token rule
+        # (heading/link/emphasis/list/quote/pre/table/hr conversion
+        # round-tripped through real HTML on the Spark side)
+        "html_markdown": markdown.oracle_markdown_sql(),
         "html_attrs_map_merge": (
             "SELECT 'doc://' || cast(doc_id as string) AS url, "
             "'l' || cast(doc_id as string) AS lang_attr, "

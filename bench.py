@@ -227,6 +227,31 @@ def run_suite(spark, sf_dir: str):
             "c_miss": "#missing",
         },
     )))
+    # round-7: table-cell extraction (parse + per-doc table walk + cell
+    # explode — the row-amplifying extraction shape)
+    from html5ever_elixir_spark.operators.tables import (
+        docs_to_table_html_expr,
+        extract_table_cells,
+    )
+
+    timed("table_cells", lambda: _noop(extract_table_cells(
+        docs.limit(n_docs // 4)
+        .selectExpr("doc_id", docs_to_table_html_expr() + " AS html")
+        .repartition(par),
+        id_col="doc_id",
+    )))
+    # round-7: HTML→Markdown conversion (parse + full structural walk)
+    from html5ever_elixir_spark.operators.markdown import (
+        docs_to_md_html_expr,
+        to_markdown,
+    )
+
+    timed("html_markdown", lambda: _noop(to_markdown(
+        docs.limit(n_docs // 4)
+        .selectExpr("doc_id", docs_to_md_html_expr() + " AS html")
+        .repartition(par),
+        id_col="doc_id",
+    )))
     return n_docs, timings
 
 

@@ -1,0 +1,86 @@
+import duckdb
+
+from html5ever_elixir_spark.operators.markdown import (
+    docs_to_md_html_expr,
+    oracle_markdown_sql,
+    to_markdown,
+)
+
+
+def _md(spark, html):
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    [row] = to_markdown(df).collect()
+    assert row.error is None
+    return row.markdown
+
+
+def test_markdown_blocks_and_inline(spark):
+    html = (
+        "<h1>Title</h1><p>see <a href='/x'>link</a> and <b>bold</b> "
+        "plus <i>it</i> or <code>c()</code>.</p>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "<ol><li>a</li><li>b</li></ol>"
+        "<blockquote><p>quoted text</p></blockquote>"
+        "<pre>raw  spaces</pre><hr>"
+    )
+    assert _md(spark, html) == (
+        "# Title\n\n"
+        "see [link](/x) and **bold** plus *it* or `c()`.\n\n"
+        "- one\n- two\n\n"
+        "1. a\n2. b\n\n"
+        "> quoted text\n\n"
+        "```\nraw  spaces\n```\n\n"
+        "---"
+    )
+
+
+def test_markdown_table_and_nested_list(spark):
+    html = (
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+        "<ul><li>top<ul><li>sub</li></ul></li></ul>"
+    )
+    assert _md(spark, html) == (
+        "| H1 | H2 |\n| --- | --- |\n| a | b |\n\n"
+        "- top\n  - sub"
+    )
+
+
+def test_markdown_skips_script_and_collapses_ws(spark):
+    html = (
+        "<p>keep</p><script>drop()</script><style>x{}</style>"
+        "<p>a\n\t  b<br>c</p>"
+    )
+    assert _md(spark, html) == "keep\n\na b\nc"
+
+
+def test_markdown_error_sentinel(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\xff\xfe<p>x"))], "doc_id bigint, html binary"
+    )
+    [row] = to_markdown(df, id_col="doc_id").collect()
+    assert row.error is not None and row.markdown is None
+
+
+def test_markdown_gate_matches_duckdb(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr("doc_id", docs_to_md_html_expr() + " AS html")
+    got = sorted(
+        (r.doc_id, r.markdown)
+        for r in to_markdown(pages, id_col="doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    exp = sorted(tuple(r) for r in con.execute(oracle_markdown_sql()).fetchall())
+    assert got == exp
+
+
+def test_markdown_plan_is_narrow(spark):
+    df = spark.createDataFrame([("u", "<p>x</p>")],
+                               "url string, html string")
+    plan = to_markdown(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Sort" not in plan
