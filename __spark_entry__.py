@@ -1143,6 +1143,56 @@ def _q_html_extract_cp1252(spark, sf_dir):
     return parse_and_extract(pages, encoding="sniff").select("url", "text")
 
 
+# legacy multi-byte charset mix for the sniff gate: doc_id % 4 picks
+# (declared label, python codec, h1 marker). Markers are chosen to be
+# codepoint-exact roundtrips through the stdlib codec.
+_CHARSET_MIX = [
+    ("shift_jis", "cp932", " こんにちは"),
+    ("gbk", "gb18030", " 你好世界"),
+    ("euc-kr", "cp949", " 안녕하세요"),
+    ("big5", "big5hkscs", " 中文測試"),
+]
+
+
+def _q_html_extract_charsets(spark, sf_dir):
+    # multi-byte-encoding crawl gate (r7): each page declares a legacy
+    # charset via <meta charset=…>, gets a CJK/Hangul marker injected
+    # before </h1>, and is re-encoded as REAL shift_jis / gbk / euc-kr
+    # / big5 bytes; encoding="sniff" must honor the declared label and
+    # decode to codepoint-identical text. The oracle injects the same
+    # marker after the title line keyed on doc_id % 4.
+    import pyarrow as pa
+
+    from html5ever_elixir_spark.operators.parse import parse_and_extract
+
+    def fn(batches):
+        for b in batches:
+            urls = b.column(0).to_pylist()
+            dids = b.column(1).to_pylist()
+            htmls = b.column(2).to_pylist()
+            enc = []
+            for did, h in zip(dids, htmls):
+                label, codec, marker = _CHARSET_MIX[did % 4]
+                enc.append(
+                    h.replace("<head>", f"<head><meta charset={label}>")
+                    .replace("</h1>", marker + "</h1>")
+                    .encode(codec)
+                )
+            yield pa.RecordBatch.from_pydict(
+                {"url": urls, "html": enc},
+                schema=pa.schema(
+                    [("url", pa.string()), ("html", pa.binary())]
+                ),
+            )
+
+    pages = (
+        _pages(spark, sf_dir)
+        .select("url", "doc_id", "html")
+        .mapInArrow(fn, "url string, html binary")
+    )
+    return parse_and_extract(pages, encoding="sniff").select("url", "text")
+
+
 def _q_text_lm_score(spark, sf_dir):
     # CCNet-style LM quality score: the doc_id%10 subset plays the
     # trusted reference corpus, the rest get scored against it
@@ -1491,18 +1541,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # html_page_metadata — new head-metadata extraction gate;
     # html_css_select — new CSS selector engine; html_table_cells — new
     # table-cell extraction; html_markdown — new HTML→Markdown
-    # conversion; media_webp_features — new VP8L decode gate;
+    # conversion; html_extract_charsets — new multi-byte sniff gate;
+    # media_webp_features — new VP8L decode gate;
     # ann_ivf_cells/ann_ivf_topk on the sample-trained build;
     # text_lm_buckets on the two-pass exact bucketing;
     # sample_cap_per_source with the salted pre-cap; warc_extract with
     # the zlib-CMF deflate sniff; pdf_extract_text with the CID-CMap
-    # mix) and 3 of the 4 flagship parity gates fill the window to
-    # exactly 50 (html_attrs_map_merge rotates just past the boundary
-    # this round — green r06 driver row, still in the oracle_check
-    # sweep); past-window = 41 queries, every one with a green
-    # CORRECTNESS_r06 row AND re-verified via tools/oracle_check.py
-    # this round, so after r7 every query has a driver row in
-    # r06 ∪ r07.
+    # mix) and 2 of the 4 flagship parity gates (html_tree_json,
+    # html_extract_text — the load-bearing encoders) fill the window
+    # to exactly 50 (html_tree_json_maps and html_attrs_map_merge
+    # rotate just past the boundary this round — green r06 driver
+    # rows, still in the oracle_check sweep); past-window = 42
+    # queries, every one with a green CORRECTNESS_r06 row AND
+    # re-verified via tools/oracle_check.py this round, so after r7
+    # every query has a driver row in r06 ∪ r07.
     return {
         # previously past the driver window (r6 tail) — now first
         "media_raster_features": _q_media_raster_features,
@@ -1532,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_text_tfidf,
         "text_lm_score": _q_text_lm_score,
         "html_extract_cp1252": _q_html_extract_cp1252,
+        "html_extract_charsets": _q_html_extract_charsets,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "sample_temperature_mix": _q_sample_temperature_mix,
@@ -1555,9 +1608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_text": _q_pdf_extract_text,
         # flagship parity gates (load-bearing encoders stay every round)
         "html_tree_json": _q_html_tree_json,
-        "html_tree_json_maps": _q_html_tree_json_maps,
         "html_extract_text": _q_html_extract,
         # ---- 50-row window boundary ----
+        "html_tree_json_maps": _q_html_tree_json_maps,
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_fragment_tree": _q_html_fragment_tree,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
@@ -1839,6 +1892,15 @@ FROM w
             f"WITH {_DUCK_PAGES} SELECT url, "
             "regexp_replace(text, chr(10), ' —“é”' || chr(10)) AS text "
             "FROM pages"
+        ),
+        # multi-byte sniff gate: same extraction oracle with the
+        # per-residue CJK/Hangul marker after the title line
+        "html_extract_charsets": (
+            f"WITH {_DUCK_PAGES} SELECT url, "
+            "regexp_replace(text, chr(10), CASE doc_id % 4 "
+            "WHEN 0 THEN ' こんにちは' WHEN 1 THEN ' 你好世界' "
+            "WHEN 2 THEN ' 안녕하세요' ELSE ' 中文測試' END "
+            "|| chr(10)) AS text FROM pages"
         ),
         "sample_stratified": sampling.oracle_stratified_sample_sql(
             _STRAT_RATES, select="doc_id, lang"

@@ -164,6 +164,17 @@ def _udf_css_count(html, selector):
     )
 
 
+def _udf_markdown(html):
+    """Scalar ``h5_markdown(html)`` → Markdown conversion (pinned v1
+    rules, operators/markdown.py). NULL html / row-level parse errors
+    → NULL."""
+    from ..operators.markdown import _doc_markdown
+
+    return html.map(
+        lambda h: _doc_markdown(d) if (d := _doc_or_none(h)) else None
+    )
+
+
 _REGISTRY = [
     ("h5_extract_text", _udf_extract_text, "string"),
     ("h5_extract_text_v2", _udf_extract_text_v2, "string"),
@@ -175,6 +186,7 @@ _REGISTRY = [
     ("h5_fragment_json", _udf_fragment_json, "string"),
     ("h5_image_luma_mean", _udf_image_luma_mean, "double"),
     ("h5_css_count", _udf_css_count, "bigint"),
+    ("h5_markdown", _udf_markdown, "string"),
 ]
 
 

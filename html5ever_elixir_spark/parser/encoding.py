@@ -49,6 +49,83 @@ _LABELS = {
     "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
 }
 
+# WHATWG label → Python stdlib codec for the legacy multi-byte and
+# single-byte families a real crawl carries (Encoding Standard label
+# table, the subset stdlib covers). Canonical-name choices follow the
+# standard: Shift_JIS decodes as windows-31j (cp932), EUC-KR as
+# windows-949 (cp949), Big5 includes HKSCS, GBK's decoder is shared
+# with gb18030's two-byte space (Python's gb18030 accepts a superset —
+# fine for decode). Decoding uses errors="replace", mirroring browser
+# never-fail semantics; stdlib codecs differ from the WHATWG tables in
+# a handful of corner mappings (documented approximation).
+_PY_LABELS = {
+    # Japanese
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "ms_kanji": "cp932", "ms932": "cp932",
+    "windows-31j": "cp932", "csshiftjis": "cp932",
+    "euc-jp": "euc_jp", "x-euc-jp": "euc_jp",
+    "cseucpkdfmtjapanese": "euc_jp",
+    "iso-2022-jp": "iso2022_jp", "csiso2022jp": "iso2022_jp",
+    # Simplified Chinese
+    "gbk": "gb18030", "gb2312": "gb18030", "gb_2312": "gb18030",
+    "gb_2312-80": "gb18030", "chinese": "gb18030",
+    "csgb2312": "gb18030", "csiso58gb231280": "gb18030",
+    "iso-ir-58": "gb18030", "x-gbk": "gb18030", "gb18030": "gb18030",
+    # Traditional Chinese
+    "big5": "big5hkscs", "big5-hkscs": "big5hkscs",
+    "cn-big5": "big5hkscs", "x-x-big5": "big5hkscs",
+    "csbig5": "big5hkscs",
+    # Korean
+    "euc-kr": "cp949", "korean": "cp949", "windows-949": "cp949",
+    "csksc56011987": "cp949", "ks_c_5601-1987": "cp949",
+    "ks_c_5601-1989": "cp949", "ksc5601": "cp949", "ksc_5601": "cp949",
+    "iso-ir-149": "cp949",
+    # Thai
+    "windows-874": "cp874", "dos-874": "cp874", "tis-620": "cp874",
+    "iso-8859-11": "cp874", "iso8859-11": "cp874",
+    # Cyrillic
+    "koi8-r": "koi8_r", "koi8": "koi8_r", "koi": "koi8_r",
+    "cskoi8r": "koi8_r", "koi8_r": "koi8_r",
+    "koi8-u": "koi8_u", "koi8-ru": "koi8_u",
+    "x-mac-cyrillic": "mac_cyrillic", "x-mac-ukrainian": "mac_cyrillic",
+    "macintosh": "mac_roman", "csmacintosh": "mac_roman",
+    "mac": "mac_roman", "x-mac-roman": "mac_roman",
+    # windows-125x + the WHATWG iso-8859 aliases onto them
+    "windows-1250": "cp1250", "cp1250": "cp1250", "x-cp1250": "cp1250",
+    "windows-1251": "cp1251", "cp1251": "cp1251", "x-cp1251": "cp1251",
+    "windows-1253": "cp1253", "cp1253": "cp1253", "x-cp1253": "cp1253",
+    "windows-1254": "cp1254", "cp1254": "cp1254", "x-cp1254": "cp1254",
+    "iso-8859-9": "cp1254", "iso8859-9": "cp1254", "latin5": "cp1254",
+    "l5": "cp1254", "iso-ir-148": "cp1254",
+    "windows-1255": "cp1255", "cp1255": "cp1255", "x-cp1255": "cp1255",
+    "windows-1256": "cp1256", "cp1256": "cp1256", "x-cp1256": "cp1256",
+    "windows-1257": "cp1257", "cp1257": "cp1257", "x-cp1257": "cp1257",
+    "windows-1258": "cp1258", "cp1258": "cp1258", "x-cp1258": "cp1258",
+    # remaining iso-8859 parts stdlib covers directly
+    "iso-8859-2": "iso8859_2", "iso8859-2": "iso8859_2",
+    "latin2": "iso8859_2", "l2": "iso8859_2", "csisolatin2": "iso8859_2",
+    "iso-ir-101": "iso8859_2",
+    "iso-8859-3": "iso8859_3", "iso8859-3": "iso8859_3",
+    "latin3": "iso8859_3",
+    "iso-8859-4": "iso8859_4", "iso8859-4": "iso8859_4",
+    "latin4": "iso8859_4",
+    "iso-8859-5": "iso8859_5", "iso8859-5": "iso8859_5",
+    "cyrillic": "iso8859_5",
+    "iso-8859-6": "iso8859_6", "iso8859-6": "iso8859_6",
+    "arabic": "iso8859_6",
+    "iso-8859-7": "iso8859_7", "iso8859-7": "iso8859_7",
+    "greek": "iso8859_7", "greek8": "iso8859_7",
+    "iso-8859-8": "iso8859_8", "iso8859-8": "iso8859_8",
+    "hebrew": "iso8859_8", "iso-8859-8-i": "iso8859_8",
+    "iso-8859-10": "iso8859_10", "iso8859-10": "iso8859_10",
+    "latin6": "iso8859_10",
+    "iso-8859-13": "iso8859_13", "iso8859-13": "iso8859_13",
+    "iso-8859-14": "iso8859_14", "iso8859-14": "iso8859_14",
+    "iso-8859-15": "iso8859_15", "iso8859-15": "iso8859_15",
+    "latin9": "iso8859_15", "l9": "iso8859_15",
+    "iso-8859-16": "iso8859_16", "iso8859-16": "iso8859_16",
+}
+
 # simplified prescan: charset= inside a <meta ...> tag in the first
 # 1 KiB (covers both <meta charset=X> and
 # <meta http-equiv=... content="text/html; charset=X">)
@@ -69,11 +146,15 @@ def sniff_decode(data: bytes) -> tuple[str, str]:
         return data[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
     m = _META_RE.search(data[:1024])
     if m:
-        enc = _LABELS.get(m.group(1).decode("ascii").lower())
+        label = m.group(1).decode("ascii").lower()
+        enc = _LABELS.get(label)
         if enc == "utf-8":
             return data.decode("utf-8", errors="replace"), "utf-8"
         if enc == "w1252":
             return decode_windows_1252(data), "windows-1252"
+        codec = _PY_LABELS.get(label)
+        if codec is not None:
+            return data.decode(codec, errors="replace"), codec
         # unknown label: fall through to the attempt chain
     try:
         return data.decode("utf-8"), "utf-8"

@@ -82,3 +82,20 @@ def test_h5_css_count_sql_udf(spark):
     assert (rows[1].c1, rows[1].c2) == (2, 2)  # p.y last in div, p.z in body
     assert (rows[2].c1, rows[2].c2) == (0, 0)
     assert rows[3].c1 is None and rows[3].c2 is None
+
+
+def test_h5_markdown_sql_udf(spark):
+    from html5ever_elixir_spark.functions.sql_udfs import register_all
+
+    register_all(spark)
+    spark.createDataFrame(
+        [(1, "<h1>T</h1><p>see <b>x</b></p>"), (2, None)],
+        "id bigint, html string",
+    ).createOrReplaceTempView("t_udf_md")
+    got = {
+        r.id: r.md
+        for r in spark.sql(
+            "SELECT id, h5_markdown(html) AS md FROM t_udf_md"
+        ).collect()
+    }
+    assert got == {1: "# T\n\nsee **x**", 2: None}
