@@ -84,3 +84,38 @@ def test_markdown_plan_is_narrow(spark):
                                "url string, html string")
     plan = to_markdown(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_markdown_and_tables_adversarial_corpus(spark):
+    # synth_pages: dup attrs, templates, XML prologs, 10k-deep nesting,
+    # RAWTEXT, foster parenting, invalid UTF-8 — the walks must emit
+    # rows (or row-level errors), never fail the task
+    import random
+
+    from html5ever_elixir_spark.operators.tables import extract_table_cells
+    from html5ever_elixir_spark.sources.pages import synth_pages
+
+    sy = synth_pages(spark, 120).select("url", "html")
+    md = to_markdown(sy).collect()
+    assert len(md) == 120
+    assert all((r.markdown is None) == (r.error is not None) for r in md)
+    cells = extract_table_cells(sy).collect()
+    assert all(r.error is None or r.table_idx is None for r in cells)
+
+    # deterministic tag soup: unbalanced table/list/inline fragments
+    rng = random.Random(7)
+    frags = [
+        "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+        "<th>", "<ul>", "<li>", "</ul>", "<ol>", "</li>", "<b>",
+        "</b>", "<i>", "<a href='x'>", "</a>", "<p>", "</p>", "<pre>",
+        "</pre>", "<blockquote>", "<h3>", "</h3>", "<hr>", "<br>",
+        "txt ", "&amp;", "<code>", "</code>", "</blockquote>",
+    ]
+    soup = [
+        ("s%d" % i, "".join(rng.choice(frags) for _ in range(60)))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(soup, "url string, html string")
+    out = to_markdown(df).collect()
+    assert len(out) == 150 and all(r.error is None for r in out)
+    _ = extract_table_cells(df).collect()  # must not raise
