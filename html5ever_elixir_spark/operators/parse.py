@@ -45,6 +45,7 @@ _METRIC_KEYS = (
 PARSED_FIELDS = (
     "url string, error string, text string, title string, "
     "links array<string>, n_parse_errors bigint, tree_json string, "
+    "markdown string, "
     + ", ".join(f"{k} bigint" for k in _METRIC_KEYS)
 )
 
@@ -78,6 +79,7 @@ def parse_and_extract(
     url_col: str = "url",
     html_col: str = "html",
     with_tree_json: bool = False,
+    with_markdown: bool = False,
     max_nodes: int = DEFAULT_MAX_NODES,
     max_depth: int = DEFAULT_MAX_DEPTH,
     passthrough_cols: tuple[str, ...] = (),
@@ -88,6 +90,9 @@ def parse_and_extract(
 
     ``with_tree_json=False`` (default) skips the nested-tree JSON encode
     on the hot path; the column is emitted as null.
+    ``with_markdown=True`` additionally emits the pinned-v1 Markdown
+    conversion (operators/markdown.py) from the SAME parsed tree — a
+    second in-memory walk, never a second parse.
     ``passthrough_cols`` names extra input columns to carry through the
     Python stage verbatim (they ride the same Arrow batch — no rejoin;
     e.g. ``("warc_ts",)`` for event-time streaming downstream). The
@@ -101,6 +106,9 @@ def parse_and_extract(
     decode = _to_text if encoding == "strict" else _to_text_sniff
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        if with_markdown:
+            # lazy: markdown → select → parse would cycle at load time
+            from .markdown import _doc_markdown
         for batch in batches:
             urls = batch.column(0).to_pylist()
             htmls = batch.column(1).to_pylist()
@@ -112,6 +120,7 @@ def parse_and_extract(
                 "links": [],
                 "n_parse_errors": [],
                 "tree_json": [],
+                "markdown": [],
                 **{k: [] for k in _METRIC_KEYS},
             }
             for html in htmls:
@@ -127,7 +136,7 @@ def parse_and_extract(
                         else f"parse budget exceeded: {exc}"
                     )
                     for k in ("text", "title", "links", "n_parse_errors",
-                              "tree_json", *_METRIC_KEYS):
+                              "tree_json", "markdown", *_METRIC_KEYS):
                         out[k].append(None)
                     continue
                 doc = builder.doc
@@ -142,6 +151,9 @@ def parse_and_extract(
                     builder.parse_errors + builder.tokenizer.parse_errors
                 )
                 out["tree_json"].append(tree_to_json(doc) if with_tree_json else None)
+                out["markdown"].append(
+                    _doc_markdown(doc) if with_markdown else None
+                )
             rb = pa.RecordBatch.from_pydict(
                 out,
                 schema=pa.schema(
@@ -153,6 +165,7 @@ def parse_and_extract(
                         ("links", pa.list_(pa.string())),
                         ("n_parse_errors", pa.int64()),
                         ("tree_json", pa.string()),
+                        ("markdown", pa.string()),
                         *[(k, pa.int64()) for k in _METRIC_KEYS],
                     ]
                 ),

@@ -112,10 +112,14 @@ def run_extraction_pipeline(
     n_groups: int = 4,
     resume: bool = True,
     encoding: str = "strict",
+    emit_markdown: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline. Returns a summary dict.
     ``encoding="sniff"`` enables the WHATWG crawl decode chain
     (parser/encoding.py) instead of the strict-UTF-8 typed error.
+    ``emit_markdown=True`` populates the ``markdown`` output column
+    from the same single parse (a second in-memory tree walk, never a
+    second parse — the r5 double-scan lesson).
 
     Output layout:
       {output_dir}/extracted/group=G/   parquet (url, error, text, …)
@@ -147,9 +151,9 @@ def run_extraction_pipeline(
         lo, hi = g * per_group, (g + 1) * per_group
         t0 = time.time()
         slice_df = deduped.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
-        parsed = parse_and_extract(slice_df, encoding=encoding).withColumn(
-            "host", host_of(F.col("url"))
-        )
+        parsed = parse_and_extract(
+            slice_df, encoding=encoding, with_markdown=emit_markdown
+        ).withColumn("host", host_of(F.col("url")))
         out_path = os.path.join(output_dir, "extracted", f"group={g}")
         # lineage via observe(): metrics ride the write job itself (the
         # rows observed ARE the rows committed) — the r2 version

@@ -37,6 +37,9 @@ def main():
                     default="strict",
                     help="'sniff' = WHATWG BOM/meta-prescan/cp1252 "
                          "crawl decode instead of strict-UTF-8 errors")
+    ap.add_argument("--emit-markdown", action="store_true",
+                    help="populate the markdown output column (pinned "
+                         "v1 HTML→Markdown) from the same single parse")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -103,6 +106,7 @@ def main():
         n_groups=args.groups,
         resume=not args.no_resume,
         encoding=args.encoding,
+        emit_markdown=args.emit_markdown,
     )
     if warc_obs is not None and summary["groups_run"]:
         # safe to fetch only when an action actually ran the lineage

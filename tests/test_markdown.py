@@ -119,3 +119,18 @@ def test_markdown_and_tables_adversarial_corpus(spark):
     out = to_markdown(df).collect()
     assert len(out) == 150 and all(r.error is None for r in out)
     _ = extract_table_cells(df).collect()  # must not raise
+
+
+def test_parse_and_extract_with_markdown_single_parse(spark):
+    from html5ever_elixir_spark.operators.parse import parse_and_extract
+
+    df = spark.createDataFrame(
+        [("u", "<h1>T</h1><p>body <b>x</b></p>")],
+        "url string, html string",
+    )
+    [off] = parse_and_extract(df).collect()
+    assert off.markdown is None  # hot path unchanged
+    [on] = parse_and_extract(df, with_markdown=True).collect()
+    [md] = to_markdown(df).collect()
+    assert on.markdown == md.markdown == "# T\n\nbody **x**"
+    assert on.text == off.text  # extraction untouched
