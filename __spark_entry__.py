@@ -1520,12 +1520,17 @@ def _q_html_markdown(spark, sf_dir):
     )
 
 
-def _q_html_table_cells(spark, sf_dir):
+def _q_html_table_grid(spark, sf_dir):
+    # one gate, both numbering schemes: col_idx = plain child index
+    # (extract_table_cells semantics), grid_col = §4.9.12 slot after
+    # colspan/rowspan occupancy — the span-rich corpus makes them
+    # diverge (row 4's only cell: col_idx 1, grid_col 2)
     pages = _docs(spark, sf_dir).selectExpr(
-        "doc_id", tables.docs_to_table_html_expr() + " AS html"
+        "doc_id", tables.docs_to_grid_html_expr() + " AS html"
     )
-    return tables.extract_table_cells(pages, id_col="doc_id").select(
-        "doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell_text"
+    return tables.extract_table_grid(pages, id_col="doc_id").select(
+        "doc_id", "table_idx", "grid_row", "col_idx", "grid_col",
+        "rowspan", "colspan", "is_header", "cell_text"
     )
 
 
@@ -1539,8 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_paragraphs — new first-occurrence paragraph dedup;
     # url_robots_filter — new RFC 9309 politeness gate;
     # html_page_metadata — new head-metadata extraction gate;
-    # html_css_select — new CSS selector engine; html_table_cells — new
-    # table-cell extraction; html_markdown — new HTML→Markdown
+    # html_css_select — new CSS selector engine; html_table_grid — new
+    # table-cell extraction (child-index AND colspan/rowspan grid slots
+    # in one gate); html_markdown — new HTML→Markdown
     # conversion; html_extract_charsets — new multi-byte sniff gate;
     # media_webp_features — new VP8L decode gate;
     # ann_ivf_cells/ann_ivf_topk on the sample-trained build;
@@ -1597,7 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
-        "html_table_cells": _q_html_table_cells,
+        "html_table_grid": _q_html_table_grid,
         "html_markdown": _q_html_markdown,
         "media_webp_features": _q_media_webp_features,
         "ann_ivf_cells": _q_ann_ivf_cells,
@@ -1670,7 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         # one row per <th>/<td>: both engines derive cells from the same
         # token rule; Spark round-trips through real HTML + the §13.2
         # table parser, DuckDB predicts the rows directly
-        "html_table_cells": tables.oracle_table_cells_sql(),
+        "html_table_grid": tables.oracle_table_grid_sql(),
         # markdown predicted byte-for-byte from the shared token rule
         # (heading/link/emphasis/list/quote/pre/table/hr conversion
         # round-tripped through real HTML on the Spark side)

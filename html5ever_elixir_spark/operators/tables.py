@@ -45,11 +45,30 @@ from .select import _node_text, _parse_or_error
 
 __all__ = [
     "extract_table_cells",
+    "extract_table_grid",
     "docs_to_table_html_expr",
+    "docs_to_grid_html_expr",
     "oracle_table_cells_sql",
+    "oracle_table_grid_sql",
 ]
 
 _CELL_TAGS = ("td", "th")
+
+
+def _table_trs(table):
+    """``<tr>`` elements of THIS table in document order: DFS the
+    subtree (thead/tbody/tfoot transparent) without descending into
+    nested tables (their trs belong to their own table_idx)."""
+    trs = []
+    stack = list(reversed(table.children))
+    while stack:
+        n = stack.pop()
+        if n.type != ELEMENT or n.name == "table":
+            continue
+        if n.name == "tr":
+            trs.append(n)
+        stack.extend(reversed(n.children))
+    return trs
 
 
 def _doc_cells(doc):
@@ -59,17 +78,7 @@ def _doc_cells(doc):
     for t_idx, table in enumerate(
         (e for e in iter_elements(doc) if e.name == "table"), 1
     ):
-        # trs of THIS table: DFS the subtree, but do not descend into
-        # nested tables (their trs belong to their own table_idx)
-        trs = []
-        stack = list(reversed(table.children))
-        while stack:
-            n = stack.pop()
-            if n.type != ELEMENT or n.name == "table":
-                continue
-            if n.name == "tr":
-                trs.append(n)
-            stack.extend(reversed(n.children))
+        trs = _table_trs(table)
         for r_idx, tr in enumerate(trs, 1):
             c_idx = 0
             for cell in tr.children:
@@ -155,6 +164,155 @@ def extract_table_cells(
         fn,
         f"id {out_type}, error string, table_idx bigint, row_idx bigint, "
         "col_idx bigint, is_header bigint, cell_text string",
+    ).withColumnRenamed("id", id_col)
+
+
+def _span_attr(cell, name: str, cap: int) -> int:
+    """colspan/rowspan per the HTML table model: leading-digits parse,
+    invalid/missing → 1, clamped to [1, cap]. ``rowspan=0`` ("rest of
+    row group") is simplified to 1 — documented v1 deviation; we don't
+    track row-group boundaries."""
+    for n, v in cell.attrs or ():
+        if n == name:
+            digits = ""
+            for ch in v.strip():
+                if ch.isdigit():
+                    digits += ch
+                else:
+                    break
+            if digits:
+                return min(max(int(digits), 1), cap)
+            return 1
+    return 1
+
+
+def _doc_grid_cells(doc):
+    """(table_idx, grid_row, col_idx, grid_col, rowspan, colspan,
+    is_header, text) per cell with §4.9.12-style slot assignment: each
+    cell takes the first free column of its row, columns stay occupied
+    for the remaining rows of an earlier cell's rowspan. ``col_idx``
+    is the plain child-index (``_doc_cells`` semantics) so one gate
+    covers both numbering schemes."""
+    out = []
+    for t_idx, table in enumerate(
+        (e for e in iter_elements(doc) if e.name == "table"), 1
+    ):
+        pending: dict = {}  # grid_col -> rows still occupied BELOW
+        for r_idx, tr in enumerate(_table_trs(table), 1):
+            col = 1
+            c_idx = 0
+            for cell in tr.children:
+                if cell.type != ELEMENT or cell.name not in _CELL_TAGS:
+                    continue
+                c_idx += 1
+                while pending.get(col, 0) > 0:
+                    col += 1
+                cs = _span_attr(cell, "colspan", 1000)
+                rs = _span_attr(cell, "rowspan", 65534)
+                out.append(
+                    (
+                        t_idx,
+                        r_idx,
+                        c_idx,
+                        col,
+                        rs,
+                        cs,
+                        1 if cell.name == "th" else 0,
+                        _node_text(cell),
+                    )
+                )
+                for c in range(col, col + cs):
+                    if rs > 1:
+                        pending[c] = max(pending.get(c, 0), rs)
+                col += cs
+            for c in list(pending):
+                pending[c] -= 1
+                if pending[c] <= 0:
+                    del pending[c]
+    return out
+
+
+def extract_table_grid(
+    df: DataFrame,
+    id_col: str = "url",
+    html_col: str = "html",
+    max_nodes: int = DEFAULT_MAX_NODES,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> DataFrame:
+    """pages → one row per table cell with GRID semantics:
+    ``(<id_col>, error, table_idx, grid_row, col_idx, grid_col,
+    rowspan, colspan, is_header, cell_text)`` — colspan/rowspan place
+    each cell in its true (row, col) slot; ``col_idx`` carries the
+    plain child-index (:func:`extract_table_cells` semantics) so one
+    output covers both numbering schemes. Same plan shape: one narrow
+    mapInArrow over a 2-column pruned scan, zero shuffle."""
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    schema = pa.schema(
+        [
+            ("id", pa.string() if id_field == "string" else pa.int64()),
+            ("error", pa.string()),
+            ("table_idx", pa.int64()),
+            ("grid_row", pa.int64()),
+            ("col_idx", pa.int64()),
+            ("grid_col", pa.int64()),
+            ("rowspan", pa.int64()),
+            ("colspan", pa.int64()),
+            ("is_header", pa.int64()),
+            ("cell_text", pa.string()),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            rows = []
+            for did, html in zip(ids, htmls):
+                doc, err = _parse_or_error(did, html, max_nodes, max_depth)
+                if doc is None:
+                    rows.append(
+                        {
+                            "id": did,
+                            "error": err,
+                            "table_idx": None,
+                            "grid_row": None,
+                            "col_idx": None,
+                            "grid_col": None,
+                            "rowspan": None,
+                            "colspan": None,
+                            "is_header": None,
+                            "cell_text": None,
+                        }
+                    )
+                    continue
+                for t, r, ci, c, rs, cs, h, txt in _doc_grid_cells(doc):
+                    rows.append(
+                        {
+                            "id": did,
+                            "error": None,
+                            "table_idx": t,
+                            "grid_row": r,
+                            "col_idx": ci,
+                            "grid_col": c,
+                            "rowspan": rs,
+                            "colspan": cs,
+                            "is_header": h,
+                            "cell_text": txt,
+                        }
+                    )
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    pruned = df.select(
+        F.col(id_col).alias("id"), F.col(html_col).alias("html")
+    )
+    out_type = "string" if id_field == "string" else "bigint"
+    return pruned.mapInArrow(
+        fn,
+        f"id {out_type}, error string, table_idx bigint, grid_row bigint, "
+        "col_idx bigint, grid_col bigint, rowspan bigint, "
+        "colspan bigint, is_header bigint, cell_text string",
     ).withColumnRenamed("id", id_col)
 
 
@@ -245,3 +403,57 @@ def oracle_table_cells_sql(table: str = "documents") -> str:
             f"FROM {table} WHERE doc_id % 4 = 0"
         )
     return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# grid-semantics corpus (driver gate): colspan merges two columns on
+# even docs; a rowspan=2 cell occupies col 1 so the last row's only
+# cell lands at grid_col 2 — the slot algorithm is what's under test.
+
+
+def docs_to_grid_html_expr() -> str:
+    """Spark SQL expression building each document's grid-table HTML:
+    header row, a colspan=2 row (even doc_id) or a plain 2-cell row,
+    a rowspan=2 row, and a 1-cell row whose cell must shift to col 2."""
+    c = lambda i: _cell_expr(i, "spark")  # noqa: E731
+    even = (
+        "concat('<tr><td colspan=2>', {a}, '</td></tr>')"
+    ).format(a=c(3))
+    odd = (
+        "concat('<tr><td>', {a}, '</td><td>', {b}, '</td></tr>')"
+    ).format(a=c(3), b=c(4))
+    return (
+        "concat('<table><tr><th>', {c1}, '</th><th>', {c2}, "
+        "'</th></tr>', CASE WHEN doc_id % 2 = 0 THEN {even} "
+        "ELSE {odd} END, '<tr><td rowspan=2>', {c5}, '</td><td>', "
+        "{c6}, '</td></tr><tr><td>', {c7}, '</td></tr></table>')"
+    ).format(c1=c(1), c2=c(2), even=even, odd=odd, c5=c(5), c6=c(6),
+             c7=c(7))
+
+
+def oracle_table_grid_sql(table: str = "documents") -> str:
+    """DuckDB mirror predicting :func:`extract_table_grid` over
+    :func:`docs_to_grid_html_expr` pages, slot for slot."""
+    c = lambda i: _cell_expr(i, "duckdb")  # noqa: E731
+    first = (
+        f"SELECT doc_id, 1::BIGINT AS table_idx, 1::BIGINT AS grid_row, "
+        f"1::BIGINT AS col_idx, 1::BIGINT AS grid_col, "
+        f"1::BIGINT AS rowspan, 1::BIGINT AS colspan, "
+        f"1::BIGINT AS is_header, {c(1)} AS cell_text FROM {table}"
+    )
+    rows = [
+        first,
+        f"SELECT doc_id, 1, 1, 2, 2, 1, 1, 1, {c(2)} FROM {table}",
+        f"SELECT doc_id, 1, 2, 1, 1, 1, 2, 0, {c(3)} FROM {table} "
+        "WHERE doc_id % 2 = 0",
+        f"SELECT doc_id, 1, 2, 1, 1, 1, 1, 0, {c(3)} FROM {table} "
+        "WHERE doc_id % 2 <> 0",
+        f"SELECT doc_id, 1, 2, 2, 2, 1, 1, 0, {c(4)} FROM {table} "
+        "WHERE doc_id % 2 <> 0",
+        f"SELECT doc_id, 1, 3, 1, 1, 2, 1, 0, {c(5)} FROM {table}",
+        f"SELECT doc_id, 1, 3, 2, 2, 1, 1, 0, {c(6)} FROM {table}",
+        # the slot algorithm's money row: child index 1, grid col 2
+        # (col 1 still occupied by the rowspan=2 cell above)
+        f"SELECT doc_id, 1, 4, 1, 2, 1, 1, 0, {c(7)} FROM {table}",
+    ]
+    return " UNION ALL ".join(rows)

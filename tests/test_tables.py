@@ -78,3 +78,79 @@ def test_table_extract_plan_is_narrow(spark):
                                "url string, html string")
     plan = extract_table_cells(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_table_grid_spans_hand_built(spark):
+    from html5ever_elixir_spark.operators.tables import extract_table_grid
+
+    html = (
+        "<table>"
+        "<tr><th>A</th><th colspan=2>B</th></tr>"
+        "<tr><td rowspan=3>L</td><td>x</td><td>y</td></tr>"
+        "<tr><td colspan='2'>wide</td></tr>"
+        "<tr><td>p</td><td rowspan=0>z</td></tr>"
+        "</table>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = sorted(
+        (r.grid_row, r.grid_col, r.rowspan, r.colspan, r.is_header,
+         r.cell_text)
+        for r in extract_table_grid(df).collect()
+    )
+    assert rows == [
+        (1, 1, 1, 1, 1, "A"),
+        (1, 2, 1, 2, 1, "B"),
+        (2, 1, 3, 1, 0, "L"),   # occupies col 1 of rows 2-4
+        (2, 2, 1, 1, 0, "x"),
+        (2, 3, 1, 1, 0, "y"),
+        (3, 2, 1, 2, 0, "wide"),
+        (4, 2, 1, 1, 0, "p"),
+        (4, 3, 1, 1, 0, "z"),   # rowspan=0 simplified to 1
+    ]
+
+
+def test_table_grid_invalid_span_attrs(spark):
+    from html5ever_elixir_spark.operators.tables import extract_table_grid
+
+    html = (
+        "<table><tr>"
+        "<td colspan='abc'>a</td><td colspan='3x'>b</td>"
+        "<td rowspan='-2'>c</td><td colspan='9999'>d</td>"
+        "</tr></table>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = sorted(
+        (r.grid_col, r.rowspan, r.colspan)
+        for r in extract_table_grid(df).collect()
+    )
+    # 'abc'→1, '3x'→3 (leading digits), '-2'→1, 9999→capped 1000
+    assert rows == [(1, 1, 1), (2, 1, 3), (5, 1, 1), (6, 1, 1000)]
+
+
+def test_table_grid_gate_matches_duckdb(spark):
+    import duckdb as _duck
+
+    from html5ever_elixir_spark.operators.tables import (
+        docs_to_grid_html_expr,
+        extract_table_grid,
+        oracle_table_grid_sql,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.selectExpr("doc_id", docs_to_grid_html_expr() + " AS html")
+    got = sorted(
+        (r.doc_id, r.grid_row, r.col_idx, r.grid_col, r.rowspan,
+         r.colspan, r.is_header, r.cell_text)
+        for r in extract_table_grid(pages, id_col="doc_id").collect()
+    )
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    exp = sorted(
+        (r[0], r[2], r[3], r[4], r[5], r[6], r[7], r[8])
+        for r in con.execute(oracle_table_grid_sql()).fetchall()
+    )
+    assert got == exp
