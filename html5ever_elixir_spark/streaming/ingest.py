@@ -40,11 +40,13 @@ def stream_extract(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    emit_markdown: bool = False,
 ):
     """Start (and with available_now=True, drain) the extraction stream.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery. ``emit_markdown=True`` populates the
+    markdown column from the same single parse (batch-job parity)."""
     pages = read_pages_stream(spark, input_dir)
-    parsed = parse_and_extract(pages)
+    parsed = parse_and_extract(pages, with_markdown=emit_markdown)
     writer = (
         parsed.writeStream.format("parquet")
         .option("path", output_dir)

@@ -369,3 +369,29 @@ def test_stream_warc_extract_ingest_and_resume(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == 12
     assert again.select("url").distinct().count() == 12
+
+
+def test_stream_extract_emit_markdown_parity(spark, tmp_path):
+    # streaming --emit-markdown parity: the drained stream's markdown
+    # column equals the batch to_markdown over the same landed pages
+    from html5ever_elixir_spark.operators.markdown import to_markdown
+    from html5ever_elixir_spark.streaming.ingest import stream_extract
+
+    inp = str(tmp_path / "landing_md")
+    out = str(tmp_path / "out_md")
+    ck = str(tmp_path / "ck_md")
+    _land_pages(spark, inp, 30)
+
+    q = stream_extract(spark, inp, out, ck, emit_markdown=True)
+    q.awaitTermination(120)
+    got = {
+        r.url: r.markdown
+        for r in spark.read.parquet(out).select("url", "markdown").collect()
+    }
+    exp = {
+        r.url: r.markdown
+        for r in to_markdown(
+            spark.read.parquet(inp).select("url", "html")
+        ).collect()
+    }
+    assert len(got) == 30 and got == exp
