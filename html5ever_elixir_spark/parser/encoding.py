@@ -17,8 +17,6 @@ Python's ``cp1252`` codec raises on those, hence the explicit table.
 
 from __future__ import annotations
 
-import re
-
 # WHATWG windows-1252: 0x80-0x9F remap (index = byte - 0x80); the five
 # C1 pass-throughs are 0x81, 0x8D, 0x8F, 0x90, 0x9D
 _C1 = [
@@ -124,15 +122,207 @@ _PY_LABELS = {
     "iso-8859-15": "iso8859_15", "iso8859-15": "iso8859_15",
     "latin9": "iso8859_15", "l9": "iso8859_15",
     "iso-8859-16": "iso8859_16", "iso8859-16": "iso8859_16",
+    # DOS Cyrillic
+    "ibm866": "cp866", "866": "cp866", "cp866": "cp866",
+    "csibm866": "cp866",
 }
 
-# simplified prescan: charset= inside a <meta ...> tag in the first
-# 1 KiB (covers both <meta charset=X> and
-# <meta http-equiv=... content="text/html; charset=X">)
-_META_RE = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:]+)",
-    re.IGNORECASE | re.DOTALL,
-)
+# labels the prescan treats as *recognized*: the spec's "get an
+# encoding" fails on unknown labels and the meta loop CONTINUES
+# scanning (a later valid meta still wins) — returning an unknown
+# label here would wrongly end the prescan.
+_KNOWN_LABELS = frozenset(_LABELS) | frozenset(_PY_LABELS)
+
+# §13.2.3.2 "prescan a byte stream to determine its encoding" — the
+# real spec algorithm over the first 1 KiB (an earlier regex version
+# false-matched metas inside comments and <metadata> tags; this one is
+# differentially gated against html5lib-1.1's EncodingParser).
+
+_B_WS = frozenset(b"\t\n\x0c\r ")
+_B_WS_SLASH = frozenset(b"\t\n\x0c\r /")
+
+
+class _PrescanEOF(Exception):
+    """Ran off the sniff window mid-construct: abort the prescan."""
+
+
+def _get_attribute(data: bytes, pos: int):
+    """Spec "get an attribute": returns (name, value, newpos) or None
+    when the tag ends ('>'), raising _PrescanEOF at end of data.
+    Names/values come back ASCII-lowercased like the spec demands."""
+    n = len(data)
+    while pos < n and data[pos] in _B_WS_SLASH:
+        pos += 1
+    if pos >= n:
+        raise _PrescanEOF
+    if data[pos] == 0x3E:  # '>'
+        return None
+    name = bytearray()
+    value = bytearray()
+    while True:
+        if pos >= n:
+            raise _PrescanEOF
+        b = data[pos]
+        if b == 0x3D and name:  # '='
+            pos += 1
+            break
+        if b in _B_WS:
+            # spaces step: skip ws, then require '='
+            while pos < n and data[pos] in _B_WS:
+                pos += 1
+            if pos >= n:
+                raise _PrescanEOF
+            if data[pos] != 0x3D:
+                return bytes(name), b"", pos
+            pos += 1
+            break
+        if b in (0x2F, 0x3E):  # '/' '>'
+            return bytes(name), b"", pos
+        name.append(b + 0x20 if 0x41 <= b <= 0x5A else b)
+        pos += 1
+    while pos < n and data[pos] in _B_WS:
+        pos += 1
+    if pos >= n:
+        raise _PrescanEOF
+    b = data[pos]
+    if b in (0x22, 0x27):  # quoted value
+        quote = b
+        pos += 1
+        while True:
+            if pos >= n:
+                raise _PrescanEOF
+            b = data[pos]
+            pos += 1
+            if b == quote:
+                return bytes(name), bytes(value), pos
+            value.append(b + 0x20 if 0x41 <= b <= 0x5A else b)
+    if b == 0x3E:
+        return bytes(name), b"", pos
+    while pos < n:
+        b = data[pos]
+        if b in _B_WS or b == 0x3E:
+            return bytes(name), bytes(value), pos
+        value.append(b + 0x20 if 0x41 <= b <= 0x5A else b)
+        pos += 1
+    raise _PrescanEOF
+
+
+def _charset_from_content(s: bytes):
+    """Spec "extract a character encoding from a meta element" over an
+    already-lowercased content attribute value."""
+    pos = 0
+    n = len(s)
+    while True:
+        idx = s.find(b"charset", pos)
+        if idx == -1:
+            return None
+        pos = idx + 7
+        while pos < n and s[pos] in _B_WS:
+            pos += 1
+        if pos >= n or s[pos] != 0x3D:  # '='
+            continue
+        pos += 1
+        while pos < n and s[pos] in _B_WS:
+            pos += 1
+        if pos >= n:
+            return None
+        b = s[pos]
+        if b in (0x22, 0x27):
+            end = s.find(bytes((b,)), pos + 1)
+            return s[pos + 1:end] if end != -1 else None
+        end = pos
+        while end < n and s[end] != 0x3B and s[end] not in _B_WS:  # ';'
+            end += 1
+        return s[pos:end] or None
+
+
+def _prescan_meta(data: bytes):
+    """Declared-charset label per the §13.2.3.2 prescan, or None."""
+    pos = 0
+    n = len(data)
+    try:
+        while pos < n:
+            if data[pos] != 0x3C:  # '<'
+                pos += 1
+                continue
+            if data[pos + 1:pos + 4] == b"!--":
+                end = data.find(b"-->", pos + 2)
+                if end == -1:
+                    return None
+                pos = end + 3
+                continue
+            if (
+                data[pos + 1:pos + 5].lower() == b"meta"
+                and pos + 5 < n
+                and data[pos + 5] in _B_WS_SLASH
+            ):
+                pos += 6
+                seen = set()
+                got_pragma = False
+                need_pragma = None
+                charset = None
+                while True:
+                    att = _get_attribute(data, pos)
+                    if att is None:
+                        break
+                    name, value, pos = att
+                    if name in seen:
+                        continue
+                    seen.add(name)
+                    if name == b"http-equiv":
+                        if value == b"content-type":
+                            got_pragma = True
+                    elif name == b"content":
+                        if charset is None:
+                            cs = _charset_from_content(value)
+                            if cs is not None:
+                                charset = cs
+                                need_pragma = True
+                    elif name == b"charset":
+                        charset = value
+                        need_pragma = False
+                if need_pragma is None or (need_pragma and not got_pragma):
+                    continue
+                if not charset:
+                    continue
+                label = charset.strip(b"\t\n\x0c\r ")
+                try:
+                    text = label.decode("ascii").lower()
+                except UnicodeDecodeError:
+                    continue
+                if text == "x-user-defined":
+                    return b"windows-1252"
+                if text not in _KNOWN_LABELS:
+                    continue  # spec: unknown label → keep scanning
+                if text in ("utf-16", "utf-16le", "utf-16be"):
+                    return b"utf-8"
+                return label
+            nxt = data[pos + 1:pos + 2]
+            if nxt.isalpha() or (
+                nxt == b"/" and data[pos + 2:pos + 3].isalpha()
+            ):
+                # a tag: skip the name, then drain attributes so '>'
+                # inside attribute values can't end the tag early
+                pos += 2
+                while pos < n and data[pos] not in _B_WS and data[pos] != 0x3E:
+                    pos += 1
+                while True:
+                    att = _get_attribute(data, pos)
+                    if att is None:
+                        break
+                    _, _, pos = att
+                pos += 1  # past '>'
+                continue
+            if nxt in (b"!", b"/", b"?"):
+                end = data.find(b">", pos + 1)
+                if end == -1:
+                    return None
+                pos = end + 1
+                continue
+            pos += 1
+    except _PrescanEOF:
+        return None
+    return None
 
 
 def sniff_decode(data: bytes) -> tuple[str, str]:
@@ -144,9 +334,9 @@ def sniff_decode(data: bytes) -> tuple[str, str]:
         return data[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
     if data[:2] == b"\xfe\xff":
         return data[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
-    m = _META_RE.search(data[:1024])
-    if m:
-        label = m.group(1).decode("ascii").lower()
+    label_b = _prescan_meta(data[:1024])
+    if label_b is not None:
+        label = label_b.decode("ascii", errors="replace")
         enc = _LABELS.get(label)
         if enc == "utf-8":
             return data.decode("utf-8", errors="replace"), "utf-8"
