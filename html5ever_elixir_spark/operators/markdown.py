@@ -16,9 +16,10 @@ so changes must update the oracle template in lockstep):
 * blocks: ``h1..h6`` → ``#``·n, ``p`` → paragraph, ``ul``/``ol`` →
   ``- `` / ``1. `` items (nested lists supported via a context stack),
   ``blockquote`` → ``> `` line prefixes, ``pre`` → fenced code block
-  (raw text, no whitespace collapse), ``hr`` → ``---``, ``table`` →
-  pipe table with a ``| --- |`` separator after an all-``th`` first
-  row, ``br`` → newline.
+  (raw text — neither whitespace collapse nor the final blank-line
+  normalization touch it), ``hr`` → ``---``, ``table`` → pipe table
+  with a ``| --- |`` separator after an all-``th`` first row (``|`` in
+  cell text escapes to ``\\|``), ``br`` → newline.
 * inline: ``a`` → ``[text](href)``, ``strong``/``b`` → ``**text**``,
   ``em``/``i`` → ``*text*``, ``code`` → `` `text` ``.
 * all other elements are transparent (children flow through); tags in
@@ -177,11 +178,16 @@ def _doc_markdown(doc) -> str:
                     )
             elif name == "pre":
                 pre_depth -= 1
-                out.append("\n```\n" + inner.strip("\n") + "\n```\n\n")
+                # \x00 cannot survive tokenization (§13.2.5 replaces
+                # NUL), so it is a safe sentinel shielding the code
+                # block's own newlines from the final junction collapse
+                body = inner.strip("\n").replace("\n", "\x00")
+                out.append("\n```\n" + body + "\n```\n\n")
             elif name in ("td", "th"):
                 if table_stack and table_stack[-1]["cells"] is not None:
+                    # escape pipes so cell text can't break the row
                     table_stack[-1]["cells"].append(
-                        _WS_RUN.sub(" ", inner).strip()
+                        _WS_RUN.sub(" ", inner).strip().replace("|", "\\|")
                     )
                     table_stack[-1]["th"].append(name == "th")
                 else:
@@ -203,7 +209,7 @@ def _doc_markdown(doc) -> str:
                 bufs[-1].append("\n" + "\n".join(ctx["rows"]) + "\n\n")
 
     md = "".join(bufs[0])
-    return _NL_RUN.sub("\n\n", md).strip()
+    return _NL_RUN.sub("\n\n", md).strip().replace("\x00", "\n")
 
 
 def to_markdown(

@@ -134,3 +134,14 @@ def test_parse_and_extract_with_markdown_single_parse(spark):
     [md] = to_markdown(df).collect()
     assert on.markdown == md.markdown == "# T\n\nbody **x**"
     assert on.text == off.text  # extraction untouched
+
+
+def test_markdown_pre_newlines_and_cell_pipes(spark):
+    html = (
+        "<pre>a\n\n\n\nb</pre>"
+        "<table><tr><td>x|y</td><td>z</td></tr></table>"
+    )
+    assert _md(spark, html) == (
+        "```\na\n\n\n\nb\n```\n\n"
+        "| x\\|y | z |"
+    )
