@@ -99,7 +99,7 @@ _FRAGS = [
 def test_prescan_differential_vs_html5lib():
     rng = random.Random(1234)
     mismatches = []
-    for trial in range(4000):
+    for trial in range(12000):
         soup = "".join(
             rng.choice(_FRAGS) for _ in range(rng.randint(1, 12))
         ).encode("utf-8")[:1000]
@@ -119,7 +119,7 @@ def test_prescan_differential_byte_noise():
     # stay in lockstep through garbage (never crash, same verdict)
     rng = random.Random(99)
     mismatches = 0
-    for trial in range(1500):
+    for trial in range(4000):
         parts = []
         for _ in range(rng.randint(1, 6)):
             if rng.random() < 0.5:
