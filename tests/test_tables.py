@@ -154,3 +154,32 @@ def test_table_grid_gate_matches_duckdb(spark):
         for r in con.execute(oracle_table_grid_sql()).fetchall()
     )
     assert got == exp
+
+
+def test_table_cells_implied_structures():
+    # parser-level implied structure feeding the walk (no Spark needed)
+    from html5ever_elixir_spark.operators.tables import _doc_cells
+    from html5ever_elixir_spark.parser.api import parse_document
+
+    cases = [
+        # bare tds: parser implies tbody+tr; implied cell closes
+        ("<table><td>a<td>b</table>",
+         [(1, 1, 1, 0, "a"), (1, 1, 2, 0, "b")]),
+        # caption/colgroup are not cells and not tr containers
+        ("<table><caption>cap</caption><tr><td>x</td></tr></table>",
+         [(1, 1, 1, 0, "x")]),
+        # thead/tfoot/tbody rows come back in DOCUMENT order (tfoot is
+        # row 2 even though it renders last) — documented semantics
+        ("<table><thead><tr><th>h</th></tr>"
+         "<tfoot><tr><td>f</td></tr></tfoot>"
+         "<tbody><tr><td>b</td></tr></table>",
+         [(1, 1, 1, 1, "h"), (1, 2, 1, 0, "f"), (1, 3, 1, 0, "b")]),
+        # a stray td outside any table is dropped by the tree builder
+        ("<td>stray</td><table><tr><td>x</td></tr></table>",
+         [(1, 1, 1, 0, "x")]),
+        # implied cell close: <th>h<td>d → two cells in one row
+        ("<table><tr><th>h<td>d</tr></table>",
+         [(1, 1, 1, 1, "h"), (1, 1, 2, 0, "d")]),
+    ]
+    for html, exp in cases:
+        assert _doc_cells(parse_document(html).doc) == exp, html
