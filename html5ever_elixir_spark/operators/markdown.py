@@ -134,13 +134,26 @@ def _doc_markdown(doc) -> str:
             inner = "".join(bufs.pop())
             out = bufs[-1]
             if name == "a":
-                out.append(f"[{inner.strip()}]({_attr(node, 'href')})")
+                # a link/emphasis whose content crosses a block
+                # boundary (misnested source HTML puts a <p> inside
+                # the element) cannot be valid markdown — emit the
+                # content unwrapped instead of corrupting the syntax
+                if "\n\n" in inner:
+                    out.append(inner)
+                else:
+                    out.append(f"[{inner.strip()}]({_attr(node, 'href')})")
             elif name in ("strong", "b"):
-                out.append(f"**{inner.strip()}**")
+                out.append(inner if "\n\n" in inner else f"**{inner.strip()}**")
             elif name in ("em", "i"):
-                out.append(f"*{inner.strip()}*")
+                out.append(inner if "\n\n" in inner else f"*{inner.strip()}*")
             elif name == "code":
-                out.append(inner if pre_depth else f"`{inner.strip()}`")
+                if pre_depth:
+                    out.append(inner)
+                else:
+                    # code spans cannot contain ANY newline
+                    out.append(
+                        inner if "\n" in inner else f"`{inner.strip()}`"
+                    )
             elif name in _HEADINGS:
                 out.append(
                     "\n" + "#" * _HEADINGS[name] + " " + inner.strip()

@@ -145,3 +145,12 @@ def test_markdown_pre_newlines_and_cell_pipes(spark):
         "```\na\n\n\n\nb\n```\n\n"
         "| x\\|y | z |"
     )
+
+
+def test_markdown_inline_block_boundary_guard(spark):
+    # misnested HTML puts a <p> inside <b>: emphasis must not wrap
+    # across a paragraph boundary (invalid markdown) — content flows
+    # through unwrapped instead
+    assert _md(spark, "<b>a<p>b</p>c</b>") == "a\nb\n\nc"
+    # single soft breaks inside emphasis stay wrapped (valid)
+    assert _md(spark, "<p>x<b>y</p><p>z</b>w</p>") == "x**y**\n\n**z**w"
