@@ -238,12 +238,22 @@ def _charset_from_content(s: bytes):
 
 def _prescan_meta(data: bytes):
     """Declared-charset label per the §13.2.3.2 prescan, or None."""
+    if b"<meta" not in data.lower():
+        # no '<meta' byte sequence anywhere → every path through the
+        # scan returns None; skip the Python walk (one C-speed check
+        # vs ~120 µs of per-tag parsing on meta-less tag-dense heads)
+        return None
     pos = 0
     n = len(data)
     try:
         while pos < n:
             if data[pos] != 0x3C:  # '<'
-                pos += 1
+                # jump to the next tag open at C speed — text runs are
+                # most of a page and a per-byte Python loop here costs
+                # ~parse-level overhead per sniffed document
+                pos = data.find(b"<", pos + 1)
+                if pos == -1:
+                    return None
                 continue
             if data[pos + 1:pos + 4] == b"!--":
                 end = data.find(b"-->", pos + 2)
@@ -301,8 +311,20 @@ def _prescan_meta(data: bytes):
             if nxt.isalpha() or (
                 nxt == b"/" and data[pos + 2:pos + 3].isalpha()
             ):
-                # a tag: skip the name, then drain attributes so '>'
-                # inside attribute values can't end the tag early
+                # a tag: '>' inside a QUOTED attribute value must not
+                # end it early — but when no quote occurs before the
+                # next '>', the tag trivially ends there (C-speed fast
+                # path; tag-dense heads would otherwise pay ~1 µs of
+                # Python attribute parsing per tag)
+                gt = data.find(b">", pos + 1)
+                if gt == -1:
+                    return None
+                dq = data.find(b'"', pos + 1, gt)
+                sq = data.find(b"'", pos + 1, gt)
+                if dq == -1 and sq == -1:
+                    pos = gt + 1
+                    continue
+                # slow path: skip the name, then drain attributes
                 pos += 2
                 while pos < n and data[pos] not in _B_WS and data[pos] != 0x3E:
                     pos += 1
