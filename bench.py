@@ -252,6 +252,45 @@ def run_suite(spark, sf_dir: str):
         .repartition(par),
         id_col="doc_id",
     )))
+    # round-7: crawl-mode charset path (re-encode to real
+    # shift_jis/gbk/euc-kr/big5 bytes → §13.2.3.2 prescan → codec
+    # decode → parse+extract) — the encoding="sniff" hot path. Same
+    # shape as the html_extract_charsets driver gate, repartitioned
+    # for the bench (the gate runs over the oracle's single split).
+    import pyarrow as _pa
+
+    import __spark_entry__ as _entry
+    from html5ever_elixir_spark.sources.pages import pages_from_documents
+
+    def _sniff_encode(batches):
+        for b in batches:
+            urls = b.column(0).to_pylist()
+            dids = b.column(1).to_pylist()
+            htmls = b.column(2).to_pylist()
+            enc = []
+            for did, h in zip(dids, htmls):
+                label, codec, marker = _entry._CHARSET_MIX[did % 4]
+                enc.append(
+                    h.replace("<head>", f"<head><meta charset={label}>")
+                    .replace("</h1>", marker + "</h1>")
+                    .encode(codec)
+                )
+            yield _pa.RecordBatch.from_pydict(
+                {"url": urls, "html": enc},
+                schema=_pa.schema(
+                    [("url", _pa.string()), ("html", _pa.binary())]
+                ),
+            )
+
+    sniff_pages = (
+        pages_from_documents(spark, sf_dir)
+        .select("url", "doc_id", "html")
+        .repartition(par)
+        .mapInArrow(_sniff_encode, "url string, html binary")
+    )
+    timed("charset_sniff_extract", lambda: _noop(
+        parse_and_extract(sniff_pages, encoding="sniff").select("url", "text")
+    ))
     return n_docs, timings
 
 
