@@ -33,6 +33,12 @@ from html5ever_elixir_spark.session import get_spark  # noqa: E402
 from html5ever_elixir_spark.sources.pages import pages_from_documents  # noqa: E402
 
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+# min-of-N passes per query: the sandbox is a shared host whose load
+# swings 2× on minute scales (see BENCH.md "Measurement context"); the
+# r7 driver stamp ran at loadavg 3.4→15.2 and read 1.7× slower than the
+# calm-window minima on identical plans. Three passes give each query
+# ~2 chances to land in a calm slice; min is the capability estimate.
+PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
 def replicated_pages(spark, sf_dir: str, factor: int):
@@ -58,10 +64,9 @@ def run_suite(spark, sf_dir: str):
     timings = {}
 
     def timed(name, thunk):
-        # min of two passes: the sandbox is a shared host with 2×
-        # minute-scale noise; min is the stable capability estimate
+        # min of PASSES passes (co-tenant noise damping; see PASSES above)
         best = None
-        for _ in range(2):
+        for _ in range(PASSES):
             t0 = time.perf_counter()
             thunk()
             dt = time.perf_counter() - t0
@@ -307,8 +312,8 @@ def main():
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs / timings["extract_pipeline"], 1)
     out = {
-        "metric": "headline suite wall time, min of 2 passes per query "
-        "(extract+nodes+dedup+ann+agg+window)",
+        "metric": f"headline suite wall time, min of {PASSES} passes per "
+        "query (extract+nodes+dedup+ann+agg+window)",
         "value": total,
         "unit": "sec",
         "queries": timings,

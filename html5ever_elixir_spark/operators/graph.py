@@ -57,10 +57,15 @@ def link_edges(
 
     Input: either raw ``pages`` (url, html — parsed here via
     :func:`flat_parse_nodes`) or a pre-computed flat ``nodes`` table.
-    Callers chaining several node-level consumers should parse once,
-    persist/checkpoint the nodes table, and pass it via ``nodes`` — the
-    two branches below (anchor elements, text children) each rescan
-    their input, so handing in raw pages parses twice.
+    The two branches below (anchor elements, text children) each rescan
+    their input, so when raw pages arrive the nodes lineage is
+    **localCheckpointed eagerly**: the parse runs exactly once and both
+    branches read the materialized node rows (at 100 TB a re-parse per
+    lineage branch is the single biggest avoidable cost — the r7 gated
+    plan executed 4 MapInArrow parse stages before this). Callers
+    chaining SEVERAL node-level consumers (edges + metadata + …) should
+    still parse once themselves and pass ``nodes=`` so the one
+    materialization is shared across operators too.
 
     Output: one row per in-page anchor — ``(src bigint, dst bigint,
     anchor string)`` where src/dst are document ids recovered from the
@@ -82,7 +87,11 @@ def link_edges(
             raise ValueError("link_edges needs pages or nodes")
         from .parse import flat_parse_nodes
 
-        nodes = flat_parse_nodes(pages)
+        # parse ONCE: truncate the lineage so the two node-consumer
+        # branches below scan materialized rows instead of re-running
+        # the Arrow parse stage per branch (plan-asserted in
+        # tests/test_graph.py::test_link_edges_parses_once)
+        nodes = flat_parse_nodes(pages).localCheckpoint(eager=True)
 
     anchors_elems = (
         nodes.where("type = 'element' AND name = 'a'")

@@ -31,9 +31,11 @@ Plan shape / scale: the element leg filters to 5 tag names (a handful
 of rows per page); the text leg joins text children on the uniform
 (url, parent element id) key — both legs then fold into ONE
 ``groupBy(url)`` with conditional-min scalar state. No window, no
-corpus-level key, no member lists. Callers chaining several node-level
-consumers should parse once and pass ``nodes=`` (the two legs each
-rescan their input, as in :mod:`graph`).
+corpus-level key, no member lists. The element and text legs each
+rescan their input, so raw ``pages`` input is parsed ONCE via an eager
+localCheckpoint (as in :mod:`graph`); callers chaining several
+node-level consumers should still parse once themselves and pass
+``nodes=`` to share the materialization across operators.
 """
 
 from __future__ import annotations
@@ -69,7 +71,9 @@ def page_metadata(
             raise ValueError("page_metadata needs pages or nodes")
         from .parse import flat_parse_nodes
 
-        nodes = flat_parse_nodes(pages)
+        # parse ONCE for both legs (see module docstring; plan-asserted
+        # in tests/test_metadata.py::test_parses_once)
+        nodes = flat_parse_nodes(pages).localCheckpoint(eager=True)
 
     elems = nodes.where(
         "type = 'element' AND name IN ('title','meta','link','script','html')"

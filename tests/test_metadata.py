@@ -86,3 +86,19 @@ def test_plan_has_no_window(spark):
     plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_parses_once(spark):
+    # element + text legs must NOT each re-run the Arrow parse stage:
+    # raw pages are parsed once via the eager localCheckpoint, so the
+    # downstream plan contains zero parse stages (r7 verdict weak #1,
+    # same fix as graph.link_edges)
+    df = spark.createDataFrame(
+        [("u", "<title>t</title><meta name=description content=d>")],
+        "url string, html string",
+    )
+    out = page_metadata(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
+    row = out.collect()[0]
+    assert row.title == "t" and row.description == "d"
