@@ -1325,6 +1325,58 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return dedup.paragraph_dedup(docs)
 
 
+# round-8: long-duplicate-span corpus — a 20-token intro shared by every
+# doc, the doc's own sanitized tokens, a 17-token promo block shared by
+# the doc_id%7 group, a unique tail token, and (doc_id%5=0) the intro
+# REPEATED at the end (within-doc duplication must count). Both engines
+# build the identical token stream; Spark finds the duplicated >=15-token
+# spans with the distributed gram-hash plan, DuckDB with windows.
+_LDS_L = 15
+
+
+def _lds_corpus_expr(dialect: str) -> str:
+    if dialect == "spark":
+        clean = (
+            "array_join(filter(split(regexp_replace(text, "
+            "'[^A-Za-z0-9 ]', ' '), ' '), w -> w <> ''), ' ')"
+        )
+        intro = (
+            f"array_join(transform(sequence(1, {_LDS_L + 5}), "
+            "i -> concat('intro', cast(i as string))), ' ')"
+        )
+        promo = (
+            f"array_join(transform(sequence(1, {_LDS_L + 2}), "
+            "i -> concat('promo', cast(doc_id % 7 as string), 'x', "
+            "cast(i as string))), ' ')"
+        )
+    else:
+        clean = (
+            "array_to_string(list_filter(str_split(regexp_replace(text, "
+            "'[^A-Za-z0-9 ]', ' ', 'g'), ' '), w -> w <> ''), ' ')"
+        )
+        intro = (
+            f"array_to_string(list_transform(range(1, {_LDS_L + 6}), "
+            "i -> 'intro' || cast(i as string)), ' ')"
+        )
+        promo = (
+            f"array_to_string(list_transform(range(1, {_LDS_L + 3}), "
+            "i -> 'promo' || cast(doc_id % 7 as string) || 'x' || "
+            "cast(i as string)), ' ')"
+        )
+    return (
+        f"{intro} || ' ' || {clean} || ' ' || {promo} || ' tail' || "
+        f"cast(doc_id as string) || "
+        f"(case when doc_id % 5 = 0 then ' ' || {intro} else '' end)"
+    )
+
+
+def _q_dedup_long_spans(spark, sf_dir):
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_lds_corpus_expr('spark')} AS text"
+    )
+    return dedup.long_dup_spans(docs, min_tokens=_LDS_L)
+
+
 # robots.txt bodies synthesized per host (h = doc_id % 50, the corpus
 # host scheme): h%4=0 exercises longest-match + allow-override; h%4=1
 # exercises agent-group selection (BadBot group must be ignored),
@@ -1600,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_edges": _q_graph_link_edges,
         "graph_pagerank": _q_graph_pagerank,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "dedup_long_spans": _q_dedup_long_spans,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
@@ -1784,6 +1837,9 @@ SELECT * FROM (
             400, _BOILER_LINES_EXPR
         ),
         "dedup_paragraphs": dedup.oracle_paragraph_dedup_sql(_PARA_EXPR),
+        "dedup_long_spans": dedup.oracle_long_dup_spans_sql(
+            _lds_corpus_expr("duckdb"), min_tokens=_LDS_L
+        ),
         "url_robots_filter": _ROBOTS_ORACLE,
         "html_page_metadata": _META_ORACLE,
         "html_css_select": _SELECT_ORACLE,

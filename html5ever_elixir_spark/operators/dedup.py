@@ -1494,3 +1494,176 @@ SELECT src.doc_id,
          AS n_paras_removed
 FROM src LEFT JOIN rebuilt ON src.doc_id = rebuilt.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# long-duplicate-span removal (exact-substring dedup, the suffix-array
+# rule of "Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022): remove every token that lies inside a substring of
+# >= min_tokens tokens occurring >= min_count times corpus-wide.
+#
+# Reduction that makes this shuffle-friendly WITHOUT a distributed
+# suffix array: a token t is inside some duplicated substring of
+# length >= L  <=>  some L-gram window containing t occurs >= 2 times
+# in the corpus (any duplicated substring of length >= L is made of
+# duplicated L-grams, and any duplicated L-gram IS such a substring).
+# So the exact removal set is the union of the extents [pos, pos+L) of
+# duplicated L-grams — computable with one uniform-key groupBy, no
+# iteration, no suffix sort. The suffix array in the paper serves the
+# same gram-occurrence question; at corpus scale the hash groupBy is
+# the distributed-native equivalent.
+
+
+def long_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 15,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans of >= ``min_tokens`` whitespace tokens
+    occurring >= ``min_count`` times anywhere in the corpus (within-doc
+    repeats count — two occurrences in one document are duplicates,
+    as in the reference rule).
+
+    Output per input doc: ``(doc_id, n_spans, dup_tokens, spans,
+    clean_text)`` — ``spans`` is the merged maximal intervals as
+    ``"s-e"`` token ranges joined by ``','`` (half-open, token
+    positions in the ``split(text, ' ')`` numbering), ``clean_text``
+    is the doc with covered tokens removed (survivor order kept).
+
+    Plan shape — 100 TB reasoning: gram hashing is row-local
+    (md5 over word L-grams); the ONE corpus-level shuffle is
+    ``groupBy(gram_hash)`` with a single bigint count as aggregation
+    state (map-side combinable; uniform md5 key, no skew); duplicated
+    starts rejoin on the same uniform hash key (semi join — a viral
+    gram is an AQE-splittable probe-side hot key, never window state);
+    interval merging is a per-doc fold over that doc's own sorted
+    start list (bounded by doc length — the same bounded-list rule as
+    ``paragraph_dedup``'s rebuild). No window over any corpus-level
+    key. A 100 TB run would add a bloom/count-min pre-filter to drop
+    singleton grams before the shuffle (as :func:`duplicate_spans`
+    notes); semantics unchanged.
+    """
+    ln = int(min_tokens)
+    sh = _spark_shingles(text_col, ln)
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"transform({sh}, s -> md5(s))")).alias(
+            "pos", "h"
+        ),
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dstarts = grams.join(hot, "h", "semi")
+    # per-doc maximal intervals: fold the sorted duplicated-gram starts
+    # into array<struct<s,e>>, merging when the next extent [p, p+L)
+    # overlaps or touches the previous one (p <= last.e)
+    ivs_fold = (
+        "aggregate(sort_array(collect_list(pos)), "
+        "cast(array() as array<struct<s:bigint,e:bigint>>), "
+        "(acc, p) -> case when size(acc) > 0 "
+        "and p <= element_at(acc, -1).e then "
+        "concat(slice(acc, 1, size(acc) - 1), array(named_struct("
+        f"'s', element_at(acc, -1).s, 'e', cast(p + {ln} as bigint)))) "
+        f"else concat(acc, array(named_struct('s', cast(p as bigint), "
+        f"'e', cast(p + {ln} as bigint)))) end)"
+    )
+    per_doc = dstarts.groupBy(id_col).agg(F.expr(ivs_fold).alias("ivs"))
+    # `ivs` crosses the aggregation boundary, so multiple references
+    # below read the materialized column (no CollapseProject recompute)
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "ivs",
+            F.expr(
+                "coalesce(ivs, cast(array() as "
+                "array<struct<s:bigint,e:bigint>>))"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("cast(size(ivs) as bigint)").alias("n_spans"),
+            F.expr(
+                "aggregate(ivs, 0L, (a, s) -> a + s.e - s.s)"
+            ).alias("dup_tokens"),
+            F.expr(
+                "array_join(transform(ivs, s -> concat(cast(s.s as "
+                "string), '-', cast(s.e as string))), ',')"
+            ).alias("spans"),
+            F.expr(
+                f"array_join(filter(split({text_col}, ' '), (w, i) -> "
+                "NOT exists(ivs, s -> i >= s.s AND i < s.e)), ' ')"
+            ).alias("clean_text"),
+        )
+    )
+
+
+def oracle_long_dup_spans_sql(
+    text_expr: str,
+    table: str = "documents",
+    min_tokens: int = 15,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`long_dup_spans` over ``text_expr``
+    (evaluated identically by both engines). Interval merging uses
+    gaps-and-islands (new island when pos > prev + L — equivalent to
+    the Spark fold's p <= last.e merge test, since the running end is
+    always prev_pos + L for sorted fixed-length extents)."""
+    ln = int(min_tokens)
+    sh = (
+        f"case when len(ws) < {ln} then [] "
+        f"else list_transform(range(0, len(ws) - {ln} + 1), "
+        f"i -> array_to_string(ws[i + 1 : i + {ln}], ' ')) end"
+    )
+    return f"""
+WITH src AS (SELECT doc_id, {text_expr} AS text FROM {table}),
+w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM src),
+gh AS (
+  SELECT doc_id, unnest(range(0, len(g))) AS pos, unnest(g) AS h
+  FROM (SELECT doc_id,
+               list_transform({sh}, s -> md5(s)) AS g
+        FROM w)
+),
+hot AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= {min_count}),
+dstarts AS (SELECT doc_id, pos FROM gh JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {ln} THEN 1
+                  ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dstarts)
+),
+spans AS (
+  SELECT doc_id, island, min(pos)::BIGINT AS s,
+         (max(pos) + {ln})::BIGINT AS e
+  FROM isl GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_spans,
+         sum(e - s)::BIGINT AS dup_tokens,
+         string_agg(s::VARCHAR || '-' || e::VARCHAR, ',' ORDER BY s)
+           AS spans,
+         flatten(list(range(s, e))) AS covered
+  FROM spans GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(a.spans, '') AS spans,
+       array_to_string(
+         list_transform(
+           list_filter(range(0, len(ws)),
+                       i -> NOT list_contains(coalesce(a.covered, []), i)),
+           i -> ws[i + 1]),
+         ' ') AS clean_text
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
