@@ -686,6 +686,14 @@ def _q_text_token_budget(spark, sf_dir):
     return textstats.token_budget(_docs(spark, sf_dir))
 
 
+def _q_text_token_count_bpe(spark, sf_dir):
+    # real BPE over the real corpus text (both engines run the same
+    # sanitize -> spread -> 48-merge replace chain independently); the
+    # preview column puts actual merge output, not just counts, in the
+    # driver hash
+    return textstats.bpe_token_count(_docs(spark, sf_dir))
+
+
 def _q_dedup_minhash_jaccard(spark, sf_dir):
     return dedup.minhash_jaccard_estimate(_docs(spark, sf_dir))
 
@@ -1653,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_long_spans": _q_dedup_long_spans,
+        "text_token_count_bpe": _q_text_token_count_bpe,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
@@ -1840,6 +1849,7 @@ SELECT * FROM (
         "dedup_long_spans": dedup.oracle_long_dup_spans_sql(
             _lds_corpus_expr("duckdb"), min_tokens=_LDS_L
         ),
+        "text_token_count_bpe": textstats.oracle_bpe_token_count_sql(),
         "url_robots_filter": _ROBOTS_ORACLE,
         "html_page_metadata": _META_ORACLE,
         "html_css_select": _SELECT_ORACLE,

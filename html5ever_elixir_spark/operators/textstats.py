@@ -213,6 +213,7 @@ def token_budget(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    mode: str = "words",
 ) -> DataFrame:
     """Per-group training-token budgeting: how many docs/tokens each
     source (or host, or language) contributes and its share of the
@@ -220,12 +221,35 @@ def token_budget(
     One shuffle on the group key (partial agg map-side); the share
     window runs over the already-reduced #groups-row frame, so the
     single-partition exchange is trivially small at any corpus size.
-    Output (group, n_docs, n_tokens, token_share)."""
+    Output (group, n_docs, n_tokens, token_share).
+
+    ``mode="bpe"`` counts real BPE tokens (the row-local merge chain of
+    :func:`bpe_token_count`, ``DEFAULT_BPE_MERGES``) instead of
+    whitespace words — the budget a trainer actually pays. Integer
+    per-doc counts summed as bigint: deterministic under any shuffle
+    order (the CLAUDE.md double-sum rule does not bite)."""
     from pyspark.sql import Window
 
+    if mode == "bpe":
+        san = _bpe_sanitize(text_col, "spark")
+        chain = _bpe_chain(
+            "'__' || regexp_replace(san, '(.)', '$1__')",
+            DEFAULT_BPE_MERGES,
+        )
+        cnt = (
+            f"transform(array({san}), san -> transform(array({chain}), "
+            "s -> cast((length(s) - length(replace(s, '__', ''))) div 2 "
+            "- 1 - (length(san) - length(replace(san, ' ', ''))) "
+            "as bigint))[0])[0]"
+        )
+        tok_expr = F.expr(cnt)
+    elif mode == "words":
+        tok_expr = F.size(F.split(F.trim(F.col(text_col)), " +"))
+    else:  # pragma: no cover
+        raise ValueError(mode)
     agg = docs.groupBy(group_col).agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.col(text_col)), " +")))
+        F.sum(tok_expr)
         .cast("bigint")
         .alias("n_tokens"),
     )
@@ -1023,4 +1047,140 @@ SELECT s.doc_id, d.lang, s.lm_score,
                                 ORDER BY s.lm_score, s.doc_id)::BIGINT
          AS bucket
 FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic BPE token counting (round 8)
+#
+# textstats.token_count counts whitespace words; trainer budgets are
+# BPE tokens. This section implements REAL byte-pair encoding —
+# Sennrich et al. 2016 application order: each learned merge is applied
+# to the whole token stream, in learned order, merging occurrences
+# left-to-right without overlap — entirely with JVM-side string
+# functions (no Python in the hot path, row-local, zero shuffle).
+#
+# Encoding trick that makes one `replace()` per merge EXACT: the token
+# stream is rendered as '__' + token + '__' + token + '__' (tokens
+# never contain '_'), and merge (x, y) is replace('_x__y_' -> '_xy_').
+# Because each boundary is TWO underscores and the pattern consumes
+# only the inner one on each side, adjacent candidates don't share
+# pattern characters, so SQL replace()'s standard continue-after-match
+# scan implements exactly the left-to-right non-overlapping merge:
+#   [a,b,a,b]: '__a__b__a__b__' -> '__ab__ab__'   (both pairs merge)
+#   [l,l,l]:   '__l__l__l__'    -> '__ll__l__'    (no overlap reuse)
+# M merges = M chained replace() calls — one codegen'd expression.
+#
+# The default merge table is a small fixed public-style English table
+# (deterministic, embedded below); a production run would load the
+# merge list of a publicly released tokenizer (e.g. a merges.txt) into
+# the same operator — the plan shape does not change with |merges|.
+
+#: ordered (x, y) merge list; every compound operand is the output of
+#: an earlier merge (single chars are always available)
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("a", "t"), ("e", "n"), ("e", "s"),
+    ("o", "r"), ("a", "r"), ("a", "l"), ("o", "u"), ("in", "g"),
+    ("an", "d"), ("i", "s"), ("i", "t"), ("o", "f"), ("t", "o"),
+    ("e", "d"), ("s", "t"), ("l", "e"), ("o", "m"), ("s", "e"),
+    ("b", "e"), ("c", "h"), ("s", "h"), ("l", "l"), ("o", "o"),
+    ("e", "e"), ("s", "s"), ("t", "er"), ("th", "at"), ("n", "t"),
+    ("e", "nt"), ("i", "on"), ("t", "ion"), ("a", "tion"),
+    ("er", "s"), ("in", "e"), ("or", "e"), ("an", "t"), ("al", "l"),
+    ("es", "t"), ("0", "0"), ("2", "0"), ("1", "9"),
+]
+
+
+def _bpe_sanitize(text: str, dialect: str) -> str:
+    """Lowercase, collapse non-[a-z0-9] runs to single spaces, trim —
+    the shared pre-tokenization rule (word boundaries = spaces; merges
+    never cross them because ' ' appears in no merge)."""
+    if dialect == "spark":
+        return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' '))"
+    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _bpe_chain(spread: str, merges) -> str:
+    """Nested replace() chain applying ``merges`` in order to the
+    '__'-separated stream expression ``spread`` (same SQL both
+    engines)."""
+    expr = spread
+    for x, y in merges:
+        for tok in (x, y):
+            if "_" in tok or " " in tok or "'" in tok:
+                raise ValueError(f"invalid merge token {tok!r}")
+        expr = f"replace({expr}, '_{x}__{y}_', '_{x}{y}_')"
+    return expr
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+    preview_k: int = 8,
+) -> DataFrame:
+    """(id, n_bpe_tokens, n_word_tokens, bpe_preview) per doc —
+    ``n_bpe_tokens`` is the post-merge token count excluding the space
+    (word-boundary) tokens, ``bpe_preview`` the first ``preview_k``
+    real tokens joined with '|' (puts actual merge OUTPUT in the
+    driver hash, not just a count).
+
+    Row-local, zero shuffle; the sanitize and merge-chain expressions
+    are lambda-bound (computed once per row) and the three outputs are
+    emitted through one ``inline()`` generator, so CollapseProject
+    cannot re-inline the chain per output column (the CLAUDE.md
+    higher-order-recompute rule)."""
+    mg = DEFAULT_BPE_MERGES if merges is None else merges
+    san = _bpe_sanitize(text_col, "spark")
+    # '__tok__tok__' spread: every char becomes char + '__'
+    spread = "'__' || regexp_replace(san, '(.)', '$1__')"
+    chain = _bpe_chain(spread, mg)
+    struct = (
+        "named_struct("
+        "'n_bpe_tokens', cast((length(s) - length(replace(s, '__', '')))"
+        " div 2 - 1 - (length(san) - length(replace(san, ' ', ''))) "
+        "as bigint), "
+        "'n_word_tokens', cast(case when san = '' then 0 else "
+        "size(split(san, ' ')) end as bigint), "
+        "'bpe_preview', array_join(slice(filter(split(s, '__'), "
+        f"t -> t <> '' AND t <> ' '), 1, {int(preview_k)}), '|'))"
+    )
+    arr = (
+        f"transform(array({san}), "
+        f"san -> transform(array({chain}), s -> {struct})[0])"
+    )
+    return docs.select(F.col(id_col), F.expr(f"inline({arr})"))
+
+
+def oracle_bpe_token_count_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    preview_k: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_count`: the same sanitize →
+    spread → replace-chain, staged through CTEs."""
+    mg = DEFAULT_BPE_MERGES if merges is None else merges
+    chain = _bpe_chain("s1", mg)
+    return f"""
+WITH src AS (SELECT doc_id, {text_expr} AS text FROM {table}),
+san AS (SELECT doc_id,
+               {_bpe_sanitize('text', 'duckdb')} AS s0 FROM src),
+spread AS (SELECT doc_id, s0,
+                  '__' || regexp_replace(s0, '(.)', '\\1__', 'g') AS s1
+           FROM san),
+merged AS (SELECT doc_id, s0, {chain} AS s FROM spread)
+SELECT doc_id,
+       ((length(s) - length(replace(s, '__', ''))) // 2 - 1
+        - (length(s0) - length(replace(s0, ' ', ''))))::BIGINT
+         AS n_bpe_tokens,
+       (CASE WHEN s0 = '' THEN 0
+             ELSE len(str_split(s0, ' ')) END)::BIGINT AS n_word_tokens,
+       coalesce(array_to_string(
+         array_slice(list_filter(str_split(s, '__'),
+                                 t -> t <> '' AND t <> ' '),
+                     1, {int(preview_k)}), '|'), '') AS bpe_preview
+FROM merged
 """
