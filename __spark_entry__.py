@@ -996,11 +996,16 @@ def _q_pdf_extract_text(spark, sf_dir):
     # user password), cycling RC4 R3/128 (r5), AES-128 V4/R4 /AESV2
     # (r6) and AES-256 V5/R6 /AESV3 (r6); every doc_id % 3 == 1 routes
     # through a Type0 font with an EMBEDDED CID CMap (mixed 1/2-byte
-    # codespace, r7) — the roundtrip text must be IDENTICAL in every
-    # case, so the unchanged oracle gates all decrypt AND font paths
+    # codespace, r7); every doc_id % 5 == 2 through a Type0 font with a
+    # PREDEFINED /Uni*-UCS2-H CMap name — no embedded CMap, no
+    # ToUnicode, cycling the 4 public Adobe families (r8) — the
+    # roundtrip text must be IDENTICAL in every case, so the unchanged
+    # oracle gates all decrypt AND font paths
     from html5ever_elixir_spark.operators.pdf import docs_to_pdfs, pdf_extract
 
-    pdfs = docs_to_pdfs(_docs(spark, sf_dir), encrypt_every=4, cid_every=3)
+    pdfs = docs_to_pdfs(
+        _docs(spark, sf_dir), encrypt_every=4, cid_every=3, ucs2_every=5
+    )
     return pdf_extract(pdfs).select("doc_id", "error", "text", "n_pages")
 
 

@@ -70,6 +70,7 @@ def docs_to_pdfs(
     words_per_line: int = 8,
     encrypt_every: int | None = None,
     cid_every: int | None = None,
+    ucs2_every: int | None = None,
 ) -> DataFrame:
     """Deterministic synthetic PDF corpus from the documents table
     (tests/benchmarks only — no external data): text wrapped every
@@ -92,16 +93,26 @@ def docs_to_pdfs(
     the crawled-CJK layout, r7) — whose extraction roundtrips to the
     identical text, so the SAME oracle gates it; composes with
     encryption when the residues collide (encrypted CMap streams
-    decrypt before font resolution)."""
+    decrypt before font resolution).
+
+    ``ucs2_every=k`` (r8) routes every doc with doc_id % k == 2
+    through :func:`make_ucs2_pdf` — a Type0 font with a PREDEFINED
+    ``/Encoding /Uni*-UCS2-H`` name (no embedded CMap, no ToUnicode),
+    cycling the four public Adobe families by (doc_id // k) % 4; the
+    reader decodes the 2-byte UCS-2 codes without external data, so
+    the unchanged oracle gates this path too. Checked BEFORE
+    ``cid_every`` where residues overlap (deterministic either way)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
 
         from ..parser.pdf import (
+            _UCS2_CMAP_NAMES,
             encrypt_pdf_aes,
             encrypt_pdf_aes256,
             encrypt_pdf_rc4,
             make_cid_pdf,
+            make_ucs2_pdf,
         )
 
         aes256_fid = hashlib.md5(b"aes256-corpus").digest()
@@ -116,7 +127,13 @@ def docs_to_pdfs(
                     for i in range(0, len(words), words_per_line)
                 ]
                 try:
-                    if cid_every and did is not None \
+                    if ucs2_every and did is not None \
+                            and did % ucs2_every == 2:
+                        pdf = make_ucs2_pdf(
+                            lines,
+                            _UCS2_CMAP_NAMES[(did // ucs2_every) % 4],
+                        )
+                    elif cid_every and did is not None \
                             and did % cid_every == 1:
                         pdf = make_cid_pdf(lines)
                     else:

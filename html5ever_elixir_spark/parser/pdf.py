@@ -27,12 +27,17 @@ crawled shape (owner-only restrictions): RC4 (standard security
 handler V1/V2, R2/R3) and, since r6, AES-128-CBC (V4/R4, /CFM /AESV2)
 and AES-256 (V5/R6, /CFM /AESV3, Algorithm 2.B KDF) — all on a
 pure-stdlib FIPS-197 T-table core; see :func:`_std_security_key`.
-Explicitly NOT handled: the deprecated R5/ExtensionLevel-3 scheme,
-real user passwords, encrypted files whose page tree lives in /ObjStm
-(RC4-era files use classic xref), PREDEFINED external CID CMaps
-(GBK-EUC-H, UniGB-UCS2-H etc. — Adobe data files this from-scratch
-reader doesn't carry; their codes decode to U+FFFD, never mojibake),
-and fonts whose only text mapping is
+Since r8, PREDEFINED Uni*-UCS2-* CMaps (UniGB-UCS2-H, UniJIS-UCS2-H,
+UniKS-UCS2-H, UniCNS-UCS2-H + -HW-/-V variants) decode WITHOUT the
+external Adobe data files: by the public Uni* design the 2-byte code
+IS the UCS-2 code unit, so text decode is chr(code) with ToUnicode
+winning per code (the CID is only needed for glyph selection, not
+text). Explicitly NOT handled: the deprecated R5/ExtensionLevel-3
+scheme, real user passwords, encrypted files whose page tree lives in
+/ObjStm (RC4-era files use classic xref), OTHER predefined CMaps
+(GBK-EUC-H, B5pc-H, UTF16 forms etc. — real code→CID data this
+from-scratch reader doesn't carry; their codes decode to U+FFFD,
+never mojibake), and fonts whose only text mapping is
 embedded glyph programs — a corpus job routes those rows to DISTINCT
 error values / U+FFFD rather than failing (same row-level error
 contract as the HTML parser's invalid-UTF-8 path).
@@ -247,6 +252,107 @@ def make_cid_pdf(lines: list[str], lines_per_page: int = 40) -> bytes:
         objs[oid] = (
             (head + " >>\nstream\n").encode() + flate + b"\nendstream"
         )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(objs) + 1
+    out += f"xref\n0 {n}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+#: the public Adobe predefined CMap families this generator/reader
+#: supports: code = UCS-2 (BMP) code unit by the Uni* design
+_UCS2_CMAP_NAMES = (
+    "UniGB-UCS2-H",   # Adobe-GB1  (Simplified Chinese)
+    "UniJIS-UCS2-H",  # Adobe-Japan1
+    "UniKS-UCS2-H",   # Adobe-Korea1
+    "UniCNS-UCS2-H",  # Adobe-CNS1 (Traditional Chinese)
+)
+
+_UCS2_ORDERING = {
+    "UniGB-UCS2-H": ("GB1", 2),
+    "UniJIS-UCS2-H": ("Japan1", 4),
+    "UniKS-UCS2-H": ("Korea1", 1),
+    "UniCNS-UCS2-H": ("CNS1", 3),
+}
+
+
+def make_ucs2_pdf(
+    lines: list[str],
+    cmap_name: str = "UniGB-UCS2-H",
+    lines_per_page: int = 40,
+) -> bytes:
+    """Composite-font PDF whose Type0 font uses a PREDEFINED external
+    CMap name (``/Encoding /UniGB-UCS2-H`` etc.) with NO embedded CMap
+    data and NO ToUnicode — the common crawled-CJK layout where the
+    viewer must know the public Adobe mapping. For the UCS2 families
+    the 2-byte character code IS the UCS-2 code unit, so text shows as
+    hex strings of UTF-16BE code units and extraction roundtrips any
+    BMP text exactly (surrogates excluded by the UCS2 codespace)."""
+    if cmap_name not in _UCS2_ORDERING:
+        raise ValueError(f"unsupported predefined CMap {cmap_name!r}")
+    ordering, supplement = _UCS2_ORDERING[cmap_name]
+
+    def encode_line(ln: str) -> str:
+        codes = []
+        for c in ln:
+            cp = ord(c)
+            if cp > 0xFFFF:
+                raise ValueError("non-BMP character needs a UTF16 CMap")
+            codes.append(f"{cp:04X}")
+        return "<" + "".join(codes) + ">"
+
+    pages = [
+        lines[i : i + lines_per_page]
+        for i in range(0, max(len(lines), 1), lines_per_page)
+    ]
+    objs: dict[int, bytes] = {}
+    font_id = 3 + 2 * len(pages)
+    desc_id = font_id + 1
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
+    )
+    for i, page_lines in enumerate(pages):
+        page_id = 3 + 2 * i
+        content_id = page_id + 1
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(page_lines):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"{encode_line(line)} Tj")
+        ops.append("ET")
+        flate = zlib.compress("\n".join(ops).encode("ascii"))
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_id} 0 R "
+            f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>".encode()
+        )
+        objs[content_id] = (
+            f"<< /Length {len(flate)} /Filter /FlateDecode >>\nstream\n"
+            .encode() + flate + b"\nendstream"
+        )
+    objs[font_id] = (
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /TestUCS2 "
+        f"/Encoding /{cmap_name} /DescendantFonts [{desc_id} 0 R] >>"
+        .encode()
+    )
+    objs[desc_id] = (
+        f"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /TestUCS2 "
+        f"/CIDSystemInfo << /Registry (Adobe) /Ordering ({ordering}) "
+        f"/Supplement {supplement} >> >>".encode()
+    )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -1951,6 +2057,14 @@ _IDENTITY_RE = re.compile(rb"/Encoding\s*/Identity-[HV]\b")
 _ENC_STREAM_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _PREDEF_CMAP_RE = re.compile(rb"/Encoding\s*/([\w-]+)")
 
+#: predefined UCS2-family CMap names (public Adobe resources): the
+#: 2-byte code IS the UCS-2/BMP code unit, so no external data file is
+#: needed to decode text — including the -HW- half-width variants and
+#: the vertical (-V) forms, which share the horizontal mapping
+_UCS2_PREDEF_RE = re.compile(
+    rb"/Encoding\s*/Uni(?:GB|CNS|JIS|KS|KR)-UCS2(?:-HW)?-[HV]\b"
+)
+
 _CODESPACE_RE = re.compile(
     rb"begincodespacerange(.*?)endcodespacerange", re.S
 )
@@ -2082,9 +2196,17 @@ def _font_byte_map(
                         fmap = {c: "�" for c in cid_map}
                         fmap.update(tou)
                         result = (codespace, fmap)  # type: ignore[assignment]
+                elif _UCS2_PREDEF_RE.search(body):
+                    # predefined Uni*-UCS2-* CMap (r8): the 2-byte code
+                    # is the UCS-2 code unit by the public Adobe Uni*
+                    # design, so text decodes WITHOUT the external data
+                    # file: chr(code), ToUnicode still winning per code
+                    result = ("ucs2", tounicode(0xFFFF))  # type: ignore[assignment]
                 elif _PREDEF_CMAP_RE.search(body):
-                    # predefined external CMap (no embedded data):
-                    # 2-byte U+FFFD degradation, never mojibake
+                    # other predefined external CMaps (GBK-EUC-H etc.:
+                    # real code→CID data this from-scratch reader
+                    # doesn't carry): 2-byte U+FFFD degradation, never
+                    # mojibake
                     result = (2, {})
         else:
             enc = _encoding_map(objs, body) if b"/Encoding" in body else None
@@ -2259,6 +2381,22 @@ def _extract_stream_text(
                             else m1
                             for b in raw
                         )
+                    )
+                elif nb == "ucs2":
+                    # predefined UCS2 CMap: code == BMP code point;
+                    # surrogate-range codes are outside the UCS2
+                    # codespace → U+FFFD; odd tail → U+FFFD
+                    cur.append(
+                        "".join(
+                            m2
+                            if (m2 := fmap.get(c)) is not None
+                            else (
+                                "�" if 0xD800 <= c <= 0xDFFF else chr(c)
+                            )
+                            for i in range(0, len(raw) - 1, 2)
+                            for c in ((raw[i] << 8) | raw[i + 1],)
+                        )
+                        + ("�" if len(raw) % 2 else "")
                     )
                 elif nb == 2:  # 2-byte Identity codes; odd tail → U+FFFD
                     cur.append(

@@ -503,3 +503,90 @@ def test_parse_cid_cmap_units():
     assert (1, 0x20, 0x20) in codespace
     assert (2, 0x0100, 0x0102) in codespace
     assert cids == {0x0100: 1, 0x0101: 2, 0x0102: 3}
+
+
+# ---------------------------------------------------------------------------
+# r8: predefined Uni*-UCS2-* CMaps (public Adobe families) — the 2-byte
+# code IS the UCS-2 code unit, decoded without external data files
+
+
+def test_ucs2_predefined_cjk_roundtrip():
+    from html5ever_elixir_spark.parser.pdf import make_ucs2_pdf
+
+    lines = ["你好 world", "東京 2024", "ascii only"]
+    for name in ("UniGB-UCS2-H", "UniJIS-UCS2-H", "UniKS-UCS2-H",
+                 "UniCNS-UCS2-H"):
+        text, n_pages = extract_pdf_text(make_ucs2_pdf(lines, name))
+        assert text == "\n".join(lines), name
+        assert n_pages == 1
+
+
+def test_ucs2_predefined_non_bmp_rejected_by_writer():
+    from html5ever_elixir_spark.parser.pdf import make_ucs2_pdf
+
+    with pytest.raises(ValueError):
+        make_ucs2_pdf(["emoji \U0001f600"])
+
+
+def test_ucs2_surrogate_codes_decode_fffd():
+    # hand-build a show string containing a lone surrogate code unit:
+    # outside the UCS2 codespace -> U+FFFD, never a Python chr() error;
+    # odd trailing byte -> U+FFFD too
+    content = b"BT /F1 12 Tf <D8000062> Tj <006141> Tj ET"
+    fonts = _obj(
+        5,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /T "
+        b"/Encoding /UniJIS-UCS2-H /DescendantFonts [6 0 R] >>",
+    ) + _obj(
+        6,
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /T "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+        b"/Supplement 4 >> >>",
+    )
+    text, _ = extract_pdf_text(_font_pdf(content, fonts, b"/F1 5 0 R"))
+    assert text == "�b" + "a�"
+
+
+def test_ucs2_tounicode_wins_per_code():
+    # a ToUnicode on a predefined-UCS2 font overrides chr(code)
+    from html5ever_elixir_spark.parser.pdf import make_ucs2_pdf
+
+    pdf = make_ucs2_pdf(["aZ"])
+    tou = zlib.compress(b"""/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfchar
+<0061> <0051>
+endbfchar
+endcmap
+end""")
+    # append the ToUnicode object and point the font at it
+    n_obj = pdf.count(b" 0 obj")
+    tou_id = n_obj + 1
+    assert b"/Encoding /UniGB-UCS2-H /DescendantFonts" in pdf
+    pdf = pdf.replace(
+        b"/Encoding /UniGB-UCS2-H",
+        f"/Encoding /UniGB-UCS2-H /ToUnicode {tou_id} 0 R".encode(),
+    )
+    obj = (f"{tou_id} 0 obj\n<< /Length {len(tou)} /Filter /FlateDecode "
+           ">>\nstream\n").encode() + tou + b"\nendstream\nendobj\n"
+    at = pdf.rfind(b"xref")
+    pdf = pdf[:at] + obj + pdf[at:]
+    # fix startxref (xref table offsets of existing objs are unchanged;
+    # readers in this repo tolerate the appended object via scan)
+    text, _ = extract_pdf_text(pdf)
+    assert text == "QZ"  # 0x61 remapped to Q, 0x5A still identity
+
+
+def test_ucs2_encrypted_composes():
+    from html5ever_elixir_spark.parser.pdf import (
+        encrypt_pdf_rc4,
+        make_ucs2_pdf,
+    )
+
+    lines = ["中文 secret"]
+    pdf = encrypt_pdf_rc4(make_ucs2_pdf(lines), file_id=b"x" * 16)
+    text, _ = extract_pdf_text(pdf)
+    assert text == lines[0]
