@@ -570,6 +570,17 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(_emb(spark, sf_dir), n_queries=10)
 
 
+def _q_ann_ivf_pq_topk(spark, sf_dir):
+    # IVF-PQ (r8): coarse probe, then rank members by the asymmetric-
+    # distance estimate against their PRODUCT-QUANTIZED codes (the
+    # member's raw vector is never read at query time — the 100 TB
+    # memory-wall answer); codebooks train on the same md5 hash-sample
+    # as the coarse build, unrolled-CTE oracle
+    from html5ever_elixir_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_emb(spark, sf_dir), n_queries=10)
+
+
 def _q_ann_topk(spark, sf_dir):
     out = similarity.cosine_topk(_emb(spark, sf_dir), n_queries=10, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -1667,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_long_spans": _q_dedup_long_spans,
         "text_token_count_bpe": _q_text_token_count_bpe,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
@@ -1877,6 +1889,7 @@ SELECT * FROM (
         "text_lm_buckets": textstats.oracle_lm_buckets_sql(),
         "ann_ivf_cells": similarity.oracle_ivf_sql(assignment_only=True),
         "ann_ivf_topk": similarity.oracle_ivf_sql(n_queries=10),
+        "ann_ivf_pq_topk": similarity.oracle_ivf_pq_sql(n_queries=10),
         "ann_srp_bucket": similarity.oracle_srp_sql(),
         "ann_srp_multiprobe": similarity.oracle_srp_sql(multiprobe=True),
         "emb_neardup_pairs": similarity.oracle_neardup_sql(

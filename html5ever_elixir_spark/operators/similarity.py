@@ -720,3 +720,358 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, sim FROM (
                                ORDER BY sim DESC, neighbor_id) AS rank
   FROM cand
 ) WHERE rank <= {k_top}""")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (round 8): product quantization over coarse-cell residuals —
+# the faiss IVFPQ layout. At 100 TB the vector payload, not the coarse
+# index, is the memory wall: m 1-byte codes per vector replace dim
+# float64s (64x smaller at dim=64/m=4 vs raw doubles), and queries
+# score members by table lookup (asymmetric distance, ADC) instead of
+# touching raw vectors.
+#
+# Determinism discipline (same as the coarse build): codebook Lloyd
+# rounds train on the SAME md5 hash-sample, assignment is 6dp-rounded
+# L2 with code-id tie-break, centroid recompute is the 9dp elementwise
+# mean folded in vec_id order, and the per-member ADC total folds the m
+# per-subspace distances in j order (never a bare sum(double) across a
+# shuffle) — so the fixed-iteration build + search is hash-exact at any
+# parallelism and SQL-expressible for the unrolled-CTE oracle.
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k_top: int = 5,
+    k_cells: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    k_pq: int = 8,
+    pq_iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_frac: float = 0.5,
+    train_salt: str = "h5ivf",
+) -> DataFrame:
+    """IVF-PQ search: coarse-probe ``nprobe`` cells, then rank members
+    by the ADC estimate — sum over ``m`` subspaces of the squared-L2
+    between the query's residual sub-vector and the member's CODEWORD
+    (the member's raw vector is never read at query time). Output
+    (query_id, neighbor_id, rank, adist); rank ascending by adist with
+    neighbor-id tie-break.
+
+    Plan shape / 100 TB notes: residual encode is row-local after a
+    broadcast centroid join; all m subspaces train in ONE lineage (rows
+    keyed by subspace index j, codebook = m*k_pq rows, always
+    broadcast); per-vector window keys are (vec_id, j) — uniform; the
+    query LUT is n_queries*nprobe*m*k_pq rows joined on the uniform
+    (cell, j, code) key; the ADC total folds m rows per
+    (query, neighbor) group in j order (bounded group, deterministic).
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    assignment, cents = ivf_assign(
+        emb, k_cells, iters, id_col, vec_col, train_frac, train_salt
+    )
+    v = _ivf_vectors(emb, id_col, vec_col)
+
+    # residuals r = v - centroid(cell): exact double subtraction,
+    # identical in both engines (no rounding needed)
+    res = (
+        assignment.join(v, "vec_id")
+        .join(
+            F.broadcast(
+                cents.select(F.col("cid").alias("cell"), "c")
+            ),
+            "cell",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("zip_with(v, c, (x, y) -> x - y)").alias("r"),
+        )
+    )
+    rsub = res.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), j -> named_struct("
+                f"'j', j, 'rv', slice(r, j * {sub} + 1, {sub})))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.rv").alias("rv"))
+
+    sub_l2 = _L2.replace("v, c", "rv, cw")
+
+    def assign_sub(xs: DataFrame, cb: DataFrame) -> DataFrame:
+        d = xs.join(F.broadcast(cb), "j").select(
+            "vec_id", "j", "rv", "code", F.expr(sub_l2).alias("dist")
+        )
+        w = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "j", "rv", "code")
+        )
+
+    train = rsub.where(
+        F.expr(_ivf_train_gate(k_pq, train_frac, train_salt))
+    )
+    cb = rsub.where(F.col("vec_id") < k_pq).select(
+        "j", F.col("vec_id").alias("code"), F.col("rv").alias("cw")
+    )
+    for _ in range(pq_iters):
+        a = assign_sub(train, cb)
+        cb = (
+            a.select("j", "code", "vec_id", F.col("rv").alias("v"))
+            .groupBy("j", "code")
+            .agg(F.expr(_CENTROID).alias("cw"))
+        )
+    codes_rows = assign_sub(rsub, cb).select("vec_id", "j", "code")
+
+    # queries → nprobe nearest coarse cells (as in ann_ivf_topk)
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qd = (
+        queries.withColumn("_j", F.lit(1))
+        .join(F.broadcast(cents.withColumn("_j", F.lit(1))), "_j")
+        .select(
+            "query_id", "qv", "cid",
+            F.expr(_L2.replace("v, c", "qv, c")).alias("dist"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cid")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+
+    # per-(query, probed cell) ADC lookup table: the query residual's
+    # distance to EVERY codeword — m*k_pq rows per probe
+    qres = probes.join(
+        F.broadcast(cents.select(F.col("cid").alias("cell"), "c")),
+        "cell",
+    ).select(
+        "query_id",
+        "cell",
+        F.expr("zip_with(qv, c, (x, y) -> x - y)").alias("qr"),
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), j -> named_struct("
+                f"'j', j, 'qrv', slice(qr, j * {sub} + 1, {sub})))"
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", "cell",
+        F.col("s.j").alias("j"), F.col("s.qrv").alias("qrv"),
+    )
+    lut = qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "cell", "j", "code",
+        F.expr(_L2.replace("v, c", "qrv, cw")).alias("dsub"),
+    )
+
+    mem = codes_rows.join(
+        assignment.select("vec_id", "cell"), "vec_id"
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "j", "code")
+    cr = lut.join(mem, ["cell", "j", "code"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # ADC total: fold the m per-subspace distances in j order (exactly
+    # m rows per group — bounded state, shuffle-order deterministic)
+    cand = cr.groupBy("query_id", "neighbor_id").agg(
+        F.expr(
+            "round(aggregate(transform(array_sort(collect_list("
+            "struct(j, dsub))), s -> s.dsub), cast(0.0 as double), "
+            "(acc, x) -> acc + x), 6)"
+        ).alias("adist")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k_top)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"), "adist",
+        )
+    )
+
+
+def oracle_ivf_pq_sql(
+    table: str = "embeddings",
+    dim: int = 64,
+    k_cells: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    k_pq: int = 8,
+    pq_iters: int = 2,
+    n_queries: int = 10,
+    k_top: int = 5,
+    nprobe: int = 2,
+    train_frac: float = 0.5,
+    train_salt: str = "h5ivf",
+) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`ivf_pq_topk`: the coarse
+    build CTEs of :func:`oracle_ivf_sql`, then residual/subspace CTEs,
+    one (assign, recompute) pair per PQ Lloyd round over the same
+    hash-sampled train gate, the query LUT, and the j-ordered ADC
+    fold."""
+    sub = dim // m
+    l2 = (
+        "round(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+    ).format(d=dim)
+    def sub_l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {sub} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+        )
+
+    def gate(k: int) -> str:
+        return (
+            f"vec_id < {k} OR "
+            f"cast(('0x' || substr(md5('{train_salt}' || vec_id::VARCHAR)"
+            f", 1, 8))::BIGINT as double) / {float(1 << 32)}"
+            f" < {float(train_frac)!r}"
+        )
+
+    ctes = [
+        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
+        f"tv AS (SELECT vec_id, v FROM v WHERE {gate(k_cells)})",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM v "
+        f"WHERE vec_id < {k_cells})",
+    ]
+    for t in range(1, iters + 2):
+        prev = f"c{t - 1}"
+        src = "tv" if t <= iters else "v"
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT {src}.vec_id, {src}.v, {prev}.cid,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {l2.replace('c[', prev + '.c[')}, {prev}.cid) AS rn
+    FROM {src}, {prev}
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            ctes.append(
+                f"""c{t} AS (
+  SELECT cid, list(dimval ORDER BY d) AS c FROM (
+    SELECT cid, d,
+           round(list_sum(list(v[d] ORDER BY vec_id))
+                 / count(*), 9) AS dimval
+    FROM a{t}, range(1, {dim} + 1) t(d)
+    GROUP BY cid, d
+  ) GROUP BY cid
+)"""
+            )
+    cf, af = f"c{iters}", f"a{iters + 1}"
+    ctes.append(
+        f"""res AS (
+  SELECT a.vec_id, a.cid AS cell,
+         list_transform(range(1, {dim} + 1), i -> a.v[i] - c.c[i]) AS r
+  FROM {af} a JOIN {cf} c ON c.cid = a.cid
+)"""
+    )
+    ctes.append(
+        f"""rsub AS (
+  SELECT vec_id, j,
+         list_transform(range(1, {sub} + 1),
+                        i -> r[j * {sub} + i]) AS rv
+  FROM res, range(0, {m}) t(j)
+)"""
+    )
+    ctes.append(f"ptv AS (SELECT * FROM rsub WHERE {gate(k_pq)})")
+    ctes.append(
+        f"p0 AS (SELECT j, vec_id AS code, rv AS cw FROM rsub "
+        f"WHERE vec_id < {k_pq})"
+    )
+    for t in range(1, pq_iters + 2):
+        prev = f"p{t - 1}"
+        src = "ptv" if t <= pq_iters else "rsub"
+        ctes.append(
+            f"""pa{t} AS (
+  SELECT vec_id, j, rv, code FROM (
+    SELECT s.vec_id, s.j, s.rv, p.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY {sub_l2('s.rv', 'p.cw')}, p.code) AS rn
+    FROM {src} s JOIN {prev} p ON p.j = s.j
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= pq_iters:
+            ctes.append(
+                f"""p{t} AS (
+  SELECT j, code, list(dimval ORDER BY d) AS cw FROM (
+    SELECT j, code, d,
+           round(list_sum(list(rv[d] ORDER BY vec_id))
+                 / count(*), 9) AS dimval
+    FROM pa{t}, range(1, {sub} + 1) t(d)
+    GROUP BY j, code, d
+  ) GROUP BY j, code
+)"""
+            )
+    pf, paf = f"p{pq_iters}", f"pa{pq_iters + 1}"
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT v.vec_id AS query_id, v.v AS qv, {cf}.cid AS cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2.replace('c[', cf + '.c[')}, {cf}.cid) AS rn
+    FROM v, {cf}
+    WHERE v.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    ctes.append(
+        f"""qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {dim} + 1), i -> p.qv[i] - c.c[i]) AS qr
+  FROM probes p JOIN {cf} c ON c.cid = p.cell
+)"""
+    )
+    ctes.append(
+        f"""lut AS (
+  SELECT q.query_id, q.cell, pc.j, pc.code,
+         {sub_l2('sv', 'pc.cw').replace('sv[i]', f'q.qr[pc.j * {sub} + i]')} AS dsub
+  FROM qres q, {pf} pc
+)"""
+    )
+    ctes.append(
+        f"""mem AS (
+  SELECT pa.vec_id AS neighbor_id, a.cid AS cell, pa.j, pa.code
+  FROM {paf} pa JOIN {af} a ON a.vec_id = pa.vec_id
+)"""
+    )
+    ctes.append(
+        """cr AS (
+  SELECT l.query_id, m.neighbor_id, l.j, l.dsub
+  FROM lut l
+  JOIN mem m ON m.cell = l.cell AND m.j = l.j AND m.code = l.code
+  WHERE m.neighbor_id <> l.query_id
+)"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list(dsub ORDER BY j)), 6) AS adist
+  FROM cr GROUP BY query_id, neighbor_id
+)"""
+    )
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, adist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k_top}""")
