@@ -296,6 +296,17 @@ def run_suite(spark, sf_dir: str):
     timed("charset_sniff_extract", lambda: _noop(
         parse_and_extract(sniff_pages, encoding="sniff").select("url", "text")
     ))
+    # round-8: exact-substring (>=15-token) duplicate-span removal —
+    # one gram-hash shuffle + per-doc interval fold
+    timed("dedup_long_spans", lambda: _noop(dedup.long_dup_spans(docs)))
+    # round-8: BPE token counting (48-replace codegen chain, zero
+    # shuffle, zero Python)
+    timed("text_bpe_count", lambda: _noop(textstats.bpe_token_count(docs)))
+    # round-8: IVF-PQ build (sampled coarse + subspace codebooks) + ADC
+    # search — the quantized-payload ANN path
+    timed("ann_ivf_pq_topk", lambda: _noop(
+        similarity.ivf_pq_topk(emb, n_queries=20, k_top=10)
+    ))
     return n_docs, timings
 
 
