@@ -697,6 +697,14 @@ def _q_text_token_budget(spark, sf_dir):
     return textstats.token_budget(_docs(spark, sf_dir))
 
 
+def _q_text_bpe_train(spark, sf_dir):
+    # distributed BPE merge LEARNING over the real corpus: 8 rounds of
+    # (corpus-wide pair count -> top-1 -> merge everywhere), bigint
+    # counts + (count DESC, x, y) tie-break = parallelism-exact;
+    # unrolled-CTE oracle re-learns the same table serially
+    return textstats.bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_text_token_count_bpe(spark, sf_dir):
     # real BPE over the real corpus text (both engines run the same
     # sanitize -> spread -> 48-merge replace chain independently); the
@@ -1678,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_long_spans": _q_dedup_long_spans,
         "text_token_count_bpe": _q_text_token_count_bpe,
+        "text_bpe_train": _q_text_bpe_train,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
@@ -1867,6 +1876,7 @@ SELECT * FROM (
             _lds_corpus_expr("duckdb"), min_tokens=_LDS_L
         ),
         "text_token_count_bpe": textstats.oracle_bpe_token_count_sql(),
+        "text_bpe_train": textstats.oracle_bpe_train_sql(n_merges=8),
         "url_robots_filter": _ROBOTS_ORACLE,
         "html_page_metadata": _META_ORACLE,
         "html_css_select": _SELECT_ORACLE,

@@ -1184,3 +1184,155 @@ SELECT doc_id,
                      1, {int(preview_k)}), '|'), '') AS bpe_preview
 FROM merged
 """
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_frac: float = 1.0,
+    train_salt: str = "h5bpe",
+) -> DataFrame:
+    """Learn a BPE merge table FROM the corpus (Sennrich et al. 2016
+    training): ``n_merges`` rounds of (count adjacent token pairs
+    corpus-wide → take the most frequent → merge it everywhere).
+    Output one row per learned merge: ``(merge_idx, x, y, pair_count)``
+    in learned order — feed the collected (x, y) list to
+    :func:`bpe_token_count` / ``token_budget(mode="bpe")`` to encode
+    with the learned vocabulary.
+
+    Determinism: pair counts are bigint (shuffle-order exact); the
+    round winner is the total order (count DESC, x, y) — so the learned
+    table is identical at any parallelism, and the fixed round count
+    makes the trainer SQL-expressible (:func:`oracle_bpe_train_sql`
+    unrolls the rounds, per the repo's fixed-iteration rule).
+
+    Plan shape / 100 TB: each round is ONE map-side-combinable
+    groupBy((x, y)) over the current segmentation (pair vocabulary is
+    O(vocab²) — tiny vs the corpus) + a 1-row top-1 + a row-local
+    ``replace()`` update; the segmentation is localCheckpointed per
+    round (the PageRank barrier — otherwise round i's lazy plan
+    re-derives round i-1 twice, 2^n growth). ``train_frac`` gates
+    training on the deterministic md5 hash-sample (the IVF recipe —
+    industrial BPE trainers sample exactly this way); the oracle
+    mirrors the gate."""
+    from .sampling import _uniform_expr
+
+    san = _bpe_sanitize(text_col, "spark")
+    seg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"'__' || regexp_replace({san}, '(.)', '$1__')").alias("s"),
+    )
+    if train_frac < 1.0:
+        u = _uniform_expr("doc_id", train_salt)
+        seg = seg.where(F.expr(f"({u}) < {float(train_frac)!r}"))
+    seg = seg.localCheckpoint(eager=True)
+
+    # adjacent-token pairs of one segmentation string: tokens =
+    # split(s, '__') -> ['', t1..tn, '']; pairs (t_i, t_{i+1}) with the
+    # word-boundary ' ' token excluded from both sides
+    pairs_expr = (
+        "transform(array(split(s, '__')), t -> case when size(t) < 4 "
+        "then cast(array() as array<struct<x:string,y:string>>) else "
+        "filter(zip_with(slice(t, 2, size(t) - 3), "
+        "slice(t, 3, size(t) - 3), "
+        "(x, y) -> named_struct('x', x, 'y', y)), "
+        "p -> p.x <> ' ' AND p.y <> ' ') end)[0]"
+    )
+    merges = []
+    for i in range(1, n_merges + 1):
+        cnt = (
+            seg.select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.count("*").cast("bigint").alias("pair_count"))
+        )
+        m = (
+            cnt.orderBy(F.desc("pair_count"), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            m.select(
+                F.lit(i).cast("bigint").alias("merge_idx"),
+                "x", "y", "pair_count",
+            )
+        )
+        if i < n_merges:
+            seg = (
+                seg.crossJoin(F.broadcast(m))
+                .select(
+                    "doc_id",
+                    F.expr(
+                        "replace(s, '_' || x || '__' || y || '_', "
+                        "'_' || x || y || '_')"
+                    ).alias("s"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def oracle_bpe_train_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    n_merges: int = 8,
+    train_frac: float = 1.0,
+    train_salt: str = "h5bpe",
+) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`bpe_train`: one
+    (pair-count, top-1, re-segment) CTE triple per round."""
+    gate = ""
+    if train_frac < 1.0:
+        gate = (
+            " WHERE cast(('0x' || substr(md5('" + train_salt + "' || "
+            "doc_id::VARCHAR), 1, 8))::BIGINT as double) / "
+            f"{float(1 << 32)} < {float(train_frac)!r}"
+        )
+    # MATERIALIZED: each s_i is referenced twice (pair count + next
+    # re-segmentation); inlined CTEs would re-derive the base scan
+    # 2^n_merges times (DuckDB hits EMFILE on the parquet at n=8)
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+  SELECT doc_id,
+         '__' || regexp_replace({_bpe_sanitize(text_expr, 'duckdb')},
+                                '(.)', '\\1__', 'g') AS s
+  FROM {table}{gate}
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS (
+  SELECT x, y, count(*)::BIGINT AS pair_count FROM (
+    SELECT t[i] AS x, t[i + 1] AS y FROM (
+      SELECT str_split(s, '__') AS t FROM s{p}
+    ), unnest(range(1, len(t))) u(i)
+  ) WHERE x NOT IN ('', ' ') AND y NOT IN ('', ' ')
+  GROUP BY x, y
+),
+m{i} AS MATERIALIZED (SELECT x, y, pair_count FROM c{i}
+         ORDER BY pair_count DESC, x, y LIMIT 1)"""
+        )
+        if i < n_merges:
+            ctes.append(
+                f"""s{i} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, '_' || (SELECT x FROM m{i}) || '__' ||
+                    (SELECT y FROM m{i}) || '_',
+                 '_' || (SELECT x FROM m{i}) ||
+                    (SELECT y FROM m{i}) || '_') AS s
+  FROM s{p}
+)"""
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS merge_idx, x, y, pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + sel
+        + "\n) ORDER BY merge_idx"
+    )

@@ -121,3 +121,127 @@ def test_invalid_merge_token_rejected(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_token_count(df, merges=[("a_b", "c")])
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: distributed merge learning (Sennrich training)
+
+
+def ref_train(texts, n):
+    """Serial reference: per round, count adjacent pairs corpus-wide
+    (word-internal), take (count DESC, (x,y) ASC), merge everywhere
+    left-to-right without overlap."""
+    from collections import Counter
+
+    segs = []
+    for t in texts:
+        san = re.sub("[^a-z0-9]+", " ", t.lower()).strip()
+        segs.append(list(san))
+    merges = []
+    for _ in range(n):
+        cnt = Counter()
+        for toks in segs:
+            for a, b in zip(toks, toks[1:]):
+                if a != " " and b != " ":
+                    cnt[(a, b)] += 1
+        if not cnt:
+            break
+        mx = max(cnt.values())
+        x, y = min(k for k, v in cnt.items() if v == mx)
+        merges.append((x, y, mx))
+        for si, toks in enumerate(segs):
+            new, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == x and toks[i + 1] == y:
+                    new.append(x + y)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            segs[si] = new
+    return merges
+
+
+TRAIN_TEXTS = [
+    "the theory of the thing",
+    "then there is the thin theme",
+    "banana and bandana",
+    "attention is all you need the end",
+    "Punct, CASE and 100% digits 2020!",
+]
+
+
+def test_train_matches_serial_reference(spark):
+    from html5ever_elixir_spark.operators.textstats import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN_TEXTS)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.x, r.y, r.pair_count)
+        for r in bpe_train(df, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    assert got == ref_train(TRAIN_TEXTS, 6)
+
+
+def test_train_parallelism_invariant(spark):
+    from html5ever_elixir_spark.operators.textstats import bpe_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN_TEXTS * 3)],
+        "doc_id long, text string",
+    )
+    outs = []
+    for parts in (1, 7):
+        rows = bpe_train(df.repartition(parts), n_merges=4).collect()
+        outs.append(sorted((r.merge_idx, r.x, r.y, r.pair_count)
+                           for r in rows))
+    assert outs[0] == outs[1]
+
+
+def test_train_duckdb_oracle_parity(spark):
+    from html5ever_elixir_spark.operators.textstats import (
+        bpe_train,
+        oracle_bpe_train_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN_TEXTS)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_idx, r.x, r.y, r.pair_count)
+        for r in bpe_train(df, n_merges=5).orderBy("merge_idx").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(TRAIN_TEXTS))
+    )
+    ora = con.execute(oracle_bpe_train_sql(n_merges=5)).fetchall()
+    assert got == [tuple(r) for r in ora]
+
+
+def test_train_then_encode_roundtrip(spark):
+    # the learned table plugs straight into the encoder
+    from html5ever_elixir_spark.operators.textstats import (
+        bpe_token_count,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN_TEXTS)],
+        "doc_id long, text string",
+    )
+    learned = [
+        (r.x, r.y)
+        for r in bpe_train(df, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    got = {
+        r.doc_id: (r.n_bpe_tokens, r.bpe_preview)
+        for r in bpe_token_count(df, merges=learned).collect()
+    }
+    for i, t in enumerate(TRAIN_TEXTS):
+        toks = ref_bpe(t, learned)
+        assert got[i] == (len(toks), "|".join(toks[:8]))
