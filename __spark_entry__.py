@@ -647,6 +647,16 @@ def _q_curation_chunks_v2(spark, sf_dir):
     )
 
 
+def _q_curation_chunks_v3(spark, sf_dir):
+    # r8 flow: v2 + corpus-wide long-duplicate-span scrub before PII
+    # scrubbing + a per-chunk BPE token ledger column (the budget a
+    # trainer actually pays)
+    docs = _docs(spark, sf_dir)
+    return curation.run_curation_v3(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0")
+    )
+
+
 def _q_text_pack(spark, sf_dir):
     # small chunk/seq sizes so the sf docs actually produce multi-chunk
     # packing (sf0.01 docs are short)
@@ -1688,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count_bpe": _q_text_token_count_bpe,
         "text_bpe_train": _q_text_bpe_train,
         "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "curation_chunks_v3": _q_curation_chunks_v3,
         "url_robots_filter": _q_url_robots_filter,
         "html_page_metadata": _q_html_page_metadata,
         "html_css_select": _q_html_css_select,
@@ -1877,6 +1888,7 @@ SELECT * FROM (
         ),
         "text_token_count_bpe": textstats.oracle_bpe_token_count_sql(),
         "text_bpe_train": textstats.oracle_bpe_train_sql(n_merges=8),
+        "curation_chunks_v3": curation.oracle_curation_v3_sql(),
         "url_robots_filter": _ROBOTS_ORACLE,
         "html_page_metadata": _META_ORACLE,
         "html_css_select": _SELECT_ORACLE,

@@ -231,18 +231,7 @@ def token_budget(
     from pyspark.sql import Window
 
     if mode == "bpe":
-        san = _bpe_sanitize(text_col, "spark")
-        chain = _bpe_chain(
-            "'__' || regexp_replace(san, '(.)', '$1__')",
-            DEFAULT_BPE_MERGES,
-        )
-        cnt = (
-            f"transform(array({san}), san -> transform(array({chain}), "
-            "s -> cast((length(s) - length(replace(s, '__', ''))) div 2 "
-            "- 1 - (length(san) - length(replace(san, ' ', ''))) "
-            "as bigint))[0])[0]"
-        )
-        tok_expr = F.expr(cnt)
+        tok_expr = F.expr(bpe_count_expr(text_col, "spark"))
     elif mode == "words":
         tok_expr = F.size(F.split(F.trim(F.col(text_col)), " +"))
     else:  # pragma: no cover
@@ -1335,4 +1324,32 @@ m{i} AS MATERIALIZED (SELECT x, y, pair_count FROM c{i}
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + sel
         + "\n) ORDER BY merge_idx"
+    )
+
+
+def bpe_count_expr(text_col: str, dialect: str, merges=None) -> str:
+    """Scalar SQL expression: BPE token count of ``text_col`` (the
+    :func:`bpe_token_count` rule as one expression, for embedding in
+    composed pipelines/oracles). Spark side lambda-binds the sanitize
+    and merge chain; the DuckDB side inlines (oracle-only, single
+    node)."""
+    mg = DEFAULT_BPE_MERGES if merges is None else merges
+    san = _bpe_sanitize(text_col, dialect)
+    if dialect == "spark":
+        chain = _bpe_chain(
+            "'__' || regexp_replace(san, '(.)', '$1__')", mg
+        )
+        return (
+            f"transform(array({san}), san -> transform(array({chain}), "
+            "s -> cast((length(s) - length(replace(s, '__', ''))) div 2 "
+            "- 1 - (length(san) - length(replace(san, ' ', ''))) "
+            "as bigint))[0])[0]"
+        )
+    chain = _bpe_chain(
+        f"'__' || regexp_replace({san}, '(.)', '\\1__', 'g')", mg
+    )
+    return (
+        f"((length({chain}) - length(replace({chain}, '__', ''))) // 2 "
+        f"- 1 - (length({san}) - length(replace({san}, ' ', ''))))"
+        "::BIGINT"
     )

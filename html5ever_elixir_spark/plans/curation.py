@@ -202,3 +202,129 @@ SELECT doc_id, i::BIGINT AS chunk_idx,
          AS n_chunk_words
 FROM e
 """
+
+
+def run_curation_v3(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    rates: dict[str, float] = None,
+    chunk_words: int = 200,
+    overlap: int = 20,
+    span_tokens: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Round-8 curation flow — v2 plus the two r8 text stages:
+
+        gate → sample → canonical dedup → decontaminate
+             → LONG-SPAN SCRUB (ExactSubstr: corpus-wide duplicated
+               ≥ span_tokens-token spans removed from survivors)
+             → scrub PII → chunk → BPE TOKEN LEDGER per chunk
+
+    Composition order is still the cost order: the long-span gram
+    count, like keep-longest and decontamination, runs against the
+    FULL training corpus (a span duplicated across a gated-out doc and
+    a survivor must still be caught), but the per-doc rewrite is only
+    JOINED for survivors; PII scrubbing rewrites survivors after span
+    removal (scrubbing first would split spans); the BPE count — the
+    budget a trainer actually pays — is a row-local codegen'd
+    expression over each emitted chunk. Output
+    (doc_id, chunk_idx, chunk_text, n_chunk_words, n_bpe_tokens)."""
+    from ..operators.dedup import long_dup_spans
+    from ..operators.textstats import bpe_count_expr
+
+    rates = DEFAULT_RATES if rates is None else rates
+    gated = stratified_sample(
+        quality_filter(docs, text_col, id_col, project=False),
+        rates,
+        id_col=id_col,
+    )
+    canon = (
+        keep_longest(docs, text_col, id_col)
+        .where("keep")
+        .select(id_col)
+    )
+    contaminated = decontaminate(
+        docs, benchmark, text_col, id_col, hits_only=True
+    ).select(id_col)
+    despanned_text = long_dup_spans(
+        docs, text_col, id_col, min_tokens=span_tokens
+    ).select(F.col(id_col), F.col("clean_text"))
+    kept = (
+        gated.join(canon, id_col, "semi")
+        .join(contaminated, id_col, "anti")
+        .join(despanned_text, id_col)
+        .select(F.col(id_col), F.col("clean_text").alias(text_col))
+    )
+    scrubbed = scrub_pii(kept, text_col, id_col).select(
+        F.col(id_col), F.col("text_scrubbed").alias(text_col)
+    )
+    chunks = chunk_documents(scrubbed, chunk_words, overlap, text_col, id_col)
+    return chunks.withColumn(
+        "n_bpe_tokens", F.expr(bpe_count_expr("chunk_text", "spark"))
+    )
+
+
+def oracle_curation_v3_sql(
+    table: str = "documents",
+    docs_pred: str = "doc_id % 5 <> 0",
+    bench_pred: str = "doc_id % 5 = 0",
+    rates: dict[str, float] = None,
+    chunk_words: int = 200,
+    overlap: int = 20,
+    span_tokens: int = 15,
+) -> str:
+    """DuckDB mirror of :func:`run_curation_v3`: the v2 CTE chain with
+    the long-span oracle spliced in before scrubbing and the BPE count
+    expression on each emitted chunk."""
+    from ..operators.dedup import oracle_long_dup_spans_sql
+    from ..operators.textstats import bpe_count_expr
+
+    rates = DEFAULT_RATES if rates is None else rates
+    step = chunk_words - overlap
+    qf = oracle_quality_filter_sql("train")
+    sm = oracle_stratified_sample_sql(rates, "train", select="doc_id")
+    kl = oracle_keep_longest_sql("train")
+    dc = oracle_decontaminate_sql(table, docs_pred, bench_pred)
+    ls = oracle_long_dup_spans_sql(
+        "text", "train", min_tokens=span_tokens
+    )
+    sc = oracle_scrub_pii_sql("kept")
+    return f"""
+WITH train AS (SELECT * FROM {table} WHERE {docs_pred}),
+contaminated AS (
+  SELECT doc_id FROM ({dc}) _dc WHERE contaminated
+),
+despanned AS (SELECT doc_id, clean_text FROM ({ls}) _ls),
+kept AS (
+  SELECT d.doc_id, ds.clean_text AS text FROM train d
+  JOIN despanned ds ON ds.doc_id = d.doc_id
+  WHERE d.doc_id IN (SELECT doc_id FROM ({qf}) _qf)
+    AND d.doc_id IN ({sm})
+    AND d.doc_id IN (SELECT doc_id FROM ({kl}) _kl WHERE keep)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+scrubbed AS (
+  SELECT doc_id, text_scrubbed AS text FROM ({sc}) _sc
+),
+w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM scrubbed
+  WHERE text IS NOT NULL
+),
+e AS (
+  SELECT doc_id, ws, unnest(generate_series(0,
+           greatest(1, ceil((len(ws) - {overlap}) / {step})::INT) - 1)) AS i
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, i::BIGINT AS chunk_idx,
+         array_to_string(ws[i * {step} + 1 : i * {step} + {chunk_words}],
+                         ' ') AS chunk_text,
+         len(ws[i * {step} + 1 : i * {step} + {chunk_words}])::BIGINT
+           AS n_chunk_words
+  FROM e
+)
+SELECT doc_id, chunk_idx, chunk_text, n_chunk_words,
+       {bpe_count_expr('chunk_text', 'duckdb')} AS n_bpe_tokens
+FROM chunks
+"""
