@@ -1628,101 +1628,134 @@ def _q_html_table_grid(spark, sf_dir):
     )
 
 
+def _q_media_dhash_pairs(spark, sf_dir):
+    # image near-dup through the REAL raster decode path: each doc's
+    # text head becomes an exact-grid 9x8 P5 image (grid cells == the
+    # pixels, so DuckDB replays the 64-bit dHash as a direct byte
+    # formula while Spark runs the full container parse + decode), docs
+    # with doc_id % 11 == 0 carry a one-bit "re-encoded copy"
+    # perturbation, and pairs come from the shared 16-bit-chunk
+    # pigeonhole bucketing (dedup.hamming_pairs_64)
+    from html5ever_elixir_spark.operators.multimodal import (
+        docs_to_dhash_pnms,
+        image_dhash_pairs,
+    )
+
+    media = docs_to_dhash_pnms(
+        _docs(spark, sf_dir).where("length(text) > 0")
+    )
+    return image_dhash_pairs(media)
+
+
+def _oracle_media_dhash_pairs_sql() -> str:
+    from html5ever_elixir_spark.operators.dedup import (
+        oracle_hamming_pairs_64_sql,
+    )
+    from html5ever_elixir_spark.operators.multimodal import oracle_dhash_sql
+
+    inner = oracle_dhash_sql(
+        "(SELECT * FROM documents WHERE length(text) > 0) d"
+    )
+    return oracle_hamming_pairs_64_sql(
+        f"SELECT media_id, dhash_hi, dhash_lo FROM ({inner}) h",
+        id_col="media_id",
+        hi_col="dhash_hi",
+        lo_col="dhash_lo",
+    )
+
+
+def _q_html_jsonld(spark, sf_dir):
+    # structured-data extraction through the REAL parser: synthesized
+    # pages embed 0-2 JSON-LD blocks (doc_id % 3 == 1: none; % 7 == 3:
+    # block 1 is TRUNCATED JSON — parsed fields must come back NULL
+    # row-locally; % 5 == 0: a second BreadcrumbList block), the script
+    # RAWTEXT rides the real tokenizer, and field extraction is
+    # JVM-side get_json_object — the oracle predicts every row from
+    # doc_id arithmetic alone
+    from html5ever_elixir_spark.operators.metadata import jsonld_records
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "concat('doc://', cast(doc_id as string)) AS url",
+        """concat(
+          '<html><head><title>t</title>',
+          CASE WHEN doc_id % 3 = 1 THEN ''
+               WHEN doc_id % 7 = 3 THEN concat(
+                 '<script type="application/ld+json">',
+                 '{"@type":"Article","identifier":</script>')
+               ELSE concat(
+                 '<script type="application/ld+json">',
+                 '{"@type":"Article","identifier":',
+                 cast(doc_id as string),
+                 ',"charCount":', cast(length(text) as string),
+                 '}</script>')
+          END,
+          CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 1 THEN concat(
+                 '<script type="application/ld+json">',
+                 '{"@type":"BreadcrumbList","identifier":',
+                 cast(doc_id as string), ',"charCount":0}</script>')
+               ELSE '' END,
+          '</head><body><p>b</p></body></html>') AS html""",
+    )
+    out = jsonld_records(pages=pages)
+    return out.select(
+        "url",
+        "block_idx",
+        F.get_json_object("raw", "$['@type']").alias("ld_type"),
+        F.get_json_object("raw", "$.identifier")
+        .cast("bigint")
+        .alias("identifier"),
+        F.get_json_object("raw", "$.charCount")
+        .cast("bigint")
+        .alias("char_count"),
+    )
+
+
+_JSONLD_ORACLE = """
+SELECT 'doc://' || cast(doc_id as varchar) AS url, 1::BIGINT AS block_idx,
+       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE 'Article' END AS ld_type,
+       (CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id END)::BIGINT
+         AS identifier,
+       (CASE WHEN doc_id % 7 = 3 THEN NULL ELSE length(text) END)::BIGINT
+         AS char_count
+FROM documents WHERE doc_id % 3 <> 1
+UNION ALL
+SELECT 'doc://' || cast(doc_id as varchar) AS url, 2::BIGINT AS block_idx,
+       'BreadcrumbList' AS ld_type, doc_id::BIGINT AS identifier,
+       0::BIGINT AS char_count
+FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
     # round rotates which entries sit past the window (see COVERAGE.md
-    # "Driver-window rotation").  Round 7 (88 queries): the 32 r6-tail
-    # queries LEAD (each gets its r7 driver row), then the r7 new/changed
-    # queries (graph_link_edges/graph_pagerank — new link-graph layer;
-    # dedup_paragraphs — new first-occurrence paragraph dedup;
-    # url_robots_filter — new RFC 9309 politeness gate;
-    # html_page_metadata — new head-metadata extraction gate;
-    # html_css_select — new CSS selector engine; html_table_grid — new
-    # table-cell extraction (child-index AND colspan/rowspan grid slots
-    # in one gate); html_markdown — new HTML→Markdown
-    # conversion; html_extract_charsets — new multi-byte sniff gate;
-    # media_webp_features — new VP8L decode gate;
-    # ann_ivf_cells/ann_ivf_topk on the sample-trained build;
-    # text_lm_buckets on the two-pass exact bucketing;
-    # sample_cap_per_source with the salted pre-cap; warc_extract with
-    # the zlib-CMF deflate sniff; pdf_extract_text with the CID-CMap
-    # mix) and 2 of the 4 flagship parity gates (html_tree_json,
-    # html_extract_text — the load-bearing encoders) fill the window
-    # to exactly 50 (html_tree_json_maps and html_attrs_map_merge
-    # rotate just past the boundary this round — green r06 driver
-    # rows, still in the oracle_check sweep); past-window = 42
-    # queries, every one with a green CORRECTNESS_r06 row AND
-    # re-verified via tools/oracle_check.py this round, so after r7
-    # every query has a driver row in r06 ∪ r07.
+    # "Driver-window rotation, round 8").  Round 8 (97 queries): the 42
+    # r7-tail queries LEAD (their last driver rows are r06 — each gets its
+    # r8 row so every query stays covered by r07 ∪ r08), then the 5
+    # r8-new queries (dedup_long_spans — exact-substring ≥L-token span
+    # dedup; text_token_count_bpe — deterministic BPE token ledger;
+    # text_bpe_train — distributed BPE merge learning; ann_ivf_pq_topk —
+    # IVF-PQ residual quantization with ADC search; curation_chunks_v3 —
+    # the end-to-end flow with the long-span scrub + BPE ledger),
+    # pdf_extract_text (r8 behavior change: doc_id%5==2 docs now route
+    # through the 4 predefined Uni*-UCS2 CMap families), and the 2
+    # flagship parity gates (html_tree_json, html_extract_text — the
+    # load-bearing encoders, in-window every round) fill the window to
+    # exactly 50.  Past-window = the 47 r7-window queries, every one
+    # green in CORRECTNESS_r07 and unchanged this round (the parse-once
+    # fix to graph_link_edges / html_page_metadata changes the PLAN, not
+    # the values — plan pytests + the full tools/oracle_check.py sweep
+    # re-verify them), so after r8 every query has a driver row in
+    # r07 ∪ r08.
     return {
-        # previously past the driver window (r6 tail) — now first
-        "media_raster_features": _q_media_raster_features,
-        "media_features": _q_media_features,
-        "text_token_budget": _q_text_token_budget,
-        "text_chunks": _q_text_chunks,
-        "html_error_rows": _q_html_error_rows,
-        "dedup_exact": _q_dedup_exact,
-        "text_token_count": _q_token_count,
-        "text_repetition": _q_text_repetition,
-        "url_dedup": _q_url_dedup,
-        "text_quality": _q_quality,
-        "url_host_counts": _q_url_host_counts,
-        "text_lang_id": _q_lang_id,
-        "html_text_nodes": _q_html_text_nodes,
-        "html_extract_text_v2": _q_html_extract_v2,
-        "html_flat_error_rows": _q_html_flat_error_rows,
-        "html_titles": _q_html_titles,
-        "html_links": _q_html_links,
-        "html_node_histogram": _q_html_node_histogram,
-        "html_node_histogram_fast": _q_html_node_histogram_fast,
-        "html_max_depth": _q_html_max_depth,
-        "html_attrs_by_tag": _q_html_attrs_by_tag,
-        "curation_chunks_v2": _q_curation_chunks_v2,
-        "sample_split": _q_sample_split,
-        "text_nfc": _q_text_nfc,
-        "text_tfidf_topk": _q_text_tfidf,
-        "text_lm_score": _q_text_lm_score,
-        "html_extract_cp1252": _q_html_extract_cp1252,
-        "html_extract_charsets": _q_html_extract_charsets,
-        "emb_neardup_pairs": _q_emb_neardup,
-        "emb_neardup_clusters": _q_emb_neardup_clusters,
-        "sample_temperature_mix": _q_sample_temperature_mix,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
-        # round-7 new / behavior-changed queries
-        "graph_link_edges": _q_graph_link_edges,
-        "graph_pagerank": _q_graph_pagerank,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "dedup_long_spans": _q_dedup_long_spans,
-        "text_token_count_bpe": _q_text_token_count_bpe,
-        "text_bpe_train": _q_text_bpe_train,
-        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
-        "curation_chunks_v3": _q_curation_chunks_v3,
-        "url_robots_filter": _q_url_robots_filter,
-        "html_page_metadata": _q_html_page_metadata,
-        "html_css_select": _q_html_css_select,
-        "html_table_grid": _q_html_table_grid,
-        "html_markdown": _q_html_markdown,
-        "media_webp_features": _q_media_webp_features,
-        "ann_ivf_cells": _q_ann_ivf_cells,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "text_lm_buckets": _q_text_lm_buckets,
-        "sample_cap_per_source": _q_sample_cap_per_source,
-        "warc_extract": _q_warc_extract,
-        "pdf_extract_text": _q_pdf_extract_text,
-        # flagship parity gates (load-bearing encoders stay every round)
-        "html_tree_json": _q_html_tree_json,
-        "html_extract_text": _q_html_extract,
-        # ---- 50-row window boundary ----
+        # previously past the driver window (r7 tail) — now first
         "html_tree_json_maps": _q_html_tree_json_maps,
         "html_attrs_map_merge": _q_html_attrs_map_merge,
         "html_fragment_tree": _q_html_fragment_tree,
         "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
         "media_gif_features": _q_media_gif_features,
         "media_wav_features": _q_media_wav_features,
-        # r7 tail: 38 queries, all green in CORRECTNESS_r06 and
-        # re-verified via tools/oracle_check.py this round
         "url_blocklist": _q_url_blocklist,
         "dedup_lsh_cc": _q_dedup_lsh_cc,
         "dedup_bloom_incremental": _q_dedup_bloom,
@@ -1759,6 +1792,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_multiprobe": _q_ann_srp_multiprobe,
         "emb_normalize": _q_emb_normalize,
         "text_quality_filter": _q_text_quality_filter,
+        # round-8 new queries
+        "dedup_long_spans": _q_dedup_long_spans,
+        "text_token_count_bpe": _q_text_token_count_bpe,
+        "text_bpe_train": _q_text_bpe_train,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq_topk,
+        "curation_chunks_v3": _q_curation_chunks_v3,
+        # round-8 behavior change (UCS2 CID-CMap doc mix)
+        "pdf_extract_text": _q_pdf_extract_text,
+        # flagship parity gates (load-bearing encoders stay every round)
+        "html_tree_json": _q_html_tree_json,
+        "html_extract_text": _q_html_extract,
+        # ---- 50-row window boundary ----
+        # r8 tail: 47 queries, all green in CORRECTNESS_r07 and
+        # re-verified via tools/oracle_check.py this round
+        "media_raster_features": _q_media_raster_features,
+        "media_features": _q_media_features,
+        "text_token_budget": _q_text_token_budget,
+        "text_chunks": _q_text_chunks,
+        "html_error_rows": _q_html_error_rows,
+        "dedup_exact": _q_dedup_exact,
+        "text_token_count": _q_token_count,
+        "text_repetition": _q_text_repetition,
+        "url_dedup": _q_url_dedup,
+        "text_quality": _q_quality,
+        "url_host_counts": _q_url_host_counts,
+        "text_lang_id": _q_lang_id,
+        "html_text_nodes": _q_html_text_nodes,
+        "html_extract_text_v2": _q_html_extract_v2,
+        "html_flat_error_rows": _q_html_flat_error_rows,
+        "html_titles": _q_html_titles,
+        "html_links": _q_html_links,
+        "html_node_histogram": _q_html_node_histogram,
+        "html_node_histogram_fast": _q_html_node_histogram_fast,
+        "html_max_depth": _q_html_max_depth,
+        "html_attrs_by_tag": _q_html_attrs_by_tag,
+        "curation_chunks_v2": _q_curation_chunks_v2,
+        "sample_split": _q_sample_split,
+        "text_nfc": _q_text_nfc,
+        "text_tfidf_topk": _q_text_tfidf,
+        "text_lm_score": _q_text_lm_score,
+        "html_extract_cp1252": _q_html_extract_cp1252,
+        "html_extract_charsets": _q_html_extract_charsets,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,
+        "sample_temperature_mix": _q_sample_temperature_mix,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_clusters": _q_dedup_lsh_clusters,
+        "graph_link_edges": _q_graph_link_edges,
+        "graph_pagerank": _q_graph_pagerank,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_robots_filter": _q_url_robots_filter,
+        "html_page_metadata": _q_html_page_metadata,
+        "html_css_select": _q_html_css_select,
+        "html_table_grid": _q_html_table_grid,
+        "html_markdown": _q_html_markdown,
+        "media_webp_features": _q_media_webp_features,
+        "ann_ivf_cells": _q_ann_ivf_cells,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_lm_buckets": _q_text_lm_buckets,
+        "sample_cap_per_source": _q_sample_cap_per_source,
+        "warc_extract": _q_warc_extract,
+        # r8-late additions (born past-window: the r8 window was already
+        # full when these landed; oracle_check-gated this round, they
+        # lead the r9 window per COVERAGE.md)
+        "media_dhash_pairs": _q_media_dhash_pairs,
+        "html_jsonld": _q_html_jsonld,
     }
 
 
@@ -1926,6 +2025,13 @@ SELECT * FROM (
             f"FROM ({similarity.oracle_normalize_sql()})"
         ),
         "text_quality_filter": textstats.oracle_quality_filter_sql(),
+        # image dHash near-dup: direct byte formula for the exact-grid
+        # P5 synthesis + the shared 16-bit-chunk pair bucketing
+        "media_dhash_pairs": _oracle_media_dhash_pairs_sql(),
+        # JSON-LD rows predicted from doc_id arithmetic (block 1 unless
+        # % 3 == 1; NULL fields when % 7 == 3 truncates the JSON;
+        # block 2 when % 5 == 0)
+        "html_jsonld": _JSONLD_ORACLE,
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

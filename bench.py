@@ -307,6 +307,13 @@ def run_suite(spark, sf_dir: str):
     timed("ann_ivf_pq_topk", lambda: _noop(
         similarity.ivf_pq_topk(emb, n_queries=20, k_top=10)
     ))
+    # round-8 late: image near-dup — real P5 decode → dHash →
+    # checkpoint barrier → pigeonhole bucketed pair join
+    from html5ever_elixir_spark.operators import multimodal as _mm
+
+    timed("media_dhash_pairs", lambda: _noop(
+        _mm.image_dhash_pairs(_mm.docs_to_dhash_pnms(docs))
+    ))
     return n_docs, timings
 
 

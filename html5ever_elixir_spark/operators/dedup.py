@@ -1320,6 +1320,121 @@ WHERE (bit_count(xor(a.simhash_hi, b.simhash_hi))
 
 
 # ---------------------------------------------------------------------------
+# generic 64-bit Hamming candidate pairs (hash-agnostic: SimHash,
+# image dHash, any (hi, lo) 32-bit-half fingerprint)
+
+
+def hamming_pairs_64(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "hash_hi",
+    lo_col: str = "hash_lo",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup candidate pairs over ANY 64-bit fingerprint stored as
+    two non-negative 32-bit halves (the repo's sign-safe convention,
+    see :func:`simhash64`): bucket on each of the four 16-bit chunks
+    (pigeonhole — any Hamming-<=3 pair shares one), join in-bucket
+    only, verify exact distance with bit_count(xor). Oversized buckets
+    (identical-fingerprint clusters) are skipped like
+    :func:`lsh_candidate_pairs`; route those through exact dedup.
+
+    The same 100 TB plan as :func:`simhash_pairs` — a bucketed
+    equi-join, never an all-pairs product; the second join side is a
+    ReusedExchange of the first. Output (id_a, id_b, hamming)."""
+    chunk_exprs = (
+        f"shiftright({hi_col}, 16) & 65535",
+        f"{hi_col} & 65535",
+        f"shiftright({lo_col}, 16) & 65535",
+        f"{lo_col} & 65535",
+    )
+    chunked = hashes.select(
+        F.col(id_col),
+        F.col(hi_col),
+        F.col(lo_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("chunk"), F.expr(e).alias("cv"))
+                for i, e in enumerate(chunk_exprs)
+            ])
+        ).alias("cc"),
+    ).select(id_col, hi_col, lo_col, "cc.chunk", "cc.cv")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        chunked = (
+            chunked.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("chunk", "cv"))
+            )
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = (
+        f"cast(bit_count(a.{hi_col} ^ b.{hi_col}) "
+        f"+ bit_count(a.{lo_col} ^ b.{lo_col}) as bigint)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr(ham).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def oracle_hamming_pairs_64_sql(
+    inner: str,
+    id_col: str = "doc_id",
+    hi_col: str = "hash_hi",
+    lo_col: str = "hash_lo",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """DuckDB mirror of :func:`hamming_pairs_64`; ``inner`` is a SELECT
+    producing (id_col, hi_col, lo_col)."""
+    duck_chunks = (
+        f"({hi_col} >> 16) & 65535",
+        f"{hi_col} & 65535",
+        f"({lo_col} >> 16) & 65535",
+        f"{lo_col} & 65535",
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {hi_col}, {lo_col}, {i} AS chunk, ({e}) AS cv "
+        "FROM hsh"
+        for i, e in enumerate(duck_chunks)
+    )
+    src = "chunked"
+    cap = ""
+    if max_bucket is not None:
+        cap = (
+            f", small AS (SELECT {id_col}, {hi_col}, {lo_col}, chunk, cv "
+            "FROM (SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS _bsz "
+            f"FROM chunked) WHERE _bsz <= {max_bucket})"
+        )
+        src = "small"
+    return f"""
+WITH hsh AS ({inner}), chunked AS ({chunk_rows}){cap}
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  (bit_count(xor(a.{hi_col}, b.{hi_col}))
+   + bit_count(xor(a.{lo_col}, b.{lo_col})))::BIGINT AS hamming
+FROM {src} a JOIN {src} b
+  ON a.chunk = b.chunk AND a.cv = b.cv AND a.{id_col} < b.{id_col}
+WHERE (bit_count(xor(a.{hi_col}, b.{hi_col}))
+   + bit_count(xor(a.{lo_col}, b.{lo_col}))) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard over candidate pairs
 
 

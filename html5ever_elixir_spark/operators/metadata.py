@@ -43,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["page_metadata"]
+__all__ = ["page_metadata", "jsonld_records"]
 
 _TEXT_CONCAT = (
     "concat_ws('', transform(array_sort("
@@ -150,4 +150,57 @@ def page_metadata(
             "jsonld_type"
         ),
         "html_lang",
+    )
+
+
+def jsonld_records(
+    pages: DataFrame | None = None, nodes: DataFrame | None = None
+) -> DataFrame:
+    """ALL JSON-LD blocks per page, in document order — the structured-
+    data side of crawl extraction (schema.org cards power search
+    snippets, product/recipe corpora, KG construction). Where
+    :func:`page_metadata` keeps only the FIRST block's ``@type``, this
+    emits one row per ``<script type="application/ld+json">`` element:
+
+        (url, block_idx bigint, raw string)
+
+    ``block_idx`` is the 1-based document-order position (node ids are
+    creation order; ``row_number`` over the per-url window — bounded:
+    blocks per page is a small constant, never a corpus-level key).
+    ``raw`` is the REAL parser's text content for the script element
+    (RAWTEXT concatenation of its text children) — parse it JVM-side
+    with ``get_json_object`` / ``from_json``; malformed JSON then
+    yields NULL fields row-locally, never a job failure.
+
+    Plan: same two-leg shape as :func:`page_metadata` (element filter +
+    text-child join on the uniform (url, element id) key), raw pages
+    parsed ONCE via the eager localCheckpoint."""
+    if nodes is None:
+        if pages is None:
+            raise ValueError("jsonld_records needs pages or nodes")
+        from .parse import flat_parse_nodes
+
+        nodes = flat_parse_nodes(pages).localCheckpoint(eager=True)
+
+    scripts = nodes.where(
+        "type = 'element' AND name = 'script' AND "
+        "lower(trim(element_at(attrs_map, 'type'))) = 'application/ld+json'"
+    ).select("url", F.col("node_id").alias("e_id"))
+    texts = nodes.where("type = 'text'").select(
+        "url", F.col("parent_id").alias("e_id"), "node_id", "contents"
+    )
+    blocks = (
+        scripts.join(texts, ["url", "e_id"], "left")
+        .groupBy("url", "e_id")
+        .agg(F.expr(_TEXT_CONCAT).alias("raw"))
+    )
+    from pyspark.sql import Window
+
+    return blocks.select(
+        "url",
+        F.row_number()
+        .over(Window.partitionBy("url").orderBy("e_id"))
+        .cast("bigint")
+        .alias("block_idx"),
+        "raw",
     )

@@ -2401,3 +2401,223 @@ def extract_media_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + Hamming near-dup pairs — the image
+# leg of corpus dedup: re-encoded/resized copies of the same picture
+# survive exact-byte dedup but collapse under a gradient-sign hash
+
+
+def dhash_from_pixels(
+    px: list[int], w: int, h: int, grid_w: int = 8, grid_h: int = 8
+) -> tuple[int, int]:
+    """Pure dHash over a decoded grayscale raster: integer block-mean
+    downsample to a (grid_w+1) x grid_h grid, then one bit per
+    horizontal gradient sign (cell > right neighbor). All-integer
+    (floor-division means) so an oracle can replay it exactly. Returns
+    the 64-bit hash as two non-negative 32-bit halves (bit p = row-major
+    gradient index; p < 32 -> hi bit p, else lo bit p-32) — the repo's
+    sign-safe fingerprint convention (see dedup.simhash64)."""
+    gw1 = grid_w + 1
+    if w < gw1 or h < grid_h:
+        raise ValueError(
+            f"image {w}x{h} too small for {gw1}x{grid_h} dhash grid"
+        )
+    cells = []
+    for r in range(grid_h):
+        y0, y1 = r * h // grid_h, (r + 1) * h // grid_h
+        row_cells = []
+        for c in range(gw1):
+            x0, x1 = c * w // gw1, (c + 1) * w // gw1
+            s = 0
+            for y in range(y0, y1):
+                base = y * w
+                for x in range(x0, x1):
+                    s += px[base + x]
+            row_cells.append(s // ((y1 - y0) * (x1 - x0)))
+        cells.append(row_cells)
+    hi = lo = 0
+    for r in range(grid_h):
+        for c in range(grid_w):
+            if cells[r][c] > cells[r][c + 1]:
+                p = r * grid_w + c
+                if p < 32:
+                    hi |= 1 << p
+                else:
+                    lo |= 1 << (p - 32)
+    return hi, lo
+
+
+DHASH_SCHEMA = (
+    "media_id bigint, width bigint, height bigint, "
+    "dhash_hi bigint, dhash_lo bigint, decode_error string"
+)
+
+
+def image_dhash(
+    media: DataFrame,
+    grid_w: int = 8,
+    grid_h: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media(media_id, payload) -> per-image 64-bit dHash through the
+    REAL raster decode path (:func:`_decode_raster`: PNM/BMP/PNG/GIF/
+    JPEG/WebP-VP8L). Row-local in Arrow batches — zero shuffle; at
+    100 TB the decode cost dominates and scales embarrassingly, and the
+    8-byte hash (not the image) is all that ever shuffles downstream.
+    Decode/size failures are row-level ``decode_error`` rows."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            payloads = batch.column(1).to_pylist()
+            out = {"media_id": ids, "width": [], "height": [],
+                   "dhash_hi": [], "dhash_lo": [], "decode_error": []}
+            for p in payloads:
+                try:
+                    if p is None:
+                        raise ValueError("null payload")
+                    w, h, px = _decode_raster(bytes(p))
+                    hi, lo = dhash_from_pixels(px, w, h, grid_w, grid_h)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+                    out["decode_error"].append(None)
+                except Exception as e:  # decode failures are row-level
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["dhash_hi"].append(None)
+                    out["dhash_lo"].append(None)
+                    out["decode_error"].append(str(e))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("width", pa.int64()),
+                    ("height", pa.int64()), ("dhash_hi", pa.int64()),
+                    ("dhash_lo", pa.int64()), ("decode_error", pa.string()),
+                ]),
+            )
+
+    pruned = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    return pruned.mapInArrow(fn, DHASH_SCHEMA)
+
+
+def image_dhash_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Image near-dup candidate pairs: real decode -> dHash -> the
+    shared 16-bit-chunk pigeonhole bucketing (dedup.hamming_pairs_64 —
+    bucketed equi-join, never all-pairs; oversized identical-hash
+    buckets are capped). Output (id_a, id_b, hamming).
+
+    The hash table is localCheckpointed eagerly before the self-join:
+    without the barrier each join leg re-runs the Arrow decode stage
+    (measured 4 MapInArrow stages — the graph/metadata parse-once
+    lesson), and at 100 TB the decode is the dominant cost while the
+    materialized rows are 30-ish bytes each. Plan-asserted in
+    tests/test_dhash.py::test_dhash_pairs_plan_single_parse_stage."""
+    from .dedup import DEFAULT_MAX_BUCKET, hamming_pairs_64
+
+    hashes = (
+        image_dhash(media, grid_w, grid_h)
+        .where("decode_error IS NULL")
+        .localCheckpoint(eager=True)
+    )
+    return hamming_pairs_64(
+        hashes,
+        id_col="media_id",
+        hi_col="dhash_hi",
+        lo_col="dhash_lo",
+        max_hamming=max_hamming,
+        max_bucket=DEFAULT_MAX_BUCKET if max_bucket is None else max_bucket,
+    )
+
+
+def docs_to_dhash_pnms(docs: DataFrame, grid_w: int = 8, grid_h: int = 8):
+    """Deterministic (grid_w+1) x grid_h P5 PNM per document for the
+    dHash gate: pixels are the first (grid_w+1)*grid_h bytes of the
+    ASCII text, space-padded, and docs with ``doc_id % 11 == 0`` get
+    their LAST pixel value +1 — a synthetic "re-encoded copy" whose
+    dHash differs from its unperturbed head-twin by at most one bit, so
+    the gate exercises hamming > 0 matches, not just identical hashes.
+    The exact grid size means dhash cells ARE the pixels (no resample),
+    keeping the oracle a direct byte formula while the Spark side still
+    runs the full container parse + decode."""
+    import pyarrow as pa
+
+    n_px = (grid_w + 1) * grid_h
+    header = f"P5 {grid_w + 1} {grid_h} 255\n".encode()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            payloads = []
+            for did, t in zip(ids, texts):
+                vals = bytearray((t or "")[:n_px].ljust(n_px).encode())
+                if did % 11 == 0:
+                    vals[-1] += 1
+                payloads.append(header + bytes(vals))
+            yield pa.RecordBatch.from_pydict(
+                {"media_id": ids, "payload": payloads},
+                schema=pa.schema([
+                    ("media_id", pa.int64()), ("payload", pa.binary()),
+                ]),
+            )
+
+    return docs.selectExpr("doc_id AS media_id", "text").mapInArrow(
+        fn, "media_id bigint, payload binary"
+    )
+
+
+def oracle_dhash_sql(
+    table: str = "documents", grid_w: int = 8, grid_h: int = 8
+) -> str:
+    """DuckDB mirror of image_dhash over docs_to_dhash_pnms payloads:
+    pixel i (1-based) = ord of the padded text head, +1 on the last
+    pixel for doc_id % 11 == 0; bit (r, c) = px[r*(gw+1)+c+1] >
+    px[r*(gw+1)+c+2]."""
+    gw1 = grid_w + 1
+    n_px = gw1 * grid_h
+
+    def bit_terms(lo_row: int, hi_row: int) -> str:
+        terms = []
+        for r in range(lo_row, hi_row):
+            for c in range(grid_w):
+                p = r * grid_w + c
+                shift = p if p < 32 else p - 32
+                a = r * gw1 + c + 1
+                b = a + 1
+                terms.append(
+                    f"(CASE WHEN px[{a}] > px[{b}] "
+                    f"THEN {1 << shift}::BIGINT ELSE 0 END)"
+                )
+        return " + ".join(terms)
+
+    half = grid_h // 2
+    return f"""
+SELECT doc_id AS media_id,
+       {gw1}::BIGINT AS width, {grid_h}::BIGINT AS height,
+       ({bit_terms(0, half)}) AS dhash_hi,
+       ({bit_terms(half, grid_h)}) AS dhash_lo,
+       cast(NULL AS varchar) AS decode_error
+FROM (
+  SELECT doc_id,
+         list_transform(range(1, {n_px + 1}),
+           i -> ord(substr(rpad(substr(text, 1, {n_px}), {n_px}, ' '),
+                           i, 1))
+                + (CASE WHEN i = {n_px} AND doc_id % 11 = 0
+                        THEN 1 ELSE 0 END)) AS px
+  FROM {table}
+)
+"""

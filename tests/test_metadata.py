@@ -102,3 +102,83 @@ def test_parses_once(spark):
     assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
     row = out.collect()[0]
     assert row.title == "t" and row.description == "d"
+
+
+# ---------------------------------------------------------------------------
+# jsonld_records: ALL ld+json blocks per page, in document order
+
+
+def test_jsonld_records_order_and_parse(spark):
+    from html5ever_elixir_spark.operators.metadata import jsonld_records
+
+    df = spark.createDataFrame(
+        [(
+            "u1",
+            "<html><head>"
+            '<script type="application/ld+json">'
+            '{"@type":"Article","x":1}</script>'
+            '<script type="text/javascript">var a=1;</script>'
+            '<script type=" Application/LD+JSON ">'
+            '{"@type":"Recipe","x":2}</script>'
+            "</head><body></body></html>",
+        ), (
+            "u2",
+            "<html><head><title>no ld</title></head><body></body></html>",
+        )],
+        "url string, html string",
+    )
+    rows = jsonld_records(pages=df).collect()
+    by_key = {(r.url, r.block_idx): r.raw for r in rows}
+    # u2 has no blocks at all; u1 has exactly two, in document order,
+    # the non-ld script filtered out and the type match case/space-lax
+    assert set(by_key) == {("u1", 1), ("u1", 2)}
+    assert '"Article"' in by_key[("u1", 1)]
+    assert '"Recipe"' in by_key[("u1", 2)]
+
+
+def test_jsonld_records_malformed_json_null_fields(spark):
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.operators.metadata import jsonld_records
+
+    df = spark.createDataFrame(
+        [(
+            "u1",
+            '<html><head><script type="application/ld+json">'
+            '{"@type":"Article","n":</script></head><body></body></html>',
+        )],
+        "url string, html string",
+    )
+    out = (
+        jsonld_records(pages=df)
+        .select(
+            "url",
+            F.get_json_object("raw", "$['@type']").alias("t"),
+            F.get_json_object("raw", "$.n").alias("n"),
+        )
+        .collect()
+    )
+    assert len(out) == 1  # the block row survives …
+    assert out[0].t is None and out[0].n is None  # … with NULL fields
+
+
+def test_jsonld_records_parses_once(spark):
+    from html5ever_elixir_spark.operators.metadata import jsonld_records
+
+    df = spark.createDataFrame(
+        [(
+            "u1",
+            '<html><head><script type="application/ld+json">{"a":1}'
+            "</script></head><body></body></html>",
+        )],
+        "url string, html string",
+    )
+    plan = (
+        jsonld_records(pages=df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # raw pages parse once via the eager localCheckpoint: the downstream
+    # plan scans materialized node rows, zero Arrow parse stages
+    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
