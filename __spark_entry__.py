@@ -1664,6 +1664,35 @@ def _oracle_media_dhash_pairs_sql() -> str:
     )
 
 
+def _q_media_dhash_clusters(spark, sf_dir):
+    # the cluster step of image dedup: same synthesis as
+    # media_dhash_pairs, then generic neighbor-min connected components
+    # over the Hamming pairs (fixed max_iter ⇒ unrolled-CTE oracle per
+    # the standing rule); every decodable image gets a row
+    from html5ever_elixir_spark.operators.multimodal import (
+        docs_to_dhash_pnms,
+        image_dhash_clusters,
+    )
+
+    media = docs_to_dhash_pnms(
+        _docs(spark, sf_dir).where("length(text) > 0")
+    )
+    return image_dhash_clusters(media)
+
+
+def _oracle_media_dhash_clusters_sql() -> str:
+    from html5ever_elixir_spark.operators.dedup import (
+        oracle_cc_label_propagation_sql,
+    )
+
+    return oracle_cc_label_propagation_sql(
+        "SELECT doc_id AS media_id FROM documents WHERE length(text) > 0",
+        _oracle_media_dhash_pairs_sql(),
+        id_col="media_id",
+        max_iter=4,
+    )
+
+
 def _q_html_jsonld(spark, sf_dir):
     # structured-data extraction through the REAL parser: synthesized
     # pages embed 0-2 JSON-LD blocks (doc_id % 3 == 1: none; % 7 == 3:
@@ -1857,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full when these landed; oracle_check-gated this round, they
         # lead the r9 window per COVERAGE.md)
         "media_dhash_pairs": _q_media_dhash_pairs,
+        "media_dhash_clusters": _q_media_dhash_clusters,
         "html_jsonld": _q_html_jsonld,
     }
 
@@ -2028,6 +2058,8 @@ SELECT * FROM (
         # image dHash near-dup: direct byte formula for the exact-grid
         # P5 synthesis + the shared 16-bit-chunk pair bucketing
         "media_dhash_pairs": _oracle_media_dhash_pairs_sql(),
+        # cluster labels: unrolled neighbor-min CTEs over the pair SQL
+        "media_dhash_clusters": _oracle_media_dhash_clusters_sql(),
         # JSON-LD rows predicted from doc_id arithmetic (block 1 unless
         # % 3 == 1; NULL fields when % 7 == 3 truncates the JSON;
         # block 2 when % 5 == 0)

@@ -1782,3 +1782,107 @@ SELECT w.doc_id,
          ' ') AS clean_text
 FROM w LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# generic connected components over an explicit pair list (neighbor-min
+# label propagation) — the cluster step shared by any candidate-pair
+# producer (image dHash, custom edge sources); text LSH and embedding
+# near-dup keep their fused builders (lsh_connected_components /
+# similarity.neardup_clusters) whose edge generation rides one lineage
+
+
+def cc_label_propagation(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Connected components over ``pairs`` (id_a, id_b) covering every
+    row of ``ids`` (one ``id_col`` column; pairless ids label
+    themselves): neighbor-min label propagation, one hop per round.
+    Output (id_col, cluster_id).
+
+    Same oracle contract as lsh_connected_components (the CLAUDE.md
+    fixed-iteration rule): the Spark loop early-stops only when
+    converged and otherwise runs exactly ``max_iter`` rounds; min-label
+    propagation is monotone and idempotent after convergence, so the
+    fixed-depth unrolled CTE (:func:`oracle_cc_label_propagation_sql`)
+    produces identical labels. Per round: one edge join + one group-by
+    on uniform id keys — O(graph diameter) rounds, and dup clusters are
+    near-cliques (diameter 1-2). Labels persist round-over-round; the
+    result is localCheckpointed so loop caches release immediately."""
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(
+            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        .persist()
+    )
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("lbl")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col(id_col).alias("_d"), "lbl"),
+                F.col("d") == F.col("_d"),
+            )
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min["s"], "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col(id_col), F.col("lbl").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    labels.unpersist()
+    return out
+
+
+def oracle_cc_label_propagation_sql(
+    ids_sql: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    max_iter: int = 4,
+) -> str:
+    """Unrolled-CTE DuckDB mirror of :func:`cc_label_propagation`;
+    ``ids_sql`` selects one ``id_col`` column, ``pairs_sql`` selects
+    (id_a, id_b)."""
+    rounds = [f"l0 AS (SELECT {id_col}, {id_col} AS lbl FROM ({ids_sql}))"]
+    for i in range(1, max_iter + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT p.{id_col}, least(p.lbl, coalesce(min(n.lbl), p.lbl)) AS lbl
+  FROM l{i - 1} p
+  LEFT JOIN cc_edges ON cc_edges.s = p.{id_col}
+  LEFT JOIN l{i - 1} n ON n.{id_col} = cc_edges.d
+  GROUP BY p.{id_col}, p.lbl
+)"""
+        )
+    return (
+        f"""WITH cc_pairs AS ({pairs_sql}),
+cc_edges AS (SELECT id_a AS s, id_b AS d FROM cc_pairs
+             UNION ALL SELECT id_b AS s, id_a AS d FROM cc_pairs),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT {id_col}, lbl AS cluster_id FROM l{max_iter}"
+    )

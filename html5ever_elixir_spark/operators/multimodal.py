@@ -2621,3 +2621,43 @@ FROM (
   FROM {table}
 )
 """
+
+
+def image_dhash_clusters(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    max_iter: int = 4,
+    grid_w: int = 8,
+    grid_h: int = 8,
+) -> DataFrame:
+    """Image near-dup CLUSTERS: decode -> dHash -> Hamming pairs ->
+    connected components (the generic neighbor-min propagation), so a
+    re-encode chain A~B~C collapses to one canonical cluster id even
+    when A and C differ by more than ``max_hamming`` bits. Covers EVERY
+    decodable image (pairless images label themselves). Output
+    (media_id, cluster_id) — pick min-id (== cluster_id) or best-
+    resolution per cluster as the keeper downstream."""
+    from .dedup import (
+        DEFAULT_MAX_BUCKET,
+        cc_label_propagation,
+        hamming_pairs_64,
+    )
+
+    hashes = (
+        image_dhash(media, grid_w, grid_h)
+        .where("decode_error IS NULL")
+        .localCheckpoint(eager=True)  # decode once: pairs + id legs
+    )
+    pairs = hamming_pairs_64(
+        hashes,
+        id_col="media_id",
+        hi_col="dhash_hi",
+        lo_col="dhash_lo",
+        max_hamming=max_hamming,
+        max_bucket=DEFAULT_MAX_BUCKET if max_bucket is None else max_bucket,
+    )
+    return cc_label_propagation(
+        hashes.select("media_id"), pairs, id_col="media_id",
+        max_iter=max_iter,
+    )

@@ -131,3 +131,53 @@ def test_dhash_pairs_plan_single_parse_stage(spark):
     # the graph/metadata parse-once lesson). Downstream plan: zero.
     assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" in plan or "Scan\n" in plan
+
+
+def test_clusters_match_union_find(spark):
+    from html5ever_elixir_spark.operators.multimodal import (
+        image_dhash_clusters,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappb",
+        "totally different words here that share no common prefix",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "yet another unrelated document body with its own wording",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts, start=1)), "doc_id long, text string"
+    )
+    got = {
+        r.media_id: r.cluster_id
+        for r in image_dhash_clusters(docs_to_dhash_pnms(docs)).collect()
+    }
+    # brute union-find over brute-force hamming<=3 pairs
+    def pxs(did, t):
+        vals = bytearray(t[:72].ljust(72).encode())
+        if did % 11 == 0:
+            vals[-1] += 1
+        return list(vals)
+
+    hs = {d: _ref_dhash(pxs(d, t), 9, 8) for d, t in enumerate(texts, 1)}
+    parent = {d: d for d in hs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                hs[a][1] ^ hs[b][1]
+            ).count("1")
+            if d <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in hs}
+    assert got == want
+    assert want[4] == 1  # duplicate-text chain collapsed to min id
+    assert len(got) == len(texts)  # pairless docs label themselves
