@@ -1755,6 +1755,54 @@ FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 <> 1
 """
 
 
+def _outline_html_expr() -> str:
+    # four heading-structure classes by doc_id % 4 (deep chain + pop,
+    # simple, skipped-level, h2-opens-the-page); heading text carries
+    # &amp; so the gate proves real entity decoding, and <p> noise
+    # between headings proves the tag filter
+    def h(lvl, k):
+        return (
+            f"'<h{lvl}>H&amp;', cast(doc_id as string), '.{k}</h{lvl}>'"
+        )
+
+    c0 = f"concat({h(1, 1)}, '<p>x</p>', {h(2, 2)}, {h(3, 3)}, {h(2, 4)})"
+    c1 = f"concat({h(1, 1)}, {h(2, 2)}, '<p>x</p>')"
+    c2 = f"concat({h(1, 1)}, '<p>x</p>', {h(3, 2)}, {h(2, 3)})"
+    c3 = f"concat({h(2, 1)}, {h(1, 2)}, '<p>x</p>', {h(3, 3)})"
+    return f"""concat('<html><body>',
+      CASE cast(doc_id % 4 as int)
+        WHEN 0 THEN {c0} WHEN 1 THEN {c1} WHEN 2 THEN {c2} ELSE {c3}
+      END, '</body></html>')"""
+
+
+def _q_html_outline(spark, sf_dir):
+    # heading outline through the REAL parser: levels, document order,
+    # entity-decoded text, nearest-shallower parent pointers — the
+    # oracle predicts every row from doc_id arithmetic alone
+    from html5ever_elixir_spark.operators.outline import heading_outline
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "concat('doc://', cast(doc_id as string)) AS url",
+        _outline_html_expr() + " AS html",
+    )
+    return heading_outline(pages=pages)
+
+
+_OUTLINE_ORACLE = """
+SELECT 'doc://' || cast(d.doc_id as varchar) AS url,
+       t.k::BIGINT AS heading_idx, t.lvl::BIGINT AS level,
+       'H&' || cast(d.doc_id as varchar) || '.' || t.k AS text,
+       t.par::BIGINT AS parent_idx
+FROM documents d
+JOIN (VALUES
+  (0, 1, 1, NULL), (0, 2, 2, 1), (0, 3, 3, 2), (0, 4, 2, 1),
+  (1, 1, 1, NULL), (1, 2, 2, 1),
+  (2, 1, 1, NULL), (2, 2, 3, 1), (2, 3, 2, 1),
+  (3, 1, 2, NULL), (3, 2, 1, NULL), (3, 3, 3, 2)
+) t(c, k, lvl, par) ON d.doc_id % 4 = t.c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for (at most) the
     # first 50 dict entries.  Round 3 proved a hard 50-entry cap, so each
@@ -1888,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_pairs": _q_media_dhash_pairs,
         "media_dhash_clusters": _q_media_dhash_clusters,
         "html_jsonld": _q_html_jsonld,
+        "html_outline": _q_html_outline,
     }
 
 
@@ -2064,6 +2113,8 @@ SELECT * FROM (
         # % 3 == 1; NULL fields when % 7 == 3 truncates the JSON;
         # block 2 when % 5 == 0)
         "html_jsonld": _JSONLD_ORACLE,
+        # heading outline rows predicted per doc_id % 4 structure class
+        "html_outline": _OUTLINE_ORACLE,
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "
