@@ -1150,6 +1150,44 @@ def _q_warc_extract(spark, sf_dir):
     return parse_and_extract(warc_to_pages(warcs)).select("url", "text")
 
 
+def _q_warc_write_wet(spark, sf_dir):
+    # the conversion-SINK roundtrip completing the container story:
+    # pages → REAL parse/extraction → WET blobs (Common Crawl
+    # extracted-text .wet layout, half per-record-gzip) via make_wet →
+    # wet_to_text reader → text rows. Byte parity with the pinned
+    # extraction oracle gates writer + reader + extraction as one
+    import pandas as pd
+
+    from html5ever_elixir_spark.sources.warc import make_wet, wet_to_text
+
+    pages = _pages(spark, sf_dir)
+    extracted = parse_and_extract(pages.select("url", "html")).select(
+        "url", "text"
+    )
+    meta = pages.selectExpr(
+        "url",
+        "replace(cast(warc_ts as string), ' ', 'T') || 'Z' AS ts",
+        "cast(doc_id % 16 as bigint) AS grp",
+    )
+    rows = meta.join(extracted, "url")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        recs = list(zip(pdf["url"], pdf["ts"], pdf["text"]))
+        grp = int(pdf["grp"].iloc[0])
+        return pd.DataFrame(
+            {
+                "wet_id": [grp],
+                "content": [make_wet(recs, gzip_records=bool(grp % 2))],
+            }
+        )
+
+    wets = rows.groupBy("grp").applyInPandas(
+        build, "wet_id bigint, content binary"
+    )
+    return wet_to_text(wets).select("url", "text")
+
+
 def _q_html_extract_cp1252(spark, sf_dir):
     # legacy-encoding crawl gate: pages html gets " —“é”" injected
     # before </h1> and is re-encoded as REAL windows-1252 bytes (0x97,
@@ -1937,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dhash_clusters": _q_media_dhash_clusters,
         "html_jsonld": _q_html_jsonld,
         "html_outline": _q_html_outline,
+        "warc_write_wet": _q_warc_write_wet,
     }
 
 
@@ -2187,6 +2226,9 @@ FROM w
         # roundtrip losslessness: the WARC gate shares the extraction
         # oracle — any reader deviation breaks the value hash
         "warc_extract": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
+        # WET write→read roundtrip is lossless, so its oracle is the
+        # same pinned extraction SQL
+        "warc_write_wet": f"WITH {_DUCK_PAGES} SELECT url, text FROM pages",
         # cp1252 sniff gate: same extraction oracle with the h1 marker
         # injected after the title line (first \n only — no 'g' flag)
         "html_extract_cp1252": (

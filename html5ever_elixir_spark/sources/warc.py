@@ -116,6 +116,45 @@ def make_warc(
     return b"".join(out)
 
 
+def make_wet(
+    records: list[tuple[str, str, str]], gzip_records: bool = False
+) -> bytes:
+    """WET-style extracted-text WARC: a warcinfo record, then one
+    ``conversion`` record per (url, date, text) with a plain UTF-8
+    text/plain payload — the Common Crawl .wet layout, the standard
+    interchange format for extraction output. ``gzip_records`` emits
+    per-record gzip members like :func:`make_warc`."""
+    info_body = b"software: html5ever_elixir_spark\r\n"
+    info = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(info_body)}\r\n\r\n"
+    ).encode("ascii") + info_body + b"\r\n\r\n"
+    out = [info]
+    for u, d, t in records:
+        body = t.encode("utf-8")
+        out.append(
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {u}\r\n"
+                f"WARC-Date: {d}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii")
+            + body
+            + b"\r\n\r\n"
+        )
+    if gzip_records:
+        def gz(b: bytes) -> bytes:
+            co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            return co.compress(b) + co.flush()
+
+        return b"".join(gz(r) for r in out)
+    return b"".join(out)
+
+
 # Per-blob inflate budget: a hostile tiny gzip member must not expand to
 # executor-OOM scale (same bomb discipline as the raster pixel caps).
 # Ratio-based with an absolute floor — legitimate crawled text inflates
@@ -171,11 +210,16 @@ def _iter_inflated(data: bytes) -> Iterator[bytes]:
         raise WarcError("trailing garbage after gzip members")
 
 
-def parse_warc_records(data: bytes) -> Iterator[dict]:
+def parse_warc_records(
+    data: bytes, conversion: bool = False
+) -> Iterator[dict]:
     """Iterate response records of a (possibly gzipped) WARC byte blob:
     yields {url, date, html} per response record; warcinfo/request/
     metadata records are skipped. Raises WarcError on a structurally
     broken stream (caller maps it to a row-level error).
+    ``conversion=True`` additionally yields WET-style conversion
+    records as {url, date, text} (plain UTF-8 payload, no HTTP
+    envelope — the Common Crawl extracted-text layout).
 
     Streaming walk over a ROLLING buffer fed by :func:`_iter_inflated`:
     consumed bytes are discarded as records complete, so peak memory is
@@ -256,7 +300,15 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         body = bytes(buf[body_lo : body_lo + clen])
         assert body_lo + clen > pos  # the walk strictly advances
         pos = body_lo + clen
-        if headers.get("warc-type") != "response":
+        wtype = headers.get("warc-type")
+        if wtype == "conversion" and conversion:
+            yield {
+                "url": headers.get("warc-target-uri", ""),
+                "date": headers.get("warc-date", ""),
+                "text": body.decode("utf-8", "replace"),
+            }
+            continue
+        if wtype != "response":
             continue
         url = headers.get("warc-target-uri", "")
         date = headers.get("warc-date", "")
@@ -438,3 +490,58 @@ def _records_fn(flush_bytes: int = 64 * 1024 * 1024, flush_rows: int = 4096):
         yield flush()
 
     return fn
+
+
+def wet_to_text(
+    df: DataFrame, id_col: str = "wet_id", content_col: str = "content"
+) -> DataFrame:
+    """(wet_id, content binary) → one row per WET conversion record
+    (url, warc_ts string, text string, wet_id, error). The read-side
+    of the extraction interchange format :func:`make_wet` writes; the
+    same rolling record walk as :func:`warc_to_pages` (O(one record)
+    memory at GiB blob scale), a broken blob yields ONE error row
+    carrying its wet_id. Response records inside a mixed blob are
+    skipped (this reader wants extracted text, not raw captures)."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.string()),
+        ("text", pa.string()), ("wet_id", pa.int64()),
+        ("error", pa.string()),
+    ])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            out = {"url": [], "warc_ts": [], "text": [], "wet_id": [],
+                   "error": []}
+            for wid, blob in zip(ids, blobs):
+                try:
+                    if blob is None:
+                        raise WarcError("null payload")
+                    for rec in parse_warc_records(blob, conversion=True):
+                        if "text" not in rec:
+                            continue  # response records: not our format
+                        out["url"].append(rec["url"])
+                        out["warc_ts"].append(rec["date"])
+                        out["text"].append(rec["text"])
+                        out["wet_id"].append(wid)
+                        out["error"].append(None)
+                except WarcError as e:
+                    out["url"].append(None)
+                    out["warc_ts"].append(None)
+                    out["text"].append(None)
+                    out["wet_id"].append(wid)
+                    out["error"].append(str(e))
+            yield pa.RecordBatch.from_pydict(out, schema=schema)
+
+    pruned = df.select(
+        F.col(id_col).cast("bigint").alias("wet_id"),
+        F.col(content_col).alias("content"),
+    )
+    return pruned.mapInArrow(
+        fn, "url string, warc_ts string, text string, wet_id bigint, "
+        "error string"
+    )

@@ -118,3 +118,51 @@ def test_multimodal_plumbing(spark):
     assert out[1].decode_error is None
     assert out[2].decode_error is not None
     assert out[2].feature is None
+
+
+# ---------------------------------------------------------------------------
+# WET conversion records (extracted-text WARC): writer + reader
+
+
+def test_wet_roundtrip_plain_and_gzip(spark):
+    from html5ever_elixir_spark.sources.warc import make_wet, wet_to_text
+
+    recs = [
+        ("https://a/1", "2024-01-01T00:00:00Z", "hello world"),
+        ("https://a/2", "2024-01-01T00:00:01Z", "héllo — unicode ✓"),
+        ("https://a/3", "2024-01-01T00:00:02Z", ""),  # empty text survives
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(make_wet(recs))),
+         (1, bytearray(make_wet(recs, gzip_records=True)))],
+        "wet_id long, content binary",
+    )
+    out = wet_to_text(df).collect()
+    assert len(out) == 6 and all(r.error is None for r in out)
+    for wid in (0, 1):
+        got = sorted(
+            (r.url, r.warc_ts, r.text) for r in out if r.wet_id == wid
+        )
+        assert got == sorted(recs)
+
+
+def test_wet_reader_skips_response_records_and_flags_bad_blobs(spark):
+    from html5ever_elixir_spark.sources.warc import (
+        make_warc,
+        make_wet,
+        wet_to_text,
+    )
+
+    mixed = make_warc(
+        [("https://a/raw", "2024-01-01T00:00:00Z", b"<html>x</html>")]
+    ) + make_wet([("https://a/wet", "2024-01-01T00:00:01Z", "clean text")])
+    df = spark.createDataFrame(
+        [(0, bytearray(mixed)), (1, bytearray(b"not a warc at all"))],
+        "wet_id long, content binary",
+    )
+    out = wet_to_text(df).collect()
+    ok = [r for r in out if r.wet_id == 0]
+    bad = [r for r in out if r.wet_id == 1]
+    # response record skipped silently; only the conversion row emerges
+    assert [(r.url, r.text) for r in ok] == [("https://a/wet", "clean text")]
+    assert len(bad) == 1 and bad[0].error is not None and bad[0].url is None
