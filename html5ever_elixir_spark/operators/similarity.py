@@ -776,6 +776,15 @@ def ivf_pq_topk(
     assignment, cents = ivf_assign(
         emb, k_cells, iters, id_col, vec_col, train_frac, train_salt
     )
+    # materialize the coarse build ONCE (the PageRank barrier lesson):
+    # cents feeds three broadcasts (residual encode, query probe, query
+    # residual) and assignment feeds two consumers (residual encode,
+    # member codes) — left lazy, each consumer re-runs the whole Lloyd
+    # lineage (measured ~2x wall on the bench gate). cents is k rows;
+    # assignment is the IVF index itself — the thing a 100 TB run
+    # persists and buckets the corpus by. Values unchanged (plan-only).
+    cents = cents.localCheckpoint(eager=True)
+    assignment = assignment.localCheckpoint(eager=True)
     v = _ivf_vectors(emb, id_col, vec_col)
 
     # residuals r = v - centroid(cell): exact double subtraction,
@@ -830,6 +839,9 @@ def ivf_pq_topk(
             .groupBy("j", "code")
             .agg(F.expr(_CENTROID).alias("cw"))
         )
+    # trained codebook: m*k_pq rows consumed by BOTH the member encode
+    # and the query LUT — materialize so PQ training runs once
+    cb = cb.localCheckpoint(eager=True)
     codes_rows = assign_sub(rsub, cb).select("vec_id", "j", "code")
 
     # queries → nprobe nearest coarse cells (as in ann_ivf_topk)
