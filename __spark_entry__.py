@@ -1188,6 +1188,65 @@ def _q_warc_write_wet(spark, sf_dir):
     return wet_to_text(wets).select("url", "text")
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    # the crawl loop closed as one composition: fixed-point PageRank
+    # priorities × RFC 9309 robots politeness × a per-host fetch budget
+    # — every stage is an individually-gated operator, the oracle
+    # chains their unrolled SQL (pagerank CTEs + robots argmax + the
+    # budget window)
+    from html5ever_elixir_spark.functions import host_of
+    from html5ever_elixir_spark.functions.robots import (
+        apply_robots,
+        path_of,
+        robots_rules,
+    )
+    from html5ever_elixir_spark.operators.graph import crawl_frontier
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fanout = docs.selectExpr("doc_id AS src", "explode(array(1L, 2L)) AS k")
+    edges = (
+        fanout.selectExpr("src", "src + k AS dst")
+        .join(docs.selectExpr("doc_id AS dst"), "dst", "semi")
+        .select("src", "dst")
+    )
+    ranks = graph.pagerank(edges, docs.selectExpr("doc_id AS node"),
+                           iters=3)
+    urls = (
+        _pages(spark, sf_dir)
+        .select("doc_id", "url")
+        .withColumn("host", host_of(F.col("url")))
+        .withColumn("path", path_of(F.col("url")))
+    )
+    robots = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id % 50 AS h")
+        .distinct()
+        .selectExpr(
+            "'host' || cast(h as string) || '.example' AS host",
+            f"{_ROBOTS_BODY_EXPR} AS robots_txt",
+        )
+    )
+    allowed = apply_robots(urls, robots_rules(robots)).select(
+        "doc_id", "url", "host", "allowed"
+    )
+    return crawl_frontier(ranks, allowed, per_host=5)
+
+
+def _oracle_crawl_frontier_sql() -> str:
+    return f"""
+WITH au AS ({_ROBOTS_ORACLE}),
+pr AS ({graph.oracle_pagerank_sql(iters=3)})
+SELECT doc_id, url, rank, host_rank FROM (
+  SELECT au.doc_id, au.url, pr.rank,
+         (row_number() OVER (PARTITION BY au.doc_id % 50
+                             ORDER BY pr.rank DESC, au.doc_id))::BIGINT
+           AS host_rank
+  FROM au JOIN pr ON pr.node = au.doc_id
+  WHERE au.allowed
+) WHERE host_rank <= 5
+"""
+
+
 def _q_html_extract_cp1252(spark, sf_dir):
     # legacy-encoding crawl gate: pages html gets " —“é”" injected
     # before </h1> and is re-encoded as REAL windows-1252 bytes (0x97,
@@ -1976,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_jsonld": _q_html_jsonld,
         "html_outline": _q_html_outline,
         "warc_write_wet": _q_warc_write_wet,
+        "crawl_frontier": _q_crawl_frontier,
     }
 
 
@@ -2154,6 +2214,9 @@ SELECT * FROM (
         "html_jsonld": _JSONLD_ORACLE,
         # heading outline rows predicted per doc_id % 4 structure class
         "html_outline": _OUTLINE_ORACLE,
+        # crawl loop composition: pagerank CTEs × robots argmax × the
+        # per-host budget window
+        "crawl_frontier": _oracle_crawl_frontier_sql(),
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

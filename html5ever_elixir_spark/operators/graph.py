@@ -298,3 +298,41 @@ r{i} AS (
         )
     parts.append(f"\nSELECT node, rank FROM r{iters}")
     return "".join(parts)
+
+
+def crawl_frontier(
+    ranks: DataFrame,
+    urls: DataFrame,
+    per_host: int = 5,
+) -> DataFrame:
+    """Close the crawl loop: prioritize what to (re)fetch next.
+
+    ``ranks`` — (node, rank) from :func:`pagerank` (bigint fixed-point);
+    ``urls`` — (doc_id, url, host, allowed) where ``allowed`` is the
+    robots verdict (functions.robots.apply_robots). Output one row per
+    schedulable url: (doc_id, url, rank, host_rank) keeping only the
+    ``per_host`` highest-ranked urls per host (the politeness budget —
+    a crawler fetches a few urls per host per cycle, highest-value
+    first). host_rank is 1-based by (rank DESC, doc_id) — fully
+    deterministic, ties broken on the id.
+
+    Plan: one equi-join on the uniform doc id + one window over host.
+    The window partition is bounded by a host's URL count; a mega-host
+    is the sample_cap_per_source situation — at 100 TB, pre-cap with
+    the salted local top-k before the global window (same fix, see
+    operators/sampling.py)."""
+    from pyspark.sql import Window
+
+    ranked = urls.where(F.col("allowed")).join(
+        ranks.select(F.col("node").alias("doc_id"), "rank"), "doc_id"
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn(
+            "host_rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("host_rank") <= per_host)
+        .select("doc_id", "url", "rank", "host_rank")
+    )

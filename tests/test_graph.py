@@ -190,3 +190,36 @@ def test_paragraph_dedup_agg_state_is_scalar(spark):
     assert "min(" in first_agg and "collect_list" not in first_agg
     kept = {r.doc_id: r.n_paras_kept for r in df.collect()}
     assert kept[0] == 2 and all(kept[i] == 1 for i in range(1, 50))
+
+
+def test_crawl_frontier_budget_and_robots(spark):
+    import pyspark.sql.functions as F
+
+    from html5ever_elixir_spark.operators.graph import crawl_frontier
+
+    ranks = spark.createDataFrame(
+        [(i, 1000 - i) for i in range(1, 9)], "node long, rank long"
+    )
+    urls = spark.createDataFrame(
+        [
+            # host A: 4 allowed urls, budget 2 -> top-2 by rank
+            (1, "https://a/1", "a", True),
+            (2, "https://a/2", "a", True),
+            (3, "https://a/3", "a", True),
+            (4, "https://a/4", "a", True),
+            # host B: best url robots-blocked -> next two win
+            (5, "https://b/5", "b", False),
+            (6, "https://b/6", "b", True),
+            (7, "https://b/7", "b", True),
+            # no rank row for 8 (unknown page) -> dropped by the join
+            (8, "https://b/8", "b", True),
+        ],
+        "doc_id long, url string, host string, allowed boolean",
+    )
+    ranks = ranks.where(F.col("node") != 8)
+    got = sorted(
+        (r.doc_id, r.host_rank)
+        for r in crawl_frontier(ranks, urls, per_host=2).collect()
+    )
+    # rank = 1000 - id, so lower ids outrank higher ones
+    assert got == [(1, 1), (2, 2), (6, 1), (7, 2)]
