@@ -181,3 +181,47 @@ def test_clusters_match_union_find(spark):
     assert got == want
     assert want[4] == 1  # duplicate-text chain collapsed to min id
     assert len(got) == len(texts)  # pairless docs label themselves
+
+
+def test_dhash_fuzz_never_raises_batchwise(spark):
+    # corrupt/truncated/random containers must become row-level
+    # decode_error rows — the decode gate's crash surface under crawl
+    # garbage (same discipline as the raster/WAV fuzz gates)
+    import random
+
+    from html5ever_elixir_spark.operators.multimodal import (
+        encode_gif,
+        encode_webp_vp8l,
+    )
+
+    rng = random.Random(0xD4A5)
+    payloads = []
+    px = [rng.randrange(256) for _ in range(72)]
+    good = [
+        _p5(9, 8, px),
+        encode_gif(bytes(px), 9, 8),
+        encode_webp_vp8l(bytes(px), 9, 8),
+    ]
+    for g in good:
+        payloads.append(g)                      # intact
+        payloads.append(g[: len(g) // 2])       # truncated
+        b = bytearray(g)                        # bit-flipped
+        for _ in range(4):
+            b[rng.randrange(len(b))] ^= 0xFF
+        payloads.append(bytes(b))
+    for _ in range(40):                         # pure noise
+        payloads.append(bytes(rng.randrange(256)
+                              for _ in range(rng.randrange(1, 200))))
+    payloads.append(b"")
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    rows = image_dhash(media).collect()
+    assert len(rows) == len(payloads)  # every row comes back, job alive
+    ok = [r for r in rows if r.decode_error is None]
+    # the three intact containers must decode to the SAME hash (the
+    # GIF/WebP writers are byte-lossless around the pixel values)
+    assert len(ok) >= 3
+    hashes = {(r.dhash_hi, r.dhash_lo) for r in ok if r.media_id % 3 == 0}
+    assert len(hashes) == 1
