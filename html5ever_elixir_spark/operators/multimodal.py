@@ -2544,19 +2544,26 @@ def image_dhash_pairs(
 
 
 def docs_to_dhash_pnms(docs: DataFrame, grid_w: int = 8, grid_h: int = 8):
-    """Deterministic (grid_w+1) x grid_h P5 PNM per document for the
-    dHash gate: pixels are the first (grid_w+1)*grid_h bytes of the
-    ASCII text, space-padded, and docs with ``doc_id % 11 == 0`` get
-    their LAST pixel value +1 — a synthetic "re-encoded copy" whose
-    dHash differs from its unperturbed head-twin by at most one bit, so
-    the gate exercises hamming > 0 matches, not just identical hashes.
-    The exact grid size means dhash cells ARE the pixels (no resample),
-    keeping the oracle a direct byte formula while the Spark side still
-    runs the full container parse + decode."""
+    """Deterministic P5 PNM per document for the dHash gate: pixels are
+    the first (grid_w+1)*grid_h bytes of the ASCII text, space-padded,
+    and docs with ``doc_id % 11 == 0`` get their LAST pixel value +1 —
+    a synthetic "re-encoded copy" whose dHash differs from its
+    unperturbed head-twin by at most one bit, so the gate exercises
+    hamming > 0 matches, not just identical hashes.
+
+    Two resolutions by parity: even doc_ids emit the exact
+    (grid_w+1) x grid_h grid (cells ARE the pixels — no resample);
+    odd doc_ids emit a 2x upscale (each pixel duplicated 2x2), whose
+    integer block-mean downsample reproduces the base pixels EXACTLY —
+    so the block-mean path runs for half the corpus, resolution-
+    mismatched copies still collide (the property dHash exists for),
+    and the oracle stays the same direct byte formula for every doc."""
     import pyarrow as pa
 
-    n_px = (grid_w + 1) * grid_h
-    header = f"P5 {grid_w + 1} {grid_h} 255\n".encode()
+    gw1 = grid_w + 1
+    n_px = gw1 * grid_h
+    header1 = f"P5 {gw1} {grid_h} 255\n".encode()
+    header2 = f"P5 {2 * gw1} {2 * grid_h} 255\n".encode()
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -2567,7 +2574,17 @@ def docs_to_dhash_pnms(docs: DataFrame, grid_w: int = 8, grid_h: int = 8):
                 vals = bytearray((t or "")[:n_px].ljust(n_px).encode())
                 if did % 11 == 0:
                     vals[-1] += 1
-                payloads.append(header + bytes(vals))
+                if did % 2:
+                    up = bytearray()
+                    for r in range(grid_h):
+                        row = vals[r * gw1 : (r + 1) * gw1]
+                        dbl = bytes(
+                            v for px in row for v in (px, px)
+                        )
+                        up += dbl + dbl
+                    payloads.append(header2 + bytes(up))
+                else:
+                    payloads.append(header1 + bytes(vals))
             yield pa.RecordBatch.from_pydict(
                 {"media_id": ids, "payload": payloads},
                 schema=pa.schema([
