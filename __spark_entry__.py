@@ -1188,6 +1188,54 @@ def _q_warc_write_wet(spark, sf_dir):
     return wet_to_text(wets).select("url", "text")
 
 
+def _q_text_fix_mojibake(spark, sf_dir):
+    # the ftfy-style crawl-cleaning gate: doc_id % 3 == 0 docs carry a
+    # singly-encoded mojibake marker (UTF-8 bytes read as cp1252), the
+    # % 9 == 0 subset a DOUBLY-encoded one; repair must peel exactly
+    # 1 / 2 layers and leave clean docs untouched. The mojibake
+    # constants are computed in Python and injected via API literals
+    # (the CLAUDE.md chr() rule); the oracle predicts the repaired
+    # text directly
+    from html5ever_elixir_spark.operators.textstats import fix_mojibake
+
+    def whatwg_cp1252(s: str) -> str:
+        # WHATWG-complete mojibake layer: Python's cp1252 codec rejects
+        # the five C1 holes (0x81/8D/8F/90/9D) that real crawls carry
+        return "".join(
+            chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else bytes([b]).decode("cp1252")
+            for b in s.encode("utf-8")
+        )
+
+    marker = "—“é"
+    moji1 = whatwg_cp1252(marker)
+    moji2 = whatwg_cp1252(moji1)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + moji2)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + moji1)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fix_mojibake(docs)
+
+
+_MOJIBAKE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' —“é'
+            ELSE text END AS text_fixed,
+       (CASE WHEN doc_id % 9 = 0 THEN 2
+             WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_passes
+FROM documents
+"""
+
+
 def _q_crawl_frontier(spark, sf_dir):
     # the crawl loop closed as one composition: fixed-point PageRank
     # priorities × RFC 9309 robots politeness × a per-host fetch budget
@@ -2036,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outline": _q_html_outline,
         "warc_write_wet": _q_warc_write_wet,
         "crawl_frontier": _q_crawl_frontier,
+        "text_fix_mojibake": _q_text_fix_mojibake,
     }
 
 
@@ -2217,6 +2266,8 @@ SELECT * FROM (
         # crawl loop composition: pagerank CTEs × robots argmax × the
         # per-host budget window
         "crawl_frontier": _oracle_crawl_frontier_sql(),
+        # mojibake repair: the oracle predicts the peeled text directly
+        "text_fix_mojibake": _MOJIBAKE_ORACLE,
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

@@ -1353,3 +1353,92 @@ def bpe_count_expr(text_col: str, dialect: str, merges=None) -> str:
         f"- 1 - (length({san}) - length(replace({san}, ' ', ''))))"
         "::BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (the ftfy-style fix): UTF-8 bytes that were read as
+# windows-1252 somewhere upstream ("café" shipped as "cafÃ©") are the
+# single most common encoding defect in web crawls — CCNet/C4-class
+# pipelines repair it before any quality scoring sees the text.
+
+
+def _cp1252_bytes(s: str) -> bytes | None:
+    """Inverse of the WHATWG windows-1252 decode: every char back to
+    its byte, INCLUDING the five C1 controls Python's cp1252 codec
+    rejects (0x81/8D/8F/90/9D decode to U+0081.. under WHATWG — their
+    round-trip must survive repair). None if any char has no byte."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        pass
+    out = bytearray()
+    for ch in s:
+        o = ord(ch)
+        if o in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+            out.append(o)
+            continue
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            return None
+    return bytes(out)
+
+
+def fix_mojibake_text(t: str, max_passes: int = 3) -> tuple[str, int]:
+    """Repair one string: while the text encodes losslessly back to
+    windows-1252 bytes that ARE valid UTF-8 and decode to something
+    shorter (real repair strictly shrinks — multi-byte sequences
+    collapse), take the decode. Pure ASCII round-trips to itself and
+    stops immediately; doubly-encoded text repairs in two passes.
+    Returns (fixed, n_passes_applied)."""
+    passes = 0
+    for _ in range(max_passes):
+        if t.isascii():
+            break
+        raw = _cp1252_bytes(t)
+        if raw is None:
+            break
+        try:
+            dec = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == t:
+            break
+        t = dec
+        passes += 1
+    return t, passes
+
+
+def fix_mojibake(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_passes: int = 3,
+) -> DataFrame:
+    """docs → (id, text_fixed, n_passes bigint): row-local mojibake
+    repair in Arrow batches — zero shuffle, embarrassingly parallel;
+    at 100 TB this rides the same scan as the other row-local text
+    gates. ``n_passes`` = how many decode layers were peeled (0 =
+    clean; 2 = the doubly-encoded case)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            fixed, np_ = [], []
+            for t in texts:
+                f, n = fix_mojibake_text(t or "", max_passes)
+                fixed.append(f)
+                np_.append(n)
+            yield pa.RecordBatch.from_pydict(
+                {id_col: ids, "text_fixed": fixed, "n_passes": np_},
+                schema=pa.schema([
+                    (id_col, pa.int64()), ("text_fixed", pa.string()),
+                    ("n_passes", pa.int64()),
+                ]),
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        fn, f"{id_col} bigint, text_fixed string, n_passes bigint"
+    )
