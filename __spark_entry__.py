@@ -1188,6 +1188,39 @@ def _q_warc_write_wet(spark, sf_dir):
     return wet_to_text(wets).select("url", "text")
 
 
+def _q_graph_host_rank(spark, sf_dir):
+    # the documented 100 TB PageRank fallback made real (graph.py
+    # overflow-budget note: beyond ~1e8 nodes, rank at HOST granularity
+    # — ~1e7 nodes for the whole web): collapse doc edges to distinct
+    # host edges, run the SAME fixed-point operator over the host graph
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fanout = docs.selectExpr("doc_id AS src", "explode(array(1L, 2L)) AS k")
+    doc_edges = (
+        fanout.selectExpr("src", "src + k AS dst")
+        .join(docs.selectExpr("doc_id AS dst"), "dst", "semi")
+        .select("src", "dst")
+    )
+    host_edges = doc_edges.selectExpr(
+        "src % 50 AS src", "dst % 50 AS dst"
+    ).distinct()
+    hosts = docs.selectExpr("doc_id % 50 AS node").distinct()
+    return graph.pagerank(host_edges, hosts, iters=3)
+
+
+def _oracle_graph_host_rank_sql() -> str:
+    host_cte = """
+nodes AS (SELECT DISTINCT (doc_id % 50)::BIGINT AS node FROM documents),
+edges AS (
+  SELECT DISTINCT (d.doc_id % 50)::BIGINT AS src,
+                  ((d.doc_id + t.k) % 50)::BIGINT AS dst
+  FROM documents d CROSS JOIN (VALUES (1), (2)) t(k)
+  JOIN documents e ON e.doc_id = d.doc_id + t.k
+),
+outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes)"""
+    return graph.oracle_pagerank_sql(iters=3, graph_cte=host_cte)
+
+
 def _q_text_fix_mojibake(spark, sf_dir):
     # the ftfy-style crawl-cleaning gate: doc_id % 3 == 0 docs carry a
     # singly-encoded mojibake marker (UTF-8 bytes read as cp1252), the
@@ -2085,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_write_wet": _q_warc_write_wet,
         "crawl_frontier": _q_crawl_frontier,
         "text_fix_mojibake": _q_text_fix_mojibake,
+        "graph_host_rank": _q_graph_host_rank,
     }
 
 
@@ -2268,6 +2302,8 @@ SELECT * FROM (
         "crawl_frontier": _oracle_crawl_frontier_sql(),
         # mojibake repair: the oracle predicts the peeled text directly
         "text_fix_mojibake": _MOJIBAKE_ORACLE,
+        # host-granularity pagerank: same unrolled rounds, host graph CTE
+        "graph_host_rank": _oracle_graph_host_rank_sql(),
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

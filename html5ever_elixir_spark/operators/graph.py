@@ -263,15 +263,19 @@ def oracle_pagerank_sql(
     iters: int = 3,
     scale: int = 10**9,
     damping_pct: int = 85,
+    graph_cte: str | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB mirror of :func:`pagerank` over the template
     link graph (d -> d+1, d -> d+2 where the target exists). Fixed
     ``iters`` makes the iterative operator SQL-expressible (CLAUDE.md
     fixed-iteration rule); bigint arithmetic makes the hashes exact.
-    DuckDB ``//`` == Spark ``div`` on positive bigints."""
+    DuckDB ``//`` == Spark ``div`` on positive bigints.
+    ``graph_cte`` overrides the node/edge CTE block (must define
+    ``nodes(node)``, ``edges(src, dst)``, ``outdeg(src, od)`` and
+    ``nn(n)``) — e.g. the host-granularity graph."""
     base = scale * (100 - damping_pct) // 100
     parts = [
-        "WITH " + _edges_cte(table) + ",",
+        "WITH " + (graph_cte or _edges_cte(table)) + ",",
         f"r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):

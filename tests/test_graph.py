@@ -223,3 +223,25 @@ def test_crawl_frontier_budget_and_robots(spark):
     )
     # rank = 1000 - id, so lower ids outrank higher ones
     assert got == [(1, 1), (2, 2), (6, 1), (7, 2)]
+
+
+def test_pagerank_host_granularity(spark):
+    # the documented 100 TB fallback (rank at host granularity): doc
+    # edges collapse to distinct host edges, the SAME operator runs —
+    # checked against the serial integer reference on the host graph
+    from html5ever_elixir_spark.operators.graph import pagerank
+
+    n_docs, n_hosts = 60, 7
+    docs = list(range(n_docs))
+    doc_edges = [
+        (d, d + k) for d in docs for k in (1, 2) if d + k < n_docs
+    ]
+    host_edges = sorted({(s % n_hosts, t % n_hosts) for s, t in doc_edges})
+    hosts = sorted({d % n_hosts for d in docs})
+    edges_df = spark.createDataFrame(host_edges, "src long, dst long")
+    nodes_df = spark.createDataFrame([(h,) for h in hosts], "node long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges_df, nodes_df, iters=3).collect()
+    }
+    assert got == _ref_pagerank(hosts, host_edges, iters=3)
