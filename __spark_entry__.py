@@ -1221,6 +1221,54 @@ nn AS (SELECT count(*)::BIGINT AS n FROM nodes)"""
     return graph.oracle_pagerank_sql(iters=3, graph_cte=host_cte)
 
 
+def _q_graph_anchor_stats(spark, sf_dir):
+    # per-target anchor-text aggregation over REAL parsed anchors: each
+    # doc links forward (+1 with anchor a{id%3}, +2 with b{id%2}) and
+    # back to its block-head hub ('hub', skipped for the head itself),
+    # so hubs accumulate ~11 in-links and 'hub' must win the argmax;
+    # the oracle predicts the whole edge multiset from doc_id arithmetic
+    from html5ever_elixir_spark.operators.graph import (
+        anchor_stats,
+        link_edges,
+    )
+
+    pages = _docs(spark, sf_dir).selectExpr(
+        "concat('https://h.example/page', cast(doc_id as string)) AS url",
+        """concat('<html><body>',
+           '<a href="/p/', cast(doc_id + 1 as string), '">a',
+           cast(doc_id % 3 as string), '</a>',
+           '<a href="/p/', cast(doc_id + 2 as string), '">b',
+           cast(doc_id % 2 as string), '</a>',
+           CASE WHEN doc_id % 10 <> 0 THEN concat(
+             '<a href="/p/', cast(doc_id - doc_id % 10 as string),
+             '">hub</a>') ELSE '' END,
+           '</body></html>') AS html""",
+    )
+    return anchor_stats(link_edges(pages=pages))
+
+
+_ANCHOR_STATS_ORACLE = """
+WITH e AS (
+  SELECT doc_id + 1 AS dst, 'a' || cast(doc_id % 3 as varchar) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 2, 'b' || cast(doc_id % 2 as varchar) FROM documents
+  UNION ALL
+  SELECT doc_id - doc_id % 10, 'hub' FROM documents WHERE doc_id % 10 <> 0
+),
+pa AS (
+  SELECT dst, anchor, count(*)::BIGINT AS cnt FROM e GROUP BY dst, anchor
+),
+mx AS (SELECT dst, max(cnt) AS mc FROM pa GROUP BY dst)
+SELECT pa.dst::BIGINT AS dst, sum(pa.cnt)::BIGINT AS n_inlinks,
+       count(*)::BIGINT AS n_distinct_anchors,
+       min(CASE WHEN pa.cnt = mx.mc THEN pa.anchor END) AS top_anchor,
+       max(pa.cnt)::BIGINT AS top_count
+FROM pa JOIN mx ON pa.dst = mx.dst
+GROUP BY pa.dst
+"""
+
+
 def _q_text_fix_mojibake(spark, sf_dir):
     # the ftfy-style crawl-cleaning gate: doc_id % 3 == 0 docs carry a
     # singly-encoded mojibake marker (UTF-8 bytes read as cp1252), the
@@ -2119,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "text_fix_mojibake": _q_text_fix_mojibake,
         "graph_host_rank": _q_graph_host_rank,
+        "graph_anchor_stats": _q_graph_anchor_stats,
     }
 
 
@@ -2304,6 +2353,8 @@ SELECT * FROM (
         "text_fix_mojibake": _MOJIBAKE_ORACLE,
         # host-granularity pagerank: same unrolled rounds, host graph CTE
         "graph_host_rank": _oracle_graph_host_rank_sql(),
+        # anchor aggregation: edge multiset predicted from doc_id math
+        "graph_anchor_stats": _ANCHOR_STATS_ORACLE,
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

@@ -340,3 +340,34 @@ def crawl_frontier(
         .where(F.col("host_rank") <= per_host)
         .select("doc_id", "url", "rank", "host_rank")
     )
+
+
+def anchor_stats(edges: DataFrame) -> DataFrame:
+    """Per-target anchor-text aggregation over :func:`link_edges`
+    output — the classic web-search relevance signal (what OTHER pages
+    call this one beats what it calls itself). Output one row per
+    linked-to doc:
+
+        (dst, n_inlinks bigint, n_distinct_anchors bigint,
+         top_anchor string, top_count bigint)
+
+    ``top_anchor`` = the most frequent anchor text pointing at dst,
+    ties broken lexicographically smallest — deterministic at any
+    parallelism (bigint count + string in one struct ``min``).
+
+    Plan: groupBy (dst, anchor) count (map-side combinable) → one
+    groupBy(dst) with scalar agg state (counts + a min-struct argmax —
+    never a member list). The homepage hot key is a plain partial-agg
+    hot key (AQE); anchor-text cardinality per dst is bounded by the
+    distinct phrasing, not the in-link count."""
+    per_anchor = edges.groupBy("dst", "anchor").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return per_anchor.groupBy("dst").agg(
+        F.sum("cnt").cast("bigint").alias("n_inlinks"),
+        F.count("*").cast("bigint").alias("n_distinct_anchors"),
+        F.min(F.expr("struct(-cnt AS negc, anchor)"))["anchor"].alias(
+            "top_anchor"
+        ),
+        F.max("cnt").cast("bigint").alias("top_count"),
+    )

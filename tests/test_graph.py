@@ -245,3 +245,20 @@ def test_pagerank_host_granularity(spark):
         for r in pagerank(edges_df, nodes_df, iters=3).collect()
     }
     assert got == _ref_pagerank(hosts, host_edges, iters=3)
+
+
+def test_anchor_stats_argmax_and_ties(spark):
+    from html5ever_elixir_spark.operators.graph import anchor_stats
+
+    edges = spark.createDataFrame(
+        [
+            (1, 5, "home"), (2, 5, "home"), (3, 5, "start"),
+            # dst 6: two anchors tied at 1 -> lexicographically smallest
+            (1, 6, "zeta"), (2, 6, "alpha"),
+        ],
+        "src long, dst long, anchor string",
+    )
+    got = {r.dst: r for r in anchor_stats(edges).collect()}
+    assert (got[5].n_inlinks, got[5].n_distinct_anchors) == (3, 2)
+    assert (got[5].top_anchor, got[5].top_count) == ("home", 2)
+    assert (got[6].top_anchor, got[6].top_count) == ("alpha", 1)
