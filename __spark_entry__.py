@@ -1188,6 +1188,109 @@ def _q_warc_write_wet(spark, sf_dir):
     return wet_to_text(wets).select("url", "text")
 
 
+# section-chunking gate spec — the SINGLE source of truth both engines
+# derive from: per doc_id % 4 class, the page body as (kind, k) events
+# ('h<level>' emits <hN>H{d}.{k}</hN>, 'p' emits <p>P{d}.{k}</p>) and
+# the expected section rows (section_idx, heading_path template,
+# section_text template, n_paragraphs) with {d} = doc_id
+_SECTION_CLASSES = {
+    0: {
+        "events": [("p", "0"), ("h1", "1"), ("p", "1"), ("h2", "2"),
+                   ("p", "2"), ("h3", "3"), ("h2", "4"), ("p", "4a"),
+                   ("p", "4b")],
+        "rows": [
+            (0, "", "P{d}.0", 1),
+            (1, "H{d}.1", "P{d}.1", 1),
+            (2, "H{d}.1 > H{d}.2", "P{d}.2", 1),
+            (3, "H{d}.1 > H{d}.2 > H{d}.3", "", 0),
+            (4, "H{d}.1 > H{d}.4", "P{d}.4a P{d}.4b", 2),
+        ],
+    },
+    1: {
+        "events": [("h1", "1"), ("p", "1"), ("h2", "2"), ("p", "2")],
+        "rows": [
+            (1, "H{d}.1", "P{d}.1", 1),
+            (2, "H{d}.1 > H{d}.2", "P{d}.2", 1),
+        ],
+    },
+    2: {
+        "events": [("h1", "1"), ("h3", "2"), ("p", "2"), ("h2", "3"),
+                   ("p", "3")],
+        "rows": [
+            (1, "H{d}.1", "", 0),
+            (2, "H{d}.1 > H{d}.2", "P{d}.2", 1),
+            (3, "H{d}.1 > H{d}.3", "P{d}.3", 1),
+        ],
+    },
+    3: {
+        "events": [("h2", "1"), ("p", "1"), ("h1", "2"), ("h3", "3"),
+                   ("p", "3")],
+        "rows": [
+            (1, "H{d}.1", "P{d}.1", 1),
+            (2, "H{d}.2", "", 0),
+            (3, "H{d}.2 > H{d}.3", "P{d}.3", 1),
+        ],
+    },
+}
+
+
+def _q_html_sections(spark, sf_dir):
+    # section-scoped chunking through the REAL parser: heading-path
+    # context + per-section paragraph text, four structure classes
+    # (preamble, empty section, skipped level, h2-opens-the-page,
+    # multi-paragraph section) — rows predicted from _SECTION_CLASSES
+    from html5ever_elixir_spark.operators.outline import section_chunks
+
+    did = "cast(doc_id as string)"
+
+    def ev_sql(kind, k):
+        if kind == "p":
+            return f"concat('<p>P', {did}, '.{k}</p>')"
+        lvl = kind[1]
+        return (
+            f"concat('<h{lvl}>H', {did}, '.{k}</h{lvl}>')"
+        )
+
+    branches = []
+    for c, spec in _SECTION_CLASSES.items():
+        body = ", ".join(ev_sql(kd, k) for kd, k in spec["events"])
+        branches.append(f"WHEN {c} THEN concat({body})")
+    html = (
+        "concat('<html><body>', CASE cast(doc_id % 4 as int) "
+        + " ".join(branches)
+        + " END, '</body></html>')"
+    )
+    pages = _docs(spark, sf_dir).selectExpr(
+        "concat('doc://', cast(doc_id as string)) AS url",
+        html + " AS html",
+    )
+    return section_chunks(pages=pages)
+
+
+def _oracle_html_sections_sql() -> str:
+    def tpl(t: str) -> str:
+        # '{d}' template -> SQL concat with the doc id
+        parts = t.split("{d}")
+        pieces = []
+        for i, p in enumerate(parts):
+            if i:
+                pieces.append("cast(doc_id as varchar)")
+            if p:
+                pieces.append("'" + p + "'")
+        return " || ".join(pieces) if pieces else "''"
+
+    selects = []
+    for c, spec in _SECTION_CLASSES.items():
+        for idx, path, text, np_ in spec["rows"]:
+            selects.append(
+                f"SELECT 'doc://' || cast(doc_id as varchar) AS url, "
+                f"{idx}::BIGINT AS section_idx, {tpl(path)} AS heading_path, "
+                f"{tpl(text)} AS section_text, {np_}::BIGINT AS n_paragraphs "
+                f"FROM documents WHERE doc_id % 4 = {c}"
+            )
+    return " UNION ALL ".join(selects)
+
+
 def _q_graph_host_rank(spark, sf_dir):
     # the documented 100 TB PageRank fallback made real (graph.py
     # overflow-budget note: beyond ~1e8 nodes, rank at HOST granularity
@@ -2168,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fix_mojibake": _q_text_fix_mojibake,
         "graph_host_rank": _q_graph_host_rank,
         "graph_anchor_stats": _q_graph_anchor_stats,
+        "html_sections": _q_html_sections,
     }
 
 
@@ -2355,6 +2459,8 @@ SELECT * FROM (
         "graph_host_rank": _oracle_graph_host_rank_sql(),
         # anchor aggregation: edge multiset predicted from doc_id math
         "graph_anchor_stats": _ANCHOR_STATS_ORACLE,
+        # section chunking: rows generated from the same class spec
+        "html_sections": _oracle_html_sections_sql(),
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

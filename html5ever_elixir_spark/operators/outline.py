@@ -35,7 +35,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["heading_outline"]
+__all__ = ["heading_outline", "section_chunks", "assemble_sections"]
 
 _TEXT_CONCAT = (
     "concat_ws('', transform(array_sort("
@@ -101,3 +101,133 @@ def heading_outline(
             "url", "h.heading_idx", "h.level", "h.text", "h.parent_idx"
         )
     )
+
+
+def assemble_sections(items: list[tuple[int, str, int, str]]) -> list[dict]:
+    """Pure per-page assembly (testable Spark-free): ``items`` =
+    [(node_id, kind 'h'|'p', level, text)] in any order. Returns one
+    dict per section in document order: paragraphs belong to the most
+    recent heading (section_idx = that heading's 1-based index, 0 for
+    preamble paragraphs before any heading), and ``heading_path`` walks
+    the nearest-shallower parent chain (the :func:`heading_outline`
+    rule) root-first, ' > '-joined."""
+    items = sorted(items)
+    headings: list[tuple[int, str, int | None]] = []  # (level, text, parent)
+    out: list[dict] = []
+    cur: dict | None = None
+
+    def flush():
+        # emit heading sections always (empty ones keep the outline
+        # covered); a preamble row only exists if paragraphs preceded
+        # every heading
+        if cur is not None and (
+            cur["n_paragraphs"] > 0 or cur["section_idx"] > 0
+        ):
+            out.append(cur)
+
+    for _nid, kind, level, text in items:
+        if kind == "h":
+            flush()
+            parent = None
+            for j in range(len(headings) - 1, -1, -1):
+                if headings[j][0] < level:
+                    parent = j + 1
+                    break
+            headings.append((level, text, parent))
+            path, k = [], len(headings)
+            while k is not None:
+                path.append(headings[k - 1][1])
+                k = headings[k - 1][2]
+            cur = {
+                "section_idx": len(headings),
+                "heading_path": " > ".join(reversed(path)),
+                "section_text": "",
+                "n_paragraphs": 0,
+            }
+        else:
+            if cur is None:
+                cur = {"section_idx": 0, "heading_path": "",
+                       "section_text": "", "n_paragraphs": 0}
+            cur["section_text"] = (
+                (cur["section_text"] + " " + text) if cur["section_text"]
+                else text
+            )
+            cur["n_paragraphs"] += 1
+    flush()
+    return out
+
+
+SECTION_SCHEMA = (
+    "url string, section_idx bigint, heading_path string, "
+    "section_text string, n_paragraphs bigint"
+)
+
+
+def section_chunks(
+    pages: DataFrame | None = None, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Section-scoped chunking — the RAG-grade unit: one row per
+    heading-delimited section with its ``heading_path`` context string
+    (what retrieval pipelines prepend so an isolated chunk keeps its
+    document position) and the concatenated ``<p>`` text in document
+    order. Headings with no paragraphs still emit (empty text) so the
+    section table covers the whole outline; preamble paragraphs before
+    any heading emit section_idx 0 with an empty path.
+
+    Plan: the heading and paragraph legs ride the SAME parsed-node
+    lineage (eager localCheckpoint when raw pages arrive) and union
+    into one typed row set; assembly is one ``applyInPandas`` over the
+    url key — per-group state bounded by one PAGE's headings +
+    paragraph text, and only the typed rows shuffle, never the html."""
+    import pandas as pd
+
+    if nodes is None:
+        if pages is None:
+            raise ValueError("section_chunks needs pages or nodes")
+        from .parse import flat_parse_nodes
+
+        nodes = flat_parse_nodes(pages).localCheckpoint(eager=True)
+
+    elems = nodes.where(
+        "type = 'element' AND name IN "
+        "('h1','h2','h3','h4','h5','h6','p')"
+    ).select(
+        "url",
+        F.col("node_id").alias("e_id"),
+        F.expr(
+            "CASE WHEN name = 'p' THEN 'p' ELSE 'h' END"
+        ).alias("kind"),
+        F.expr(
+            "CASE WHEN name = 'p' THEN 0L "
+            "ELSE cast(substring(name, 2, 1) as bigint) END"
+        ).alias("level"),
+    )
+    texts = nodes.where("type = 'text'").select(
+        "url", F.col("parent_id").alias("e_id"), "node_id", "contents"
+    )
+    rows = (
+        elems.join(texts, ["url", "e_id"], "left")
+        .groupBy("url", "e_id", "kind", "level")
+        .agg(F.expr(_TEXT_CONCAT).alias("text"))
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        items = [
+            (int(e), k, int(lv), t or "")
+            for e, k, lv, t in zip(
+                pdf["e_id"], pdf["kind"], pdf["level"], pdf["text"]
+            )
+        ]
+        secs = assemble_sections(items)
+        return pd.DataFrame(
+            {
+                "url": [url] * len(secs),
+                "section_idx": [s["section_idx"] for s in secs],
+                "heading_path": [s["heading_path"] for s in secs],
+                "section_text": [s["section_text"] for s in secs],
+                "n_paragraphs": [s["n_paragraphs"] for s in secs],
+            }
+        )
+
+    return rows.groupBy("url").applyInPandas(assemble, SECTION_SCHEMA)
