@@ -1291,6 +1291,48 @@ def _oracle_html_sections_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _q_crawl_delta(spark, sf_dir):
+    # incremental-recrawl gate: snapshot v2 derives from v1 with
+    # doc_id % 13 == 2 dropped (gone), % 7 == 1 text-modified
+    # (changed), and a fresh url per % 11 == 3 doc (new) — the delta
+    # statuses are pure doc_id arithmetic for the oracle while Spark
+    # runs the real fingerprint diff
+    from html5ever_elixir_spark.operators.dedup import snapshot_delta
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.selectExpr(
+        "concat('doc://', cast(doc_id as string)) AS url", "text"
+    )
+    v2 = docs.where("doc_id % 13 <> 2").selectExpr(
+        "concat('doc://', cast(doc_id as string)) AS url",
+        "CASE WHEN doc_id % 7 = 1 THEN concat(text, ' v2') "
+        "ELSE text END AS text",
+    ).unionByName(
+        docs.where("doc_id % 11 = 3").selectExpr(
+            "concat('doc://n', cast(doc_id as string)) AS url",
+            "concat('fresh ', cast(doc_id as string)) AS text",
+        )
+    )
+    return snapshot_delta(v1, v2)
+
+
+_CRAWL_DELTA_ORACLE = """
+SELECT 'doc://' || cast(doc_id as varchar) AS url,
+       CASE WHEN doc_id % 13 = 2 THEN 'gone'
+            WHEN doc_id % 7 = 1 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       md5(text) AS fp_old,
+       CASE WHEN doc_id % 13 = 2 THEN NULL
+            WHEN doc_id % 7 = 1 THEN md5(text || ' v2')
+            ELSE md5(text) END AS fp_new
+FROM documents
+UNION ALL
+SELECT 'doc://n' || cast(doc_id as varchar), 'new', NULL,
+       md5('fresh ' || cast(doc_id as varchar))
+FROM documents WHERE doc_id % 11 = 3
+"""
+
+
 def _q_graph_host_rank(spark, sf_dir):
     # the documented 100 TB PageRank fallback made real (graph.py
     # overflow-budget note: beyond ~1e8 nodes, rank at HOST granularity
@@ -2272,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_rank": _q_graph_host_rank,
         "graph_anchor_stats": _q_graph_anchor_stats,
         "html_sections": _q_html_sections,
+        "crawl_delta": _q_crawl_delta,
     }
 
 
@@ -2461,6 +2504,8 @@ SELECT * FROM (
         "graph_anchor_stats": _ANCHOR_STATS_ORACLE,
         # section chunking: rows generated from the same class spec
         "html_sections": _oracle_html_sections_sql(),
+        # snapshot delta: statuses are pure doc_id arithmetic
+        "crawl_delta": _CRAWL_DELTA_ORACLE,
         "media_features": (
             "SELECT doc_id AS media_id, "
             "case when doc_id % 2 = 0 then 'image' else 'audio' end AS kind, "

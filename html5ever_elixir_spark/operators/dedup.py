@@ -1886,3 +1886,52 @@ cc_edges AS (SELECT id_a AS s, id_b AS d FROM cc_pairs
         + ",\n".join(rounds)
         + f"\nSELECT {id_col}, lbl AS cluster_id FROM l{max_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot delta — the incremental-recrawl primitive: what changed
+# since the last capture decides what re-enters the pipeline (the
+# companion to incremental_dedup, which decides what to KEEP; this
+# decides what to REPROCESS)
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two crawl snapshots by content fingerprint. Output one row
+    per url in either snapshot:
+
+        (url, status, fp_old, fp_new)
+
+    with ``status`` ∈ ``new`` (url only in the new capture), ``gone``
+    (only in the old), ``changed`` (both, md5 differs), ``unchanged``.
+    A recrawl pipeline reprocesses new ∪ changed and tombstones gone —
+    the delta is usually a tiny fraction of the snapshot, which is the
+    whole economics of incremental crawling.
+
+    Plan: two row-local md5 projections → ONE full-outer equi-join on
+    the uniform url key (AQE handles the mega-host skew like every url
+    join here); no window, no member state. At 100 TB both sides are
+    url-bucketed snapshots, so the join is co-located."""
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp_old"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp_new"),
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.expr(
+            "CASE WHEN fp_old IS NULL THEN 'new' "
+            "WHEN fp_new IS NULL THEN 'gone' "
+            "WHEN fp_old <> fp_new THEN 'changed' "
+            "ELSE 'unchanged' END"
+        ).alias("status"),
+        "fp_old",
+        "fp_new",
+    )

@@ -86,3 +86,27 @@ def test_fingerprint_differential_unicode(spark):
     for i, t in enumerate(TEXTS):
         norm = re.sub("[ \t\n\r\f]+", " ", t).strip()
         assert got[i] == hashlib.md5(norm.encode()).hexdigest()[:16], repr(t)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_delta: the incremental-recrawl diff
+
+
+def test_snapshot_delta_statuses(spark):
+    from html5ever_elixir_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "going away")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "brand new")],
+        "url string, text string",
+    )
+    got = {r.url: r for r in snapshot_delta(old, new).collect()}
+    assert {u: r.status for u, r in got.items()} == {
+        "u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new",
+    }
+    assert got["u3"].fp_new is None and got["u4"].fp_old is None
+    assert got["u1"].fp_old == got["u1"].fp_new
+    assert got["u2"].fp_old != got["u2"].fp_new
