@@ -545,27 +545,64 @@ def minhash_signatures(
     """(id, sig array<string>[k]) — sig_i = min over shingles of
     md5('{i}:' || shingle). Row-local, no shuffle.
 
-    Single-pass ``aggregate`` over the shingle array (nested lambda
-    keeps a running k-vector of minima): 5× faster than k independent
-    ``array_min(transform(...))`` projections, which Catalyst partially
-    collapses into repeated shingle computation. Bit-identical output
-    ('zz' sorts above every md5 hex digit; empty shingle lists yield
-    null signatures, matching DuckDB's list_min([])).
+    r9: computed in one ``mapInArrow`` stage with C-speed ``hashlib``
+    md5 (guide §4.2 — heavy per-row work in native code inside the
+    Python stage) instead of the former nested higher-order SQL
+    aggregate: higher-order functions are codegen-fallback, so the
+    k-minimum fold ran interpreted and dominated every LSH-family
+    bench query (measured 1.18 s → ~0.25 s for the signature stage at
+    sf0.1×32 cores). Output is bit-identical to the old expression and
+    to :func:`oracle_minhash_sql`:
 
-    The shingle array is lambda-bound so the empty-guard and the
-    aggregate share ONE evaluation (CollapseProject + codegen-fallback
-    higher-order fns would otherwise recompute it per reference)."""
-    sh = _spark_shingles(text_col, shingle)
-    init = f"transform(sequence(0, {k - 1}), i -> 'zz')"
-    sig = (
-        f"element_at(transform(array({sh}), _sh -> "
-        f"case when size(_sh) = 0 then "
-        f"transform(sequence(0, {k - 1}), i -> cast(null as string)) "
-        f"else aggregate(_sh, {init}, (acc, s) -> "
-        f"transform(sequence(0, {k - 1}), "
-        f"i -> least(acc[i], md5(cast(i as string) || ':' || s)))) end), 1)"
-    )
-    return docs.select(F.col(id_col), F.expr(sig).alias("sig"))
+    * ``split(text, ' ')`` == ``str.split(' ')`` (both keep interior
+      and trailing empty fields);
+    * md5 operates on the UTF-8 bytes of ``'{i}:' || shingle``;
+    * ``least``-fold from the `'zz'` sentinel == plain ``min`` over
+      hex digests ('zz' sorts above every hex digit);
+    * NULL text → NULL sig; < ``shingle`` words → array of k NULLs —
+      matching the old case-when and DuckDB's ``list_min([])``."""
+    import pyarrow as pa
+
+    id_field = docs.select(id_col).schema.fields[0]
+    id_type = id_field.dataType.simpleString()
+
+    def fn(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        prefixes = [f"{i}:".encode() for i in range(k)]
+        nulls = [None] * k
+        sp = b" "
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sigs = []
+            for t in texts:
+                if t is None:
+                    sigs.append(None)
+                    continue
+                words = t.split(" ")
+                n = len(words)
+                if n < shingle:
+                    sigs.append(nulls)
+                    continue
+                wb = [w.encode("utf-8") for w in words]
+                mins = [None] * k
+                for i in range(n - shingle + 1):
+                    sb = sp.join(wb[i : i + shingle])
+                    for j in range(k):
+                        h = md5(prefixes[j] + sb).hexdigest()
+                        m = mins[j]
+                        if m is None or h < m:
+                            mins[j] = h
+                sigs.append(mins)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sigs, type=pa.list_(pa.string()))],
+                names=[id_col, "sig"],
+            )
+
+    pruned = docs.select(F.col(id_col), F.col(text_col))
+    return pruned.mapInArrow(fn, f"{id_col} {id_type}, sig array<string>")
 
 
 def oracle_minhash_sql(
@@ -644,10 +681,18 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are skipped (no pairs emitted):
     such buckets are (near-)identical clusters whose B²/2 pairwise edges
     are redundant — :func:`lsh_clusters` labels them in O(B). The size
-    pre-count is a window over (band, bh) — the SAME exchange the
-    self-join needs, so the expensive MinHash lineage is computed once
-    and the join's second side is a ReusedExchange, not a recompute.
-    Pass ``max_bucket=None`` for uncapped."""
+    pre-count is a window over (band, bh) that streams (and spills)
+    mega-buckets instead of materializing them. Pass ``max_bucket=None``
+    for uncapped.
+
+    r9 plan shape: pairs are generated IN-BUCKET from a sorted
+    ``collect_list`` of member ids (bounded ≤ max_bucket by the window
+    pre-filter) instead of the former (band, bh) self-join — the
+    groupBy reuses the window's hashpartitioning (no second exchange),
+    and the join's second leg (which AQE planned as a BroadcastExchange
+    re-running the whole MinHash lineage — a second Python stage) is
+    gone. One exchange for the bucketing, one for the final distinct;
+    identical output (sorted ids ⇒ id_a < id_b, same pair set)."""
     from pyspark.sql import Window
 
     banded = _lsh_banded(docs, text_col, id_col, k, bands, shingle)
@@ -658,18 +703,17 @@ def lsh_candidate_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    grp = banded.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    pair_expr = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), y -> "
+        "named_struct('id_a', x, 'id_b', y))))"
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -692,12 +736,14 @@ def minhash_jaccard_estimate(
     candidates and run the exact verify only above a threshold.
     Output (id_a, id_b, jaccard_est).
 
-    Plan shape: the signatures ride THROUGH the banding (keep_sig), so
-    the estimate needs no signature re-join — one scan, the (band, bh)
-    self-join shuffle (second side a ReusedExchange, same as
-    lsh_candidate_pairs), and a thin 3-column distinct. The naive
-    pairs ⋈ sigs ⋈ sigs formulation planned as 4 scans + 3 joins,
-    recomputing the MinHash lineage for every side."""
+    Plan shape (r9): the signatures ride THROUGH the banding
+    (keep_sig) into a sorted in-bucket ``collect_list`` of
+    (id, sig) members — bounded ≤ max_bucket by the streaming window
+    pre-filter on the SAME exchange — and pairs + estimates are
+    generated row-locally, exactly like :func:`lsh_candidate_pairs`.
+    The former (band, bh) self-join (whose second leg AQE broadcast,
+    re-running the whole MinHash lineage) is gone; the naive
+    pairs ⋈ sigs ⋈ sigs formulation planned as 4 scans + 3 joins."""
     from pyspark.sql import Window
 
     banded = _lsh_banded(
@@ -710,25 +756,26 @@ def minhash_jaccard_estimate(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
-    a, b = banded.alias("a"), banded.alias("b")
+    grp = banded.groupBy("band", "bh").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col("sig").alias("s"))
+            )
+        ).alias("_m")
+    )
     matches = (
-        "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x <=> y, 1, 0)), "
-        "0, (acc, v) -> acc + v)"
+        "aggregate(zip_with(x.s, y.s, (u, v) -> if(u <=> v, 1, 0)), "
+        "0, (acc, w) -> acc + w)"
+    )
+    pair_expr = (
+        "flatten(transform(_m, (x, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), y -> "
+        "named_struct('id_a', x.i, 'id_b', y.i, "
+        f"'jaccard_est', round(cast({matches} as double) / {k}, 6)))))"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.expr(f"round(cast({matches} as double) / {k}, 6)").alias(
-                "jaccard_est"
-            ),
-        )
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard_est")
         .distinct()
     )
 
@@ -1259,24 +1306,30 @@ def simhash_pairs(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    ham = (
-        "cast(bit_count(a.simhash_hi ^ b.simhash_hi) "
-        "+ bit_count(a.simhash_lo ^ b.simhash_lo) as bigint)"
+    grp = chunked.groupBy("chunk", "cv").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("simhash_hi").alias("h"),
+                    F.col("simhash_lo").alias("l"),
+                )
+            )
+        ).alias("_m")
+    )
+    # r9: in-bucket pair generation (see hamming_pairs_64) — the former
+    # (chunk, cv) self-join re-ran the SimHash lineage on its broadcast
+    # leg; identical pair set, distances, and cap semantics.
+    ham = "cast(bit_count(x.h ^ y.h) + bit_count(x.l ^ y.l) as bigint)"
+    pair_expr = (
+        "flatten(transform(_m, (x, i) -> "
+        f"filter(transform(slice(_m, i + 2, size(_m)), y -> "
+        f"named_struct('id_a', x.i, 'id_b', y.i, 'hamming', {ham})), "
+        f"p -> p.hamming <= {max_hamming})))"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.expr(ham).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
 
@@ -1340,9 +1393,13 @@ def hamming_pairs_64(
     (identical-fingerprint clusters) are skipped like
     :func:`lsh_candidate_pairs`; route those through exact dedup.
 
-    The same 100 TB plan as :func:`simhash_pairs` — a bucketed
-    equi-join, never an all-pairs product; the second join side is a
-    ReusedExchange of the first. Output (id_a, id_b, hamming)."""
+    The same 100 TB plan as :func:`simhash_pairs` — bucketed, never an
+    all-pairs product. r9: pairs + distances are generated IN-BUCKET
+    from a sorted ``collect_list`` of (id, hi, lo) members (bounded
+    ≤ max_bucket by the streaming window pre-filter on the SAME
+    exchange) instead of the former self-join, whose second leg AQE
+    planned as a BroadcastExchange re-running the upstream lineage.
+    Output (id_a, id_b, hamming) — identical pair set and distances."""
     chunk_exprs = (
         f"shiftright({hi_col}, 16) & 65535",
         f"{hi_col} & 65535",
@@ -1370,24 +1427,29 @@ def hamming_pairs_64(
             .where(F.col("_bsz") <= max_bucket)
             .drop("_bsz")
         )
-    a, b = chunked.alias("a"), chunked.alias("b")
+    grp = chunked.groupBy("chunk", "cv").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col(hi_col).alias("h"),
+                    F.col(lo_col).alias("l"),
+                )
+            )
+        ).alias("_m")
+    )
     ham = (
-        f"cast(bit_count(a.{hi_col} ^ b.{hi_col}) "
-        f"+ bit_count(a.{lo_col} ^ b.{lo_col}) as bigint)"
+        "cast(bit_count(x.h ^ y.h) + bit_count(x.l ^ y.l) as bigint)"
+    )
+    pair_expr = (
+        "flatten(transform(_m, (x, i) -> "
+        f"filter(transform(slice(_m, i + 2, size(_m)), y -> "
+        f"named_struct('id_a', x.i, 'id_b', y.i, 'hamming', {ham})), "
+        f"p -> p.hamming <= {max_hamming})))"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.expr(ham).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
 

@@ -2520,18 +2520,18 @@ def image_dhash_pairs(
     bucketed equi-join, never all-pairs; oversized identical-hash
     buckets are capped). Output (id_a, id_b, hamming).
 
-    The hash table is localCheckpointed eagerly before the self-join:
-    without the barrier each join leg re-runs the Arrow decode stage
-    (measured 4 MapInArrow stages — the graph/metadata parse-once
-    lesson), and at 100 TB the decode is the dominant cost while the
-    materialized rows are 30-ish bytes each. Plan-asserted in
+    r9: ``hamming_pairs_64`` generates pairs in-bucket from ONE
+    lineage (no self-join), so the hash table has a single consumer
+    and the former eager localCheckpoint barrier (which existed to
+    stop each join leg re-running the Arrow decode — measured 4
+    MapInArrow stages in r8) is no longer needed: the decode runs
+    exactly once, inline, and the extra materialization job is gone.
+    Plan-asserted in
     tests/test_dhash.py::test_dhash_pairs_plan_single_parse_stage."""
     from .dedup import DEFAULT_MAX_BUCKET, hamming_pairs_64
 
-    hashes = (
-        image_dhash(media, grid_w, grid_h)
-        .where("decode_error IS NULL")
-        .localCheckpoint(eager=True)
+    hashes = image_dhash(media, grid_w, grid_h).where(
+        "decode_error IS NULL"
     )
     return hamming_pairs_64(
         hashes,

@@ -126,11 +126,14 @@ def test_dhash_pairs_plan_single_parse_stage(spark):
     )
     plan = image_dhash_pairs(docs_to_dhash_pnms(docs))._jdf.queryExecution(
     ).executedPlan().toString()
-    # decode+hash once via the eager localCheckpoint barrier: without it
-    # each self-join leg re-ran the Arrow stages (measured 4 MapInArrow —
-    # the graph/metadata parse-once lesson). Downstream plan: zero.
-    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
-    assert "ExistingRDD" in plan or "Scan\n" in plan
+    # r9: in-bucket pair generation gives the hash table a single
+    # consumer, so each Arrow stage appears EXACTLY once in the whole
+    # plan — one for the PNM synthesis (docs_to_dhash_pnms), one for
+    # the decode+hash (image_dhash). r8's self-join needed an eager
+    # localCheckpoint barrier to stop each join leg re-running them
+    # (4 MapInArrow without it); the barrier job itself is now gone.
+    assert plan.count("MapInArrow") == 2
+    assert "ArrowEvalPython" not in plan
 
 
 def test_clusters_match_union_find(spark):
