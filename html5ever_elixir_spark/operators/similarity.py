@@ -539,17 +539,28 @@ def ivf_assign(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
 
+    # r9 assign shape: argmin via groupBy min(struct(dist, cid)) —
+    # lexicographic struct min == the old row_number() OVER (ORDER BY
+    # dist, cid) tie-break, but with MAP-SIDE partial aggregation
+    # (k rows/vector collapse to 1 before the exchange) and no window
+    # sort. Values identical. The distance stays the generic
+    # ``aggregate`` fold: an unrolled 64-term codegen chain was tried
+    # and LOST here — this lineage plans ~6 small stages per build and
+    # the big expression trees cost more in optimizer/codegen time than
+    # they save per row at bench scale (bench_extra A/B r9).
     def assign(vs: DataFrame, cs: DataFrame) -> DataFrame:
         d = (
             vs.withColumn("_j", F.lit(1))
             .join(F.broadcast(cs.withColumn("_j", F.lit(1))), "_j")
             .select("vec_id", "v", "cid", F.expr(_L2).alias("dist"))
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
+            d.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("_m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("_m.cid").alias("cid"))
         )
 
     for _ in range(iters):
@@ -812,18 +823,29 @@ def ivf_pq_topk(
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.j").alias("j"), F.col("s.rv").alias("rv"))
+    # r9: rsub feeds BOTH PQ-training rounds and the member encode —
+    # left lazy each consumer re-derives the residual join/explode
+    # (3×). Materialize once: rows are m small sub-vectors per vector,
+    # the same footprint discipline as the assignment checkpoint.
+    rsub = rsub.localCheckpoint(eager=True)
 
     sub_l2 = _L2.replace("v, c", "rv, cw")
 
+    # r9: argmin via groupBy
+    # min(struct(dist, code)) — the same map-side-combinable shape as
+    # ivf_assign (k_pq rows/(vec, j) collapse before the exchange, no
+    # window sort). Tie-break identical to the old ORDER BY dist, code.
     def assign_sub(xs: DataFrame, cb: DataFrame) -> DataFrame:
         d = xs.join(F.broadcast(cb), "j").select(
             "vec_id", "j", "rv", "code", F.expr(sub_l2).alias("dist")
         )
-        w = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "j", "rv", "code")
+            d.groupBy("vec_id", "j")
+            .agg(
+                F.min(F.struct("dist", "code")).alias("_m"),
+                F.first("rv").alias("rv"),
+            )
+            .select("vec_id", "j", "rv", F.col("_m.code").alias("code"))
         )
 
     train = rsub.where(
