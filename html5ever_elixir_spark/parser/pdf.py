@@ -2272,12 +2272,24 @@ _TOKEN_RE = re.compile(
 )
 
 
+_LIT_SPECIAL = re.compile(rb"[\\()]")
+
+
 def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
     """data[p] is just past '('; returns (decoded, pos past ')')."""
     out = []
     depth = 1
     n = len(data)
     while p < n:
+        # r9: bulk-copy the run up to the next special byte — latin-1
+        # decode of a byte run == the per-byte chr() appends it replaces
+        m = _LIT_SPECIAL.search(data, p)
+        if m is None:
+            break
+        q = m.start()
+        if q > p:
+            out.append(data[p:q].decode("latin-1"))
+            p = q
         c = data[p]
         if c == 0x5C:  # backslash
             p += 1
@@ -2451,6 +2463,18 @@ def _extract_stream_text(
             else:
                 pending_strings.append((raw.decode("latin-1"), raw))
             continue
+        if tok[:1] in b"-+.0123456789":
+            # r9 early exit: number tokens only ever matter as TJ-array
+            # kerning inside a text block — the dispatch chain below
+            # cannot match them otherwise (same semantics, ~1/3 of all
+            # tokens skip ~10 comparisons)
+            if in_text and in_tj_array:
+                try:
+                    if float(tok) <= -180 and pending_strings:
+                        pending_strings.append((" ", None))
+                except ValueError:
+                    pass
+            continue
         if tok == b"BI":
             # inline image: skip to the EI delimiter after the binary
             # payload (EI must follow whitespace — binary may contain
@@ -2511,16 +2535,10 @@ def _extract_stream_text(
             in_tj_array = True
         elif tok == b"]":
             in_tj_array = False
-        elif in_tj_array and tok[:1] in b"-0123456789+.":
-            # TJ kerning: a large negative adjustment (thousandths of an
-            # em) is how justified text encodes WORD SPACES without a
-            # space glyph — the standard extractor heuristic (≈-180
-            # threshold). Small kerning (letter fitting) adds nothing.
-            try:
-                if float(tok) <= -180 and pending_strings:
-                    pending_strings.append((" ", None))
-            except ValueError:
-                pass
+        # TJ kerning numbers are handled by the early exit above: a
+        # large negative adjustment (thousandths of an em, ≈-180
+        # threshold) is how justified text encodes WORD SPACES without
+        # a space glyph — the standard extractor heuristic.
     break_line()
     return lines
 

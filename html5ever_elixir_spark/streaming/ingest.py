@@ -321,7 +321,9 @@ def stream_warc_extract(
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
-    recs = warc_to_pages(blobs).observe(
+    # spread=False: micro-batches are already file-per-blob splits and
+    # a round-robin repartition is an extra stateless shuffle per batch
+    recs = warc_to_pages(blobs, spread=False).observe(
         "warc_ingest",
         F.count(F.lit(1)).alias("warc_rows"),
         F.count(F.when(F.col("error").isNotNull(), 1))
