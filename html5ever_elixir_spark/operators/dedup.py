@@ -545,64 +545,34 @@ def minhash_signatures(
     """(id, sig array<string>[k]) — sig_i = min over shingles of
     md5('{i}:' || shingle). Row-local, no shuffle.
 
-    r9: computed in one ``mapInArrow`` stage with C-speed ``hashlib``
-    md5 (guide §4.2 — heavy per-row work in native code inside the
-    Python stage) instead of the former nested higher-order SQL
-    aggregate: higher-order functions are codegen-fallback, so the
-    k-minimum fold ran interpreted and dominated every LSH-family
-    bench query (measured 1.18 s → ~0.25 s for the signature stage at
-    sf0.1×32 cores). Output is bit-identical to the old expression and
-    to :func:`oracle_minhash_sql`:
+    Single-pass ``aggregate`` over the shingle array (nested lambda
+    keeps a running k-vector of minima): 5× faster than k independent
+    ``array_min(transform(...))`` projections, which Catalyst partially
+    collapses into repeated shingle computation. Bit-identical output
+    ('zz' sorts above every md5 hex digit; empty shingle lists yield
+    null signatures, matching DuckDB's list_min([])).
 
-    * ``split(text, ' ')`` == ``str.split(' ')`` (both keep interior
-      and trailing empty fields);
-    * md5 operates on the UTF-8 bytes of ``'{i}:' || shingle``;
-    * ``least``-fold from the `'zz'` sentinel == plain ``min`` over
-      hex digests ('zz' sorts above every hex digit);
-    * NULL text → NULL sig; < ``shingle`` words → array of k NULLs —
-      matching the old case-when and DuckDB's ``list_min([])``."""
-    import pyarrow as pa
+    The shingle array is lambda-bound so the empty-guard and the
+    aggregate share ONE evaluation (CollapseProject + codegen-fallback
+    higher-order fns would otherwise recompute it per reference).
 
-    id_field = docs.select(id_col).schema.fields[0]
-    id_type = id_field.dataType.simpleString()
-
-    def fn(batches):
-        import hashlib
-
-        md5 = hashlib.md5
-        prefixes = [f"{i}:".encode() for i in range(k)]
-        nulls = [None] * k
-        sp = b" "
-        for batch in batches:
-            ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            sigs = []
-            for t in texts:
-                if t is None:
-                    sigs.append(None)
-                    continue
-                words = t.split(" ")
-                n = len(words)
-                if n < shingle:
-                    sigs.append(nulls)
-                    continue
-                wb = [w.encode("utf-8") for w in words]
-                mins = [None] * k
-                for i in range(n - shingle + 1):
-                    sb = sp.join(wb[i : i + shingle])
-                    for j in range(k):
-                        h = md5(prefixes[j] + sb).hexdigest()
-                        m = mins[j]
-                        if m is None or h < m:
-                            mins[j] = h
-                sigs.append(mins)
-            yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(sigs, type=pa.list_(pa.string()))],
-                names=[id_col, "sig"],
-            )
-
-    pruned = docs.select(F.col(id_col), F.col(text_col))
-    return pruned.mapInArrow(fn, f"{id_col} {id_type}, sig array<string>")
+    r9 note: a hashlib-based mapInArrow implementation was tried and
+    REVERTED — with the in-bucket pair generation every LSH consumer
+    evaluates the signature exactly once, and the ~0.4 s per-stage
+    Python tax exceeded the interpreted-HOF cost it saved (A/B: HOF
+    sigs 0.69-1.10 s vs Python sigs 0.99-1.27 s across
+    clusters/pairs/keep_longest at sf0.1)."""
+    sh = _spark_shingles(text_col, shingle)
+    init = f"transform(sequence(0, {k - 1}), i -> 'zz')"
+    sig = (
+        f"element_at(transform(array({sh}), _sh -> "
+        f"case when size(_sh) = 0 then "
+        f"transform(sequence(0, {k - 1}), i -> cast(null as string)) "
+        f"else aggregate(_sh, {init}, (acc, s) -> "
+        f"transform(sequence(0, {k - 1}), "
+        f"i -> least(acc[i], md5(cast(i as string) || ':' || s)))) end), 1)"
+    )
+    return docs.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def oracle_minhash_sql(
@@ -1730,6 +1700,10 @@ def long_dup_spans(
             "pos", "h"
         ),
     )
+    # r9 note: a Python-side hashlib gram stage + shared repartition
+    # exchange was A/B-tested here and LOST (~0.7 s slower at sf0.1):
+    # one md5 per gram is cheap enough in the JVM that the extra
+    # Python-stage tax and exchange outweigh the duplicated lineage.
     hot = (
         grams.groupBy("h")
         .agg(F.count("*").alias("cnt"))

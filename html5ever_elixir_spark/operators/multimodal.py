@@ -2668,12 +2668,15 @@ def docs_to_dhash_pnms(docs: DataFrame, grid_w: int = 8, grid_h: int = 8):
                 if did % 11 == 0:
                     vals[-1] += 1
                 if did % 2:
+                    # r9: 2x pixel doubling via strided slice assignment
+                    # (C speed) instead of a per-pixel generator —
+                    # identical bytes
                     up = bytearray()
+                    dbl = bytearray(2 * gw1)
                     for r in range(grid_h):
                         row = vals[r * gw1 : (r + 1) * gw1]
-                        dbl = bytes(
-                            v for px in row for v in (px, px)
-                        )
+                        dbl[0::2] = row
+                        dbl[1::2] = row
                         up += dbl + dbl
                     payloads.append(header2 + bytes(up))
                 else:
