@@ -863,6 +863,46 @@ def keep_longest(
     )
 
 
+def lsh_keepers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle: int = 5,
+) -> DataFrame:
+    """The canonical-document ID SET of :func:`keep_longest` — exactly
+    the ids whose ``keep`` flag is true — computed with a map-side
+    ``groupBy cluster_id`` argmax instead of the full per-row window
+    (r9): ``min(struct(len IS NULL, -len, id))`` is lexicographically
+    the ``ORDER BY len DESC NULLS LAST, id ASC`` head of each cluster,
+    and partial aggregation collapses clusters before the exchange
+    (the window shipped and sorted every member row). For composers
+    that only need the survivor set (curation's semi join); callers
+    that need the per-doc keep flag use :func:`keep_longest`."""
+    from pyspark.sql import functions as F
+
+    clusters = lsh_clusters(docs, text_col, id_col, k, bands, shingle).select(
+        id_col, "cluster_id"
+    )
+    scored = clusters.join(
+        docs.select(id_col, F.length(text_col).alias("_len")), id_col
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.expr("_len IS NULL").alias("nl"),
+                    (-F.col("_len")).alias("negl"),
+                    F.col(id_col).alias("i"),
+                )
+            ).alias("_m")
+        )
+        .select(F.col(f"_m.i").alias(id_col))
+    )
+
+
 def oracle_keep_longest_sql(
     table: str = "documents", k: int = 16, bands: int = 4, shingle: int = 5
 ) -> str:

@@ -348,8 +348,15 @@ def docs_to_table_html_expr() -> str:
     """Spark SQL expression building each document's table HTML:
     table 1 = ``thead`` header row (2 ``th``) + 1-3 ``tbody`` data rows
     (2 ``td``), table 2 (docs with doc_id % 4 = 0) = one bare ``tr``
-    with 3 ``td`` (exercises the parser's implied tbody)."""
-    c = lambda i: _cell_expr(i, "spark")  # noqa: E731
+    with 3 ``td`` (exercises the parser's implied tbody).
+
+    r9: cell tokens come from ONE lambda-bound cleaned-prefix array —
+    the old per-reference split+regexp_replace could not be hoisted out
+    of the CASE WHEN row gates by codegen subexpression elimination
+    (see docs_to_md_html_expr). Output bytes identical."""
+    c = lambda i: (  # noqa: E731
+        f"coalesce(nullif(try_element_at(cw, {i}), ''), 'p{i}')"
+    )
     parts = [
         "'<table><thead><tr><th>'",
         c(1),
@@ -373,7 +380,12 @@ def docs_to_table_html_expr() -> str:
         "'</td><td>', {d}, '</td></tr></table>')"
     ).format(a=c(9), b=c(10), d=c(11))
     parts.append(f"CASE WHEN doc_id % 4 = 0 THEN {t2} ELSE '' END")
-    return "concat(" + ", ".join(parts) + ")"
+    inner = "concat(" + ", ".join(parts) + ")"
+    return (
+        "element_at(transform(array(transform(slice(split(text, ' '), "
+        "1, 11), w -> regexp_replace(w, '[^A-Za-z0-9]', ''))), "
+        f"cw -> {inner}), 1)"
+    )
 
 
 def oracle_table_cells_sql(table: str = "documents") -> str:

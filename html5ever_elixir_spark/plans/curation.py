@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     decontaminate,
-    keep_longest,
+    lsh_keepers,
     oracle_decontaminate_sql,
     oracle_keep_longest_sql,
 )
@@ -58,11 +58,10 @@ def run_curation(
         rates,
         id_col=id_col,
     )
-    canon = (
-        keep_longest(docs, text_col, id_col)
-        .where("keep")
-        .select(id_col)
-    )
+    # r9: the survivor-ID set via the map-side groupBy argmax
+    # (dedup.lsh_keepers) — identical ids to keep_longest(...).where
+    # ("keep"), without the full per-row window
+    canon = lsh_keepers(docs, text_col, id_col)
     kept = gated.join(canon, id_col, "semi")
     return chunk_documents(kept, chunk_words, overlap, text_col, id_col)
 
@@ -133,11 +132,10 @@ def run_curation_v2(
         rates,
         id_col=id_col,
     )
-    canon = (
-        keep_longest(docs, text_col, id_col)
-        .where("keep")
-        .select(id_col)
-    )
+    # r9: the survivor-ID set via the map-side groupBy argmax
+    # (dedup.lsh_keepers) — identical ids to keep_longest(...).where
+    # ("keep"), without the full per-row window
+    canon = lsh_keepers(docs, text_col, id_col)
     contaminated = decontaminate(
         docs, benchmark, text_col, id_col, hits_only=True
     ).select(id_col)
@@ -239,11 +237,10 @@ def run_curation_v3(
         rates,
         id_col=id_col,
     )
-    canon = (
-        keep_longest(docs, text_col, id_col)
-        .where("keep")
-        .select(id_col)
-    )
+    # r9: the survivor-ID set via the map-side groupBy argmax
+    # (dedup.lsh_keepers) — identical ids to keep_longest(...).where
+    # ("keep"), without the full per-row window
+    canon = lsh_keepers(docs, text_col, id_col)
     contaminated = decontaminate(
         docs, benchmark, text_col, id_col, hits_only=True
     ).select(id_col)
