@@ -42,6 +42,14 @@ from html.entities import html5 as _ENTITIES
 _TAG_NAME_RE = re.compile(r"[^\t\n\x0c />]+")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\x0c /=>]+")
 _WS_RE = re.compile(r"[\t\n\x0c ]+")
+# r9 fast path: a whole run of simple double-quoted attributes up to
+# '>' — lowercase-ASCII names, values without '&'/'"'/NUL (no charref
+# or replacement processing needed), single-ws separated, no trailing
+# solidus. Anything else falls back to the character-exact loop.
+_ATTRS_FAST_RE = re.compile(
+    r'(?:[\t\n\x0c ]+[a-z][a-z0-9_-]*="[^"&\x00]*")+>'
+)
+_ATTR_PAIR_RE = re.compile(r'([a-z][a-z0-9_-]*)="([^"]*)"')
 
 # ---------------------------------------------------------------------------
 # constants
@@ -88,7 +96,8 @@ class Tokenizer:
     namespace, enabling real ``<![CDATA[...]]>`` sections).
     """
 
-    __slots__ = ("s", "n", "p", "sink", "state", "last_start", "parse_errors")
+    __slots__ = ("s", "n", "p", "sink", "state", "last_start",
+                 "parse_errors", "_emit_tok")
 
     def __init__(self, text: str, sink):
         if "\r" in text:
@@ -97,6 +106,9 @@ class Tokenizer:
         self.n = len(text)
         self.p = 0
         self.sink = sink
+        # bound once (r9): every token emission is one attribute load +
+        # call instead of the method-wrapper indirection
+        self._emit_tok = sink.process_token
         self.state = DATA
         self.last_start = ""
         self.parse_errors = 0
@@ -125,10 +137,10 @@ class Tokenizer:
 
     def _chars(self, data: str) -> None:
         if data:
-            self.sink.process_token(("chars", data))
+            self._emit_tok(("chars", data))
 
     def _emit(self, tok) -> None:
-        self.sink.process_token(tok)
+        self._emit_tok(tok)
 
     # -- data / RCDATA / RAWTEXT ---------------------------------------------
 
@@ -378,10 +390,31 @@ class Tokenizer:
             self.state = DATA
             if is_start:
                 self.last_start = name
-                self._emit(("start", name, [], False))
+                self._emit_tok(("start", name, [], False))
             else:
-                self._emit(("end", name))
+                self._emit_tok(("end", name))
             return
+        # fast path 2 (r9): a run of simple double-quoted attributes
+        # ending in '>' — byte-equivalent to the loop below for this
+        # shape (names already lowercase, values need no charref/NUL
+        # processing, '>' terminated); duplicate names fall through so
+        # the loop's first-wins + parse_error accounting is preserved
+        ma = _ATTRS_FAST_RE.match(s, q)
+        if ma:
+            pairs = _ATTR_PAIR_RE.findall(s, q, ma.end())
+            names = [a for a, _ in pairs]
+            if len(set(names)) == len(names):
+                self.p = ma.end()
+                self.state = DATA
+                if is_start:
+                    self.last_start = name
+                    self._emit_tok(
+                        ("start", name, [list(a) for a in pairs], False)
+                    )
+                else:
+                    self.parse_errors += 1  # end-tag-with-attributes
+                    self._emit_tok(("end", name))
+                return
         attrs: list[list[str]] = []
         seen: set[str] = set()
         self_closing = False

@@ -299,15 +299,28 @@ class TreeBuilder:
                         return
                     tok = ("chars", data)
         guard = 0
+        dispatch = _MODE_DISPATCH
         while tok is not None:
             guard += 1
             if guard > 1000:  # defensive: never loop forever on odd input
                 self.parse_errors += 1
                 return
-            if self._use_foreign(tok):
+            # r9 inlined _use_foreign pre-check: the overwhelmingly
+            # common case (HTML-namespace current node, no fragment
+            # length-1 special case) skips the call entirely — the
+            # conditions mirror _use_foreign's own early returns
+            op = self.open
+            if (
+                op
+                and (
+                    op[-1].namespace != HTML_NS
+                    or (len(op) == 1 and self.fragment_context is not None)
+                )
+                and self._use_foreign(tok)
+            ):
                 tok = self._foreign(tok)
             else:
-                tok = _MODE_DISPATCH[self.mode](self, tok)
+                tok = dispatch[self.mode](self, tok)
 
     # -- scope / stack helpers -----------------------------------------------
 
