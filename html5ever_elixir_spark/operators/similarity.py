@@ -488,6 +488,56 @@ transform(array(sort_array(collect_list(struct(vec_id, v)))), arr ->
 """
 
 
+def _round_like_spark(x: float, scale: int) -> float:
+    """Spark's double ``round(x, scale)``: BigDecimal(Double.toString)
+    + HALF_UP. Python's ``repr`` is the same shortest-roundtrip decimal
+    as Double.toString, so Decimal(repr)+ROUND_HALF_UP is bit-exact;
+    -0.0 normalizes to +0.0 like BigDecimal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    ))
+    return 0.0 if r == 0.0 else r
+
+
+def _lloyd_rounds_local(members, seeds, iters, round6, round9):
+    """Shared fixed-iteration Lloyd kernel over IN-MEMORY rows:
+    ``members`` = [(sort_key, vec)] pre-sorted ascending, ``seeds`` =
+    {cid: vec}. Reproduces the SQL build's arithmetic EXACTLY — dist =
+    6dp-rounded left-fold of squared diffs (tie-break on cid),
+    centroid = 9dp-rounded per-dim mean folded in sort_key order,
+    empty cells drop out — so the result is bit-identical to the
+    unrolled-CTE oracle. Returns {cid: vec}."""
+    cents = dict(seeds)
+    for _ in range(iters):
+        groups: dict = {}
+        clist = sorted(cents.items())
+        for _, vec in members:
+            best = None
+            for cid, c in clist:
+                acc = 0.0
+                for xi, ci in zip(vec, c):
+                    d = xi - ci
+                    acc += d * d
+                key = (round6(acc), cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            groups.setdefault(best[1], []).append(vec)
+        cents = {}
+        for cid, vs in groups.items():
+            n = len(vs)
+            dim_ = len(vs[0])
+            out = [0.0] * dim_
+            for i in range(dim_):
+                acc = 0.0
+                for vec in vs:
+                    acc += vec[i]
+                out[i] = round9(acc / n)
+            cents[cid] = out
+    return cents
+
+
 def _ivf_train_gate(k: int, train_frac: float, train_salt: str) -> str:
     """SQL predicate selecting the deterministic hash-sampled TRAINING
     subset of the corpus: the k seed vectors (ids 0..k-1, always in so
@@ -535,42 +585,52 @@ def ivf_assign(
     identical gate predicate inside the train CTE."""
     v = _ivf_vectors(emb, id_col, vec_col)
     train = v.where(F.expr(_ivf_train_gate(k, train_frac, train_salt)))
-    cents = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+
+    # r9: the Lloyd rounds run FUSED in one single-partition Python
+    # stage over the bounded hash-sample (the faiss layout exactly:
+    # the coarse quantizer trains on a sample on one node, assignment
+    # stays distributed). The former unrolled SQL build planned ~10
+    # small stages (2 exchanges + a broadcast per round) that dwarfed
+    # the actual arithmetic; the kernel (_lloyd_rounds_local)
+    # reproduces the SQL arithmetic bit-for-bit — 6dp-rounded
+    # left-fold L2 with cid tie-break, 9dp per-dim mean folded in
+    # vec_id order, Spark-identical HALF_UP rounding via
+    # Decimal(repr) — so the unrolled-CTE oracle and the driver gates
+    # (ann_ivf_cells: the full 500-row assignment) are unchanged.
+    def lloyd_fn(pdf_iter):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdf_iter:
+            for vid, vec in zip(pdf["vec_id"], pdf["v"]):
+                rows.append((vid, [float(x) for x in vec]))
+        rows.sort(key=lambda r: r[0])
+        seeds = {vid: vec for vid, vec in rows if vid < k}
+        r6 = lambda x: _round_like_spark(x, 6)  # noqa: E731
+        r9 = lambda x: _round_like_spark(x, 9)  # noqa: E731
+        cents = _lloyd_rounds_local(rows, seeds, iters, r6, r9)
+        cids = sorted(cents)
+        yield pd.DataFrame({"cid": cids, "c": [cents[c] for c in cids]})
+
+    cents = train.coalesce(1).mapInPandas(
+        lloyd_fn, "cid bigint, c array<double>"
     )
 
-    # r9 assign shape: argmin via groupBy min(struct(dist, cid)) —
-    # lexicographic struct min == the old row_number() OVER (ORDER BY
-    # dist, cid) tie-break, but with MAP-SIDE partial aggregation
-    # (k rows/vector collapse to 1 before the exchange) and no window
-    # sort. Values identical. The distance stays the generic
-    # ``aggregate`` fold: an unrolled 64-term codegen chain was tried
-    # and LOST here — this lineage plans ~6 small stages per build and
-    # the big expression trees cost more in optimizer/codegen time than
-    # they save per row at bench scale (bench_extra A/B r9).
-    def assign(vs: DataFrame, cs: DataFrame) -> DataFrame:
-        d = (
-            vs.withColumn("_j", F.lit(1))
-            .join(F.broadcast(cs.withColumn("_j", F.lit(1))), "_j")
-            .select("vec_id", "v", "cid", F.expr(_L2).alias("dist"))
-        )
-        return (
-            d.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("_m"),
-                F.first("v").alias("v"),
-            )
-            .select("vec_id", "v", F.col("_m.cid").alias("cid"))
-        )
-
-    for _ in range(iters):
-        a = assign(train, cents)
-        cents = a.groupBy("cid").agg(F.expr(_CENTROID).alias("c"))
-    final = assign(v, cents)
-    return (
-        final.select("vec_id", F.col("cid").alias("cell")),
-        cents,
+    # final assignment over the FULL corpus stays distributed:
+    # broadcast k centroids, argmin via groupBy min(struct(dist, cid))
+    # — lexicographic struct min == the old row_number tie-break, with
+    # map-side partial aggregation and no window sort
+    d = (
+        v.withColumn("_j", F.lit(1))
+        .join(F.broadcast(cents.withColumn("_j", F.lit(1))), "_j")
+        .select("vec_id", "cid", F.expr(_L2).alias("dist"))
     )
+    final = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select("vec_id", F.col("_m.cid").alias("cell"))
+    )
+    return (final, cents)
 
 
 def ann_ivf_topk(
@@ -831,39 +891,56 @@ def ivf_pq_topk(
 
     sub_l2 = _L2.replace("v, c", "rv, cw")
 
-    # r9: argmin via groupBy
-    # min(struct(dist, code)) — the same map-side-combinable shape as
-    # ivf_assign (k_pq rows/(vec, j) collapse before the exchange, no
-    # window sort). Tie-break identical to the old ORDER BY dist, code.
-    def assign_sub(xs: DataFrame, cb: DataFrame) -> DataFrame:
-        d = xs.join(F.broadcast(cb), "j").select(
-            "vec_id", "j", "rv", "code", F.expr(sub_l2).alias("dist")
-        )
-        return (
-            d.groupBy("vec_id", "j")
-            .agg(
-                F.min(F.struct("dist", "code")).alias("_m"),
-                F.first("rv").alias("rv"),
-            )
-            .select("vec_id", "j", "rv", F.col("_m.code").alias("code"))
-        )
-
+    # r9: PQ codebook training runs FUSED in one single-partition
+    # Python stage over the hash-sampled residual sub-vectors — the
+    # same faiss-style local trainer as the coarse build (see
+    # ivf_assign.lloyd_fn), per subspace j; _lloyd_rounds_local
+    # reproduces the SQL arithmetic bit-for-bit so the unrolled-CTE
+    # oracle is unchanged. Member ENCODE over the full corpus stays
+    # distributed (broadcast codebook, map-side argmin groupBy).
     train = rsub.where(
         F.expr(_ivf_train_gate(k_pq, train_frac, train_salt))
     )
-    cb = rsub.where(F.col("vec_id") < k_pq).select(
-        "j", F.col("vec_id").alias("code"), F.col("rv").alias("cw")
+
+    def pq_train_fn(pdf_iter):
+        import pandas as pd
+
+        by_j: dict = {}
+        for pdf in pdf_iter:
+            for vid, j, rv in zip(pdf["vec_id"], pdf["j"], pdf["rv"]):
+                by_j.setdefault(int(j), []).append(
+                    (vid, [float(x) for x in rv])
+                )
+        r6 = lambda x: _round_like_spark(x, 6)  # noqa: E731
+        r9 = lambda x: _round_like_spark(x, 9)  # noqa: E731
+        o_j, o_code, o_cw = [], [], []
+        for j in sorted(by_j):
+            rows = sorted(by_j[j], key=lambda r: r[0])
+            seeds = {vid: vec for vid, vec in rows if vid < k_pq}
+            cbj = _lloyd_rounds_local(rows, seeds, pq_iters, r6, r9)
+            for code in sorted(cbj):
+                o_j.append(j)
+                o_code.append(code)
+                o_cw.append(cbj[code])
+        yield pd.DataFrame({"j": o_j, "code": o_code, "cw": o_cw})
+
+    cb = train.coalesce(1).mapInPandas(
+        pq_train_fn, "j int, code bigint, cw array<double>"
     )
-    for _ in range(pq_iters):
-        a = assign_sub(train, cb)
-        cb = (
-            a.select("j", "code", "vec_id", F.col("rv").alias("v"))
-            .groupBy("j", "code")
-            .agg(F.expr(_CENTROID).alias("cw"))
-        )
     # trained codebook: m*k_pq rows consumed by BOTH the member encode
     # and the query LUT — materialize so PQ training runs once
     cb = cb.localCheckpoint(eager=True)
+
+    def assign_sub(xs: DataFrame, cb: DataFrame) -> DataFrame:
+        d = xs.join(F.broadcast(cb), "j").select(
+            "vec_id", "j", "code", F.expr(sub_l2).alias("dist")
+        )
+        return (
+            d.groupBy("vec_id", "j")
+            .agg(F.min(F.struct("dist", "code")).alias("_m"))
+            .select("vec_id", "j", F.col("_m.code").alias("code"))
+        )
+
     codes_rows = assign_sub(rsub, cb).select("vec_id", "j", "code")
 
     # queries → nprobe nearest coarse cells (as in ann_ivf_topk)
