@@ -616,21 +616,26 @@ def ivf_assign(
         lloyd_fn, "cid bigint, c array<double>"
     )
 
-    # final assignment over the FULL corpus stays distributed:
-    # broadcast k centroids, argmin via groupBy min(struct(dist, cid))
-    # — lexicographic struct min == the old row_number tie-break, with
-    # map-side partial aggregation and no window sort
+    return (_assign_by_cents(v, cents), cents)
+
+
+def _assign_by_cents(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Full-corpus cell assignment under trained centroids — stays
+    distributed: broadcast k centroids, argmin via groupBy
+    min(struct(dist, cid)) — lexicographic struct min == the old
+    row_number tie-break, with map-side partial aggregation and no
+    window sort. Shared by :func:`ivf_assign` and
+    :func:`ivf_pq_topk`."""
     d = (
         v.withColumn("_j", F.lit(1))
         .join(F.broadcast(cents.withColumn("_j", F.lit(1))), "_j")
         .select("vec_id", "cid", F.expr(_L2).alias("dist"))
     )
-    final = (
+    return (
         d.groupBy("vec_id")
         .agg(F.min(F.struct("dist", "cid")).alias("_m"))
         .select("vec_id", F.col("_m.cid").alias("cell"))
     )
-    return (final, cents)
 
 
 def ann_ivf_topk(
@@ -844,19 +849,112 @@ def ivf_pq_topk(
     if dim % m:
         raise ValueError("dim must be divisible by m")
     sub = dim // m
-    assignment, cents = ivf_assign(
-        emb, k_cells, iters, id_col, vec_col, train_frac, train_salt
-    )
-    # materialize the coarse build ONCE (the PageRank barrier lesson):
-    # cents feeds three broadcasts (residual encode, query probe, query
-    # residual) and assignment feeds two consumers (residual encode,
-    # member codes) — left lazy, each consumer re-runs the whole Lloyd
-    # lineage (measured ~2x wall on the bench gate). cents is k rows;
-    # assignment is the IVF index itself — the thing a 100 TB run
-    # persists and buckets the corpus by. Values unchanged (plan-only).
-    cents = cents.localCheckpoint(eager=True)
-    assignment = assignment.localCheckpoint(eager=True)
     v = _ivf_vectors(emb, id_col, vec_col)
+
+    # r9 (second pass): coarse quantizer AND the m PQ codebooks train
+    # FUSED in ONE single-task Python stage over the union of the two
+    # hash-sample gates (coarse gate seeds ids < k_cells, PQ gate seeds
+    # ids < k_pq; both pure functions of vec_id, evaluated by Spark SQL
+    # so the predicate is bit-identical to the unrolled-CTE oracle's).
+    # The kernel runs the coarse Lloyd rounds, then locally re-derives
+    # the PQ-gated rows' cell assignment + residuals under the trained
+    # centroids (the same 6dp argmin / exact subtraction the
+    # distributed path uses) and trains each subspace codebook — so the
+    # former chain of separate barrier jobs (cents ckpt → assignment
+    # ckpt → rsub ckpt → cb train ckpt) collapses to ONE trained-model
+    # checkpoint + the assignment checkpoint. rsub loses its second
+    # consumer (PQ training) and is no longer materialized at all —
+    # at corpus scale that was N*m cached sub-vector rows. Values are
+    # unchanged (same arithmetic, same gates; hash-exact vs the frozen
+    # oracle at sf0.01 and sf0.1).
+    gate_c = _ivf_train_gate(k_cells, train_frac, train_salt)
+    gate_p = _ivf_train_gate(k_pq, train_frac, train_salt)
+    train_in = (
+        v.withColumn("in_c", F.expr(gate_c))
+        .withColumn("in_p", F.expr(gate_p))
+        .where("in_c OR in_p")
+    )
+
+    def fused_train_fn(pdf_iter):
+        import pandas as pd
+
+        rows = []
+        for pdf in pdf_iter:
+            for vid, vec, ic, ip in zip(
+                pdf["vec_id"], pdf["v"], pdf["in_c"], pdf["in_p"]
+            ):
+                rows.append(
+                    (int(vid), [float(x) for x in vec], bool(ic), bool(ip))
+                )
+        rows.sort(key=lambda r: r[0])
+        r6 = lambda x: _round_like_spark(x, 6)  # noqa: E731
+        r9 = lambda x: _round_like_spark(x, 9)  # noqa: E731
+        coarse = [(vid, vec) for vid, vec, ic, _ in rows if ic]
+        seeds = {vid: vec for vid, vec in coarse if vid < k_cells}
+        cents_d = _lloyd_rounds_local(coarse, seeds, iters, r6, r9)
+        clist = sorted(cents_d.items())
+        o_kind, o_a, o_b, o_w = [], [], [], []
+        for cid, c in clist:
+            o_kind.append(0)
+            o_a.append(cid)
+            o_b.append(0)
+            o_w.append(c)
+        # PQ: assign each PQ-gated row to its cell under the trained
+        # centroids (6dp-rounded left-fold L2, cid tie-break — exactly
+        # the distributed argmin), residual = exact subtraction, then
+        # per-subspace Lloyd over the vec_id-ordered members
+        by_j: dict = {}
+        for vid, vec, _, ip in rows:
+            if not ip:
+                continue
+            best = None
+            for cid, c in clist:
+                acc = 0.0
+                for xi, ci in zip(vec, c):
+                    d = xi - ci
+                    acc += d * d
+                key = (r6(acc), cid)
+                if best is None or key < best[0]:
+                    best = (key, cid)
+            c = cents_d[best[1]]
+            r = [xi - ci for xi, ci in zip(vec, c)]
+            for j in range(m):
+                by_j.setdefault(j, []).append(
+                    (vid, r[j * sub: (j + 1) * sub])
+                )
+        for j in sorted(by_j):
+            rows_j = by_j[j]  # vec_id-ordered (rows was sorted)
+            seeds_j = {vid: rv for vid, rv in rows_j if vid < k_pq}
+            cbj = _lloyd_rounds_local(rows_j, seeds_j, pq_iters, r6, r9)
+            for code in sorted(cbj):
+                o_kind.append(1)
+                o_a.append(j)
+                o_b.append(code)
+                o_w.append(cbj[code])
+        yield pd.DataFrame(
+            {"kind": o_kind, "a": o_a, "b": o_b, "w": o_w}
+        )
+
+    trained = train_in.coalesce(1).mapInPandas(
+        fused_train_fn, "kind int, a bigint, b bigint, w array<double>"
+    )
+    # ONE trained-model materialization: cents (3 broadcast consumers)
+    # and cb (2 broadcast consumers) are filters over this k + m*k_pq
+    # row checkpoint
+    trained = trained.localCheckpoint(eager=True)
+    cents = trained.where("kind = 0").select(
+        F.col("a").alias("cid"), F.col("w").alias("c")
+    )
+    cb = trained.where("kind = 1").select(
+        F.col("a").cast("int").alias("j"),
+        F.col("b").alias("code"),
+        F.col("w").alias("cw"),
+    )
+
+    # full-corpus assignment stays distributed; it feeds two consumers
+    # (residual encode, member codes) and is the IVF index a 100 TB
+    # run persists — materialize once (the PageRank barrier lesson)
+    assignment = _assign_by_cents(v, cents).localCheckpoint(eager=True)
 
     # residuals r = v - centroid(cell): exact double subtraction,
     # identical in both engines (no rounding needed)
@@ -883,53 +981,10 @@ def ivf_pq_topk(
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.j").alias("j"), F.col("s.rv").alias("rv"))
-    # r9: rsub feeds BOTH PQ-training rounds and the member encode —
-    # left lazy each consumer re-derives the residual join/explode
-    # (3×). Materialize once: rows are m small sub-vectors per vector,
-    # the same footprint discipline as the assignment checkpoint.
-    rsub = rsub.localCheckpoint(eager=True)
+    # rsub's only consumer is now the member encode (PQ training reads
+    # the raw sample inside the fused kernel) — no materialization
 
     sub_l2 = _L2.replace("v, c", "rv, cw")
-
-    # r9: PQ codebook training runs FUSED in one single-partition
-    # Python stage over the hash-sampled residual sub-vectors — the
-    # same faiss-style local trainer as the coarse build (see
-    # ivf_assign.lloyd_fn), per subspace j; _lloyd_rounds_local
-    # reproduces the SQL arithmetic bit-for-bit so the unrolled-CTE
-    # oracle is unchanged. Member ENCODE over the full corpus stays
-    # distributed (broadcast codebook, map-side argmin groupBy).
-    train = rsub.where(
-        F.expr(_ivf_train_gate(k_pq, train_frac, train_salt))
-    )
-
-    def pq_train_fn(pdf_iter):
-        import pandas as pd
-
-        by_j: dict = {}
-        for pdf in pdf_iter:
-            for vid, j, rv in zip(pdf["vec_id"], pdf["j"], pdf["rv"]):
-                by_j.setdefault(int(j), []).append(
-                    (vid, [float(x) for x in rv])
-                )
-        r6 = lambda x: _round_like_spark(x, 6)  # noqa: E731
-        r9 = lambda x: _round_like_spark(x, 9)  # noqa: E731
-        o_j, o_code, o_cw = [], [], []
-        for j in sorted(by_j):
-            rows = sorted(by_j[j], key=lambda r: r[0])
-            seeds = {vid: vec for vid, vec in rows if vid < k_pq}
-            cbj = _lloyd_rounds_local(rows, seeds, pq_iters, r6, r9)
-            for code in sorted(cbj):
-                o_j.append(j)
-                o_code.append(code)
-                o_cw.append(cbj[code])
-        yield pd.DataFrame({"j": o_j, "code": o_code, "cw": o_cw})
-
-    cb = train.coalesce(1).mapInPandas(
-        pq_train_fn, "j int, code bigint, cw array<double>"
-    )
-    # trained codebook: m*k_pq rows consumed by BOTH the member encode
-    # and the query LUT — materialize so PQ training runs once
-    cb = cb.localCheckpoint(eager=True)
 
     def assign_sub(xs: DataFrame, cb: DataFrame) -> DataFrame:
         d = xs.join(F.broadcast(cb), "j").select(
