@@ -166,6 +166,10 @@ _INFLATE_FLOOR = 256 * 1024 * 1024
 _INFLATE_CHUNK = 4 * 1024 * 1024
 _MAX_HEADER_BLOCK = 1024 * 1024
 _COMPACT_AT = 1024 * 1024
+# per-member input feed window: starts small (typical Common Crawl
+# members are a few hundred bytes compressed) and doubles per pull so
+# large members still take O(log) Python calls
+_FEED_MIN = 8 * 1024
 
 
 def _iter_inflated(data: bytes) -> Iterator[bytes]:
@@ -176,25 +180,42 @@ def _iter_inflated(data: bytes) -> Iterator[bytes]:
     .warc.gz is compressed blob + ~one record, not ~5× the blob.
     Cumulative output is budget-capped (``max(_INFLATE_FLOOR,
     _INFLATE_RATIO_CAP × len(data))``) so a gzip bomb is a row-level
-    WarcError, not a job failure (ADVICE r5)."""
+    WarcError, not a job failure (ADVICE r5).
+
+    Input is fed to each member's decompressor in BOUNDED windows from
+    a memoryview (r9): handing every member the whole remaining blob
+    made zlib materialize ``unused_data`` — a near-full copy of the
+    blob — per member, an O(members × blob) memcpy that dominated the
+    walk (measured 0.61 s of a 1.09 s 5k-record walk). The copy is now
+    bounded by the feed window that contained the member's end."""
     if data[:2] != b"\x1f\x8b":
         yield data
         return
     budget = max(_INFLATE_FLOOR, _INFLATE_RATIO_CAP * len(data))
     produced = 0
-    rest = data
-    while rest[:2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    n = len(data)
+    off = 0
+    while off < n and data[off:off + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        src = rest
+        fed_end = off
+        feed = _FEED_MIN
+        src: object = b""
         try:
             while True:
+                if not src:
+                    if fed_end >= n:
+                        break  # truncated member: keep what inflated
+                    src = mv[fed_end:fed_end + feed]
+                    fed_end += len(src)
+                    feed = min(feed * 2, _INFLATE_CHUNK)
                 chunk = d.decompress(src, _INFLATE_CHUNK)
                 produced += len(chunk)
                 if produced > budget:
                     raise WarcError("gzip inflate budget exceeded")
                 if chunk:
                     yield chunk
-                if d.eof or not d.unconsumed_tail:
+                if d.eof:
                     break
                 src = d.unconsumed_tail
             tail = d.flush()
@@ -205,8 +226,10 @@ def _iter_inflated(data: bytes) -> Iterator[bytes]:
             if produced > budget:
                 raise WarcError("gzip inflate budget exceeded")
             yield tail
-        rest = d.unused_data
-    if rest:
+        if not d.eof:
+            return  # truncated member consumed all input (no trailer)
+        off = fed_end - len(d.unused_data)
+    if off < n:
         raise WarcError("trailing garbage after gzip members")
 
 
