@@ -168,14 +168,23 @@ def pagerank(
     there is no window or collect over the hot key.
 
     ``materialize`` (default True — the 100 TB path): each round's
-    ranks are persisted and forced with one action, and the previous
-    round's cache is dropped. A fully lazy chain (``materialize=False``)
+    ranks are **eagerly localCheckpointed** (the text_bpe_train
+    per-round barrier). A fully lazy chain (``materialize=False``)
     references round i-1 from BOTH the contribution join and the
     dangling-mass aggregate, so the logical plan re-derives it ~3× per
     round (3^iters growth — 158 exchange nodes at iters=3, measured);
     the standard iterative-graph fix, as in GraphX/Pregel, is the
-    per-round barrier. Values are bit-identical either way (bigint
-    arithmetic) — only the execution shape differs.
+    per-round barrier. r9: the barrier was persist()+count(), which
+    materializes the DATA but keeps the full logical lineage — the
+    analyzed tree still grew ~3× per round (638 Exchange refs in the
+    iters=3 plan text), so every later ACTION on the result re-paid
+    Catalyst analysis of the whole history (measured 2.4-11 s of
+    driver time per action at iters=3 vs 0.2 s of execution; iters is
+    a parameter, and the analysis cost was exponential in it). The
+    eager localCheckpoint truncates the logical plan to a LogicalRDD:
+    constant per-round analysis, same bigint values. Each round's
+    checkpoint holds MEMORY_AND_DISK storage for the session (iters ×
+    one (node, rank) table — disk-backed, never an OOM).
     """
     outdeg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("od"))
     edges_w = edges.join(outdeg, "src")
@@ -190,7 +199,6 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(scale).cast("bigint").alias("rank")
     )
-    prev_cached = None
     for _ in range(iters):
         contribs = edges_w.join(
             ranks, edges_w["src"] == ranks["node"]
@@ -223,12 +231,9 @@ def pagerank(
             )
         )
         if materialize:
-            ranks = ranks.persist()
-            ranks.count()  # per-round barrier: force the cache, cut the
-            # 3^i lazy re-derivation (see docstring)
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = ranks
+            # per-round barrier: truncate the logical plan (see
+            # docstring — persist+count kept the exponential lineage)
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

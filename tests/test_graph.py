@@ -132,24 +132,27 @@ def test_pagerank_plan_scale_shape(spark):
     edges = spark.range(99).selectExpr("id AS src", "id + 1 AS dst")
     df = pagerank(edges, nodes, iters=2)
     df.collect()
+    # r9 barrier: the returned frame IS the final round's eager
+    # localCheckpoint — a truncated LogicalRDD scan, so every later
+    # action pays constant analysis, not the 3^iters lineage walk
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "collect_list" not in plan
-    assert "CartesianProduct" not in plan
-    # the scalar (n, dangling-mass) attaches fold to
-    # BroadcastNestedLoopJoin — acceptable ONLY because every BNLJ build
-    # side here is a broadcast 1-row aggregate (the repo's IVF
-    # constant-key pattern); the corpus-side joins must all be hash joins
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-    # default materialize=True: the final round reads the previous
-    # round's ranks from cache (per-round barrier), not by re-deriving
-    # the whole lineage (the 3^iters lazy blowup)
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "collect_list" not in plan and "CartesianProduct" not in plan
+    # the round pipeline's join/agg shape is only visible in the lazy
+    # build (the checkpointed plan truncates it away): agg state must
+    # be scalar (no per-dst member lists), scalar (n, dangling-mass)
+    # attaches fold to BroadcastNestedLoopJoin — acceptable ONLY
+    # because every BNLJ build side here is a broadcast 1-row aggregate
+    # (the repo's IVF constant-key pattern); the corpus-side joins must
+    # all be hash joins
+    lazy_df = pagerank(edges, nodes, iters=2, materialize=False)
+    lplan = lazy_df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in lplan
+    assert "CartesianProduct" not in lplan
+    assert "BroadcastHashJoin" in lplan or "SortMergeJoin" in lplan
     # lazy mode produces identical values (bigint determinism), just a
     # bigger plan
-    lazy = {
-        r.node: r.rank
-        for r in pagerank(edges, nodes, iters=2, materialize=False).collect()
-    }
+    lazy = {r.node: r.rank for r in lazy_df.collect()}
     assert lazy == {r.node: r.rank for r in df.collect()}
 
 
