@@ -660,6 +660,13 @@ def ann_ivf_topk(
     assignment, cents = ivf_assign(
         emb, k_cells, iters, id_col, vec_col, train_frac, train_salt
     )
+    # cents has TWO consumers (the query-probe broadcast and the
+    # full-corpus assignment lineage under `members`) — left lazy the
+    # single-task Lloyd kernel and its sample scan run once per
+    # consumer (plan showed the MapInPandas subtree twice). k rows;
+    # materialize once (the multi-consumer lineage invariant).
+    cents = cents.localCheckpoint(eager=True)
+    assignment = _assign_by_cents(_ivf_vectors(emb, id_col, vec_col), cents)
     v = _ivf_vectors(emb, id_col, vec_col)
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

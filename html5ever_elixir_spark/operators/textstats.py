@@ -949,6 +949,7 @@ def lm_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_range_parts: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split: bucket the LM quality score into
     ``n_buckets`` PER ``part_col`` group (bucket 1 = head = most
@@ -989,6 +990,16 @@ def lm_buckets(
         F.asc("lm_score"), F.asc(id_col)
     )
     local = ranged.withColumn("_lrn", F.row_number().over(wl))
+    # r9: `local` has TWO consumers (the manifest aggregate and the
+    # final probe join) — left lazy the whole lm_score lineage + range
+    # exchange re-derives per consumer (the multi-consumer invariant),
+    # and the two computations' spark_partition_id/rank assignments are
+    # only consistent because the range partitioner is deterministic;
+    # the eager checkpoint makes them consistent BY CONSTRUCTION and
+    # runs the scoring once. Values unchanged; ``materialize=False``
+    # keeps the fully lazy plan (plan-shape tests read it there).
+    if materialize:
+        local = local.localCheckpoint(eager=True)
     # tiny manifest: rows per (range partition, part) → per-part offset
     # of each partition (exclusive prefix sum over pid) + per-part total
     counts = local.groupBy("_pid", part_col).agg(
