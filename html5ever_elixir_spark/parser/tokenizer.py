@@ -153,6 +153,14 @@ class Tokenizer:
         start_state = self.state
         buf: list[str] = []
         p = self.p
+        # cached next-occurrence positions for the text-run scan (r9):
+        # the old code re-ran str.find() for EVERY special char on
+        # every text run — each scanning to end-of-string when its char
+        # never occurs again, O(n²) on e.g. &-dense documents. The
+        # cache is monotone (recomputed only once p passes it; n =
+        # absent), so the whole call does at most one memchr pass per
+        # special char over the input.
+        q1 = q2 = q3 = -1
         while p < n:
             c = s[p]
             if c == "<":
@@ -190,15 +198,23 @@ class Tokenizer:
                 buf.append("\x00" if start_state == DATA else "�")
                 p += 1
             else:
-                q1 = s.find("<", p)
-                q2 = s.find("&", p) if charrefs else -1
-                q3 = s.find("\x00", p)
-                q = n
-                if q1 != -1:
-                    q = q1
-                if q2 != -1 and q2 < q:
-                    q = q2
-                if q3 != -1 and q3 < q:
+                if q1 < p:
+                    q1 = s.find("<", p)
+                    if q1 == -1:
+                        q1 = n
+                q = q1
+                if charrefs:
+                    if q2 < p:
+                        q2 = s.find("&", p)
+                        if q2 == -1:
+                            q2 = n
+                    if q2 < q:
+                        q = q2
+                if q3 < p:
+                    q3 = s.find("\x00", p)
+                    if q3 == -1:
+                        q3 = n
+                if q3 < q:
                     q = q3
                 buf.append(s[p:q])
                 p = q
@@ -230,6 +246,8 @@ class Tokenizer:
         buf: list[str] = []
         escaped = False
         double = False
+        # monotone next-occurrence cache, as in _data_like (r9)
+        q1 = q2 = q3 = -1
         while p < n:
             c = s[p]
             if c == "<":
@@ -305,15 +323,23 @@ class Tokenizer:
                 buf.append("�")
                 p += 1
             else:
-                q1 = s.find("<", p)
-                q2 = s.find("-", p) if escaped else -1
-                q3 = s.find("\x00", p)
-                q = n
-                if q1 != -1:
-                    q = q1
-                if q2 != -1 and q2 < q:
-                    q = q2
-                if q3 != -1 and q3 < q:
+                if q1 < p:
+                    q1 = s.find("<", p)
+                    if q1 == -1:
+                        q1 = n
+                q = q1
+                if escaped:
+                    if q2 < p:
+                        q2 = s.find("-", p)
+                        if q2 == -1:
+                            q2 = n
+                    if q2 < q:
+                        q = q2
+                if q3 < p:
+                    q3 = s.find("\x00", p)
+                    if q3 == -1:
+                        q3 = n
+                if q3 < q:
                     q = q3
                 if q == p:  # lone '-' not starting '-->'
                     buf.append(c)
