@@ -2274,6 +2274,10 @@ _TOKEN_RE = re.compile(
 
 _LIT_SPECIAL = re.compile(rb"[\\()]")
 
+# leading bytes of number tokens (first-byte dispatch in
+# _extract_stream_text)
+_NUM_LEAD = frozenset(b"-+.0123456789")
+
 
 def _parse_literal_string(data: bytes, p: int) -> tuple[str, int]:
     """data[p] is just past '('; returns (decoded, pos past ')')."""
@@ -2440,7 +2444,24 @@ def _extract_stream_text(
             break
         tok = m.group(0)
         p = m.end()
-        if tok == b"(":
+        # r9: first-byte dispatch — the three dominant token families
+        # (numbers, literal strings, hex strings) each resolve on ONE
+        # int compare instead of walking the operator chain; every
+        # _TOKEN_RE alternation starting with the byte is the same
+        # family ('<' tokens always end '>', the regex requires it)
+        c0 = tok[0]
+        if c0 in _NUM_LEAD:
+            # number tokens only ever matter as TJ-array kerning
+            # inside a text block — the dispatch chain below cannot
+            # match them otherwise
+            if in_text and in_tj_array:
+                try:
+                    if float(tok) <= -180 and pending_strings:
+                        pending_strings.append((" ", None))
+                except ValueError:
+                    pass
+            continue
+        if c0 == 0x28:  # b"("
             s, p = _parse_literal_string(content, p)
             # chars are all < 256 (octal overflow masked), so latin-1
             # re-encoding recovers the exact string bytes for font maps
@@ -2448,7 +2469,7 @@ def _extract_stream_text(
                 (s, s.encode("latin-1") if has_fonts else None)
             )
             continue
-        if tok.startswith(b"<") and tok.endswith(b">"):
+        if c0 == 0x3C:  # b"<...>" hex string
             hexs = re.sub(rb"\s", b"", tok[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
@@ -2463,17 +2484,17 @@ def _extract_stream_text(
             else:
                 pending_strings.append((raw.decode("latin-1"), raw))
             continue
-        if tok[:1] in b"-+.0123456789":
-            # r9 early exit: number tokens only ever matter as TJ-array
-            # kerning inside a text block — the dispatch chain below
-            # cannot match them otherwise (same semantics, ~1/3 of all
-            # tokens skip ~10 comparisons)
-            if in_text and in_tj_array:
-                try:
-                    if float(tok) <= -180 and pending_strings:
-                        pending_strings.append((" ", None))
-                except ValueError:
-                    pass
+        if c0 == 0x2F:  # b"/" name
+            if has_fonts or xobj_resolver is not None:
+                last_name = tok[1:].decode("latin-1")
+            continue
+        if c0 == 0x5B:  # b"["
+            if in_text:
+                in_tj_array = True
+            continue
+        if c0 == 0x5D:  # b"]"
+            if in_text:
+                in_tj_array = False
             continue
         if tok == b"BI":
             # inline image: skip to the EI delimiter after the binary
@@ -2492,9 +2513,6 @@ def _extract_stream_text(
                     p = q + 2
                     break
                 q += 2
-            continue
-        if (has_fonts or xobj_resolver is not None) and tok.startswith(b"/"):
-            last_name = tok[1:].decode("latin-1")
             continue
         if tok == b"Do" and xobj_resolver is not None and last_name:
             sub = xobj_resolver(last_name) if depth < 8 else None
@@ -2531,10 +2549,7 @@ def _extract_stream_text(
         elif tok in (b"Td", b"TD", b"T*", b"Tm"):
             break_line()
             pending_strings.clear()
-        elif tok == b"[":
-            in_tj_array = True
-        elif tok == b"]":
-            in_tj_array = False
+        # '[' / ']' are handled by the first-byte dispatch above.
         # TJ kerning numbers are handled by the early exit above: a
         # large negative adjustment (thousandths of an em, ≈-180
         # threshold) is how justified text encodes WORD SPACES without
